@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries; prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  — data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    — local[N] threads (default all cores)
+
+Each query is executed to completion with the noop sink (full
+materialization, no driver collect overhead), timed wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from kcidb_spark.session import get_spark  # noqa: E402
+from kcidb_spark.queries import REGISTRY  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="kcidb_spark_bench")
+    # Warm the JVM + parquet footer caches so per-query times measure the
+    # queries, not session startup or file-listing overhead.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from kcidb_spark.tables import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).schema  # footer read only
+
+    timings: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        if not q.bench:
+            continue
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

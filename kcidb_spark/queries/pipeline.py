@@ -102,27 +102,29 @@ _MINHASH_SEEDS = tuple(range(8))
             FROM documents
         ),
         sh AS (
-            SELECT DISTINCT doc_id,
-                   tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2] AS shingle
-            FROM toks, UNNEST(generate_series(1, length(tokens) - 2)) AS t(i)
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(tokens) - 2),
+                                  i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])
+                       AS shingles
+            FROM toks
             WHERE length(tokens) >= 3
         )
         SELECT doc_id,
-               {", ".join(f"min(md5('{s}:' || shingle)) AS h{s}" for s in _MINHASH_SEEDS)}
+               {", ".join(f"list_min(list_transform(shingles, s -> md5('{s}:' || s))) AS h{s}" for s in _MINHASH_SEEDS)}
         FROM sh
-        GROUP BY doc_id
     """),
     tags=("dedup", "minhash"),
 )
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over 3-word shingles (8 salted md5 hashes).
 
-    Pipeline: normalize → tokenize → shingle (array transform, JVM
-    side) → explode distinct → groupBy(doc_id) min() per seed.  The
-    min() aggregates combine map-side, so the shuffle is one row per
-    document.  LSH banding then buckets signatures for candidate-pair
-    generation (operators/dedup.py); this query is the signature stage,
-    which is the bulk of the compute at scale.
+    Key scale property: min() over a multiset equals min() over the
+    set, so the signature is a *pure per-row array projection* —
+    normalize → tokenize → shingle (array transform) → array_min of
+    salted hashes — with NO explode, NO shuffle, NO aggregation.  At
+    100 TB this is an embarrassingly parallel map over documents.
+    LSH banding then buckets signatures for candidate-pair generation
+    (operators/dedup.py).
     """
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(_norm_text(F.col("text")), " ").alias("tokens")).filter(
@@ -131,18 +133,18 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-based sequence mirrors DuckDB list indexing exactly.
     shingles = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tokens) - 2),"
-                " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"
-            )
-        ).alias("shingle"),
-    ).distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-        for s in _MINHASH_SEEDS
+        F.expr(
+            "transform(sequence(1, size(tokens) - 2),"
+            " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"
+        ).alias("shingles"),
+    )
+    cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        ).alias(f"h{seed}")
+        for seed in _MINHASH_SEEDS
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return shingles.select("doc_id", *cols)
 
 
 # ---------------------------------------------------------------------------
