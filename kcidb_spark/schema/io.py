@@ -1,0 +1,144 @@
+"""I/O report helpers: new / merge / count / validate / upgrade.
+
+An I/O report is ``{"version": {"major": M, "minor": m},
+"checkouts": [...], "builds": [...], "tests": [...], "issues": [...],
+"incidents": [...]}`` (reference: kcidb_io package, pinned V5_3 at
+kcidb/io.py:9).  These helpers are pure-Python (driver-side) — they
+operate on the JSON documents before/after Spark.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+from kcidb_spark.schema.graph import ID_FIELDS, TABLES
+from kcidb_spark.schema.types import SCHEMAS, STATUS_VALUES
+
+IO_VERSION = {"major": 5, "minor": 3}
+
+#: Fields removed across major versions (v5.0: postgresql/v05_00.py:21-63).
+_V4_DROPPED = {
+    "checkouts": ("contacts",),
+    "builds": ("valid",),
+    "tests": ("waived",),
+}
+
+
+def new() -> dict[str, Any]:
+    """An empty report at the current version."""
+    return {"version": dict(IO_VERSION)}
+
+
+def count(data: dict[str, Any]) -> int:
+    """Total number of objects across all object lists."""
+    return sum(len(data.get(t, ())) for t in TABLES)
+
+
+def merge(target: dict[str, Any], sources: list[dict[str, Any]]) -> dict[str, Any]:
+    """Concatenate object lists of several reports (upgrading each to
+    the current version first).  Reference: io_schema.merge used at
+    kcidb/__init__.py:459-470."""
+    out = copy.deepcopy(upgrade(target))
+    for src in sources:
+        src = upgrade(src)
+        for t in TABLES:
+            if src.get(t):
+                out.setdefault(t, []).extend(copy.deepcopy(src[t]))
+    return out
+
+
+def upgrade(data: dict[str, Any]) -> dict[str, Any]:
+    """Upgrade a v4/v5 report to v5.3.
+
+    v4→v5 semantics (postgresql/v05_00.py:178-231):
+      * builds.valid → status: TRUE→PASS, FALSE→FAIL, NULL→absent
+      * tests.waived=TRUE → synthetic "_:waived" issue + one incident
+        per waived test
+      * checkouts.contacts dropped
+    """
+    version = data.get("version", {})
+    major = version.get("major")
+    if major not in (4, 5):
+        raise ValueError(f"unsupported report version: {version}")
+    out = copy.deepcopy(data)
+    out["version"] = dict(IO_VERSION)
+    if major == 4:
+        for build in out.get("builds", []):
+            valid = build.pop("valid", None)
+            if valid is not None and "status" not in build:
+                build["status"] = "PASS" if valid else "FAIL"
+        waived_ids = []
+        for test in out.get("tests", []):
+            if test.pop("waived", None):
+                waived_ids.append(test["id"])
+        if waived_ids:
+            issue_id, issue_version = "_:waived", 1
+            out.setdefault("issues", []).append(
+                {
+                    "id": issue_id,
+                    "version": issue_version,
+                    "origin": "_",
+                    "comment": "Test waived as unreliable",
+                }
+            )
+            out.setdefault("incidents", []).extend(
+                {
+                    "id": f"{issue_id}:{issue_version}:{tid}",
+                    "origin": "_",
+                    "issue_id": issue_id,
+                    "issue_version": issue_version,
+                    "test_id": tid,
+                    "present": True,
+                }
+                for tid in waived_ids
+            )
+        for checkout in out.get("checkouts", []):
+            checkout.pop("contacts", None)
+    # Drop any stray removed fields on v5 input too (defensive).
+    for table, fields in _V4_DROPPED.items():
+        for obj in out.get(table, []):
+            for fname in fields:
+                obj.pop(fname, None)
+    return out
+
+
+_REQUIRED = {
+    "checkouts": ("id", "origin"),
+    "builds": ("id", "origin", "checkout_id"),
+    "tests": ("id", "origin", "build_id"),
+    "issues": ("id", "origin", "version"),
+    "incidents": ("id", "origin", "issue_id", "issue_version"),
+}
+
+_KNOWN_FIELDS = {t: {f.name for f in SCHEMAS[t].fields} for t in TABLES}
+
+
+def validate(data: dict[str, Any]) -> dict[str, Any]:
+    """Structural validation of a v5 report (lightweight stand-in for
+    the reference's JSON Schema validation, kcidb/db/abstract.py:352).
+
+    Checks version, required fields, unknown fields, status enum
+    values, and incident build/test linkage.  Returns data unchanged.
+    """
+    version = data.get("version", {})
+    if version.get("major") != 5:
+        raise ValueError(f"expected major version 5, got {version}")
+    for t in TABLES:
+        for i, obj in enumerate(data.get(t, [])):
+            where = f"{t}[{i}]"
+            for req in _REQUIRED[t]:
+                if obj.get(req) is None:
+                    raise ValueError(f"{where}: missing required field {req!r}")
+            unknown = set(obj) - _KNOWN_FIELDS[t]
+            if unknown:
+                raise ValueError(f"{where}: unknown fields {sorted(unknown)}")
+            status = obj.get("status")
+            if status is not None and status not in STATUS_VALUES:
+                raise ValueError(f"{where}: invalid status {status!r}")
+    return data
+
+
+def id_tuple(table: str, obj: dict[str, Any]) -> tuple:
+    """The object's PK tuple per ID_FIELDS (issues: (id, version))."""
+    return tuple(obj.get(f) for f in ID_FIELDS[table])

@@ -1,0 +1,239 @@
+"""Parquet-backed kcidb store: append-only load + dedup-at-read view.
+
+Follows the reference's BigQuery model (SURVEY.md §1.4) — the one
+already designed for columnar analytics at scale:
+
+* ``load`` validates and APPENDS rows (no upsert, no row locks — loads
+  are commutative and idempotent under the dedup view, which is what
+  makes re-delivery safe: bigquery/v04_00.py:636-644);
+* the dedup view groups by primary key and takes, per column, the
+  value from the latest row where that column is non-NULL — the
+  deterministic refinement of the reference's field-wise
+  COALESCE/ANY_VALUE merge (kcidb/db/sql/schema.py:264-286; the
+  reference's alternating priority is explicitly nondeterministic,
+  tests only require "non-NULL wins, _timestamp = greatest");
+* ``_timestamp`` resolves with MAX (GREATEST conflict function,
+  postgresql/v04_02.py:14-18).
+
+At 100 TB: the raw tables would be date-partitioned on _timestamp
+(purge = partition drop, dump windows = partition pruning) and the
+dedup view materialized incrementally; the logical plan here is
+identical.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcidb_spark.schema import (
+    ID_FIELDS,
+    TABLES,
+    schema_for,
+    validate,
+)
+from kcidb_spark.schema.types import SCHEMAS
+
+#: Dotted paths of free-form JSON fields stored as JSON strings.
+_JSON_FIELDS = {
+    "checkouts": {("misc",)},
+    "builds": {("misc",)},
+    "tests": {("misc",), ("environment", "misc")},
+    "issues": {("misc",)},
+    "incidents": {("misc",)},
+}
+
+
+def _pack_value(value, path, json_paths):
+    if path in json_paths:
+        return None if value is None else json.dumps(value, sort_keys=True)
+    if isinstance(value, str) and path and path[-1].endswith("time"):
+        return datetime.datetime.fromisoformat(value)
+    if isinstance(value, dict):
+        return {k: _pack_value(v, path + (k,), json_paths) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_pack_value(v, path, json_paths) for v in value]
+    return value
+
+
+def _unpack_value(value, path, json_paths):
+    """Row value → JSON value, dropping NULLs and empty containers
+    (reference NULL-drop unpack, kcidb/db/sql/schema.py:466-495)."""
+    if value is None:
+        return None
+    if path in json_paths:
+        return json.loads(value)
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        return value.isoformat(timespec="microseconds")
+    if isinstance(value, dict):
+        out = {
+            k: u
+            for k, v in value.items()
+            if (u := _unpack_value(v, path + (k,), json_paths)) is not None
+        }
+        return out or None
+    if isinstance(value, list):
+        out = [u for v in value if (u := _unpack_value(v, path, json_paths)) is not None]
+        return out or None
+    return value
+
+
+class Store:
+    """A named collection of the five kcidb tables under a directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _has_data(self, table: str) -> bool:
+        return bool(glob.glob(os.path.join(self._path(table), "*.parquet")) or
+                    glob.glob(os.path.join(self._path(table), "*", "*.parquet")))
+
+    # -- load -----------------------------------------------------------
+    def load(
+        self,
+        data: dict[str, Any],
+        timestamp: datetime.datetime | None = None,
+    ) -> None:
+        """Validate and append a v5 I/O report (idempotent under the
+        dedup view; loads are commutative — reference T7 semantics)."""
+        validate(data)
+        ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
+        for table in TABLES:
+            objs = data.get(table)
+            if not objs:
+                continue
+            json_paths = _JSON_FIELDS[table]
+            rows = []
+            for obj in objs:
+                packed = {
+                    k: _pack_value(v, (k,), json_paths) for k, v in obj.items()
+                }
+                packed["_timestamp"] = obj.get("_timestamp", ts)
+                rows.append(packed)
+            df = self.spark.createDataFrame(rows, schema_for(table, with_metadata=True))
+            df.write.mode("append").parquet(self._path(table))
+
+    # -- read -----------------------------------------------------------
+    def raw(self, table: str) -> DataFrame:
+        """The append-only raw table (all loaded versions of each row)."""
+        if not self._has_data(table):
+            return self.spark.createDataFrame([], schema_for(table, with_metadata=True))
+        return self.spark.read.schema(schema_for(table, with_metadata=True)).parquet(
+            self._path(table)
+        )
+
+    def table(self, table: str, with_metadata: bool = False) -> DataFrame:
+        """The dedup view: one row per PK; per column, the value of the
+        latest load where it was non-NULL; _timestamp = MAX."""
+        df = self.raw(table)
+        keys = list(ID_FIELDS[table])
+        others = [c for c in df.columns if c not in keys and c != "_timestamp"]
+        aggs = [
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col("_timestamp").alias("t"), F.col(c).alias("v")),
+                )
+            )["v"].alias(c)
+            for c in others
+        ]
+        aggs.append(F.max("_timestamp").alias("_timestamp"))
+        out = df.groupBy(*keys).agg(*aggs)
+        # Restore canonical column order.
+        cols = [f.name for f in SCHEMAS[table].fields]
+        if with_metadata:
+            cols.append("_timestamp")
+        return out.select(*cols)
+
+    # -- dump -----------------------------------------------------------
+    def dump(
+        self,
+        after: datetime.datetime | None = None,
+        until: datetime.datetime | None = None,
+        with_metadata: bool = False,
+    ) -> dict[str, Any]:
+        """Full dump as an I/O report, optional (after, until] window
+        on _timestamp (reference S2, kcidb/db/sql/schema.py:288-344)."""
+        from kcidb_spark.schema.io import IO_VERSION
+
+        out: dict[str, Any] = {"version": dict(IO_VERSION)}
+        for table in TABLES:
+            df = self.table(table, with_metadata=True)
+            if after is not None:
+                df = df.filter(F.col("_timestamp") > F.lit(after))
+            if until is not None:
+                df = df.filter(F.col("_timestamp") <= F.lit(until))
+            if not with_metadata:
+                df = df.drop("_timestamp")
+            objs = self._rows_to_objs(table, df)
+            if objs:
+                out[table] = objs
+        return out
+
+    def _rows_to_objs(self, table: str, df: DataFrame) -> list[dict[str, Any]]:
+        json_paths = _JSON_FIELDS[table]
+        objs = []
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            obj = {
+                k: u
+                for k, v in d.items()
+                if (u := _unpack_value(v, (k,), json_paths)) is not None
+            }
+            objs.append(obj)
+        return objs
+
+    # -- maintenance ----------------------------------------------------
+    def purge(self, before: datetime.datetime) -> None:
+        """Drop raw rows with _timestamp < before (reference S11,
+        postgresql/v04_02.py:74-105).  Local parquet: filter+rewrite;
+        on a partitioned lake this is a partition drop."""
+        for table in TABLES:
+            if not self._has_data(table):
+                continue
+            kept = self.raw(table).filter(F.col("_timestamp") >= F.lit(before))
+            tmp = self._path(table) + ".purging"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self._path(table))
+            os.rename(tmp, self._path(table))
+
+    def empty(self) -> None:
+        """Remove all data (reference S12)."""
+        for table in TABLES:
+            p = self._path(table)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
+    def first_modified(self) -> dict[str, datetime.datetime]:
+        """Earliest _timestamp per non-empty table (reference A4)."""
+        return self._modified(F.min)
+
+    def last_modified(self) -> dict[str, datetime.datetime]:
+        """Latest _timestamp per non-empty table (reference A4)."""
+        return self._modified(F.max)
+
+    def _modified(self, agg) -> dict[str, datetime.datetime]:
+        out = {}
+        for table in TABLES:
+            if not self._has_data(table):
+                continue
+            val = self.raw(table).agg(agg("_timestamp").alias("m")).collect()[0]["m"]
+            if val is not None:
+                out[table] = val.replace(tzinfo=datetime.timezone.utc)
+        return out
