@@ -358,3 +358,277 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KNN_K)
         .select("q_id", "n_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH dedup pipeline (scale path) + exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+_SIG_SQL = (
+    f"toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents),\n"
+    "sh AS (SELECT doc_id, list_transform(generate_series(1, length(tokens) - 2),"
+    " i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) AS shingles"
+    " FROM toks WHERE length(tokens) >= 3),\n"
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{s}:' || s))) AS h{s}"
+        for s in range(8)
+    )
+    + " FROM sh),\n"
+    "bands AS ("
+    "SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS key FROM sig"
+    " UNION ALL "
+    "SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS key FROM sig)"
+)
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=dedent(f"""
+        WITH {_SIG_SQL}
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l
+        JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """),
+    tags=("dedup", "minhash", "lsh"),
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH candidate generation (banded bucket join).
+
+    The n²-free near-dup plan: signatures are per-row projections,
+    banding is a union of two narrow projections, and candidates come
+    from an equi-join on (band, key) — shuffle volume is bucket-sized,
+    never all-pairs.  At 100 TB the band join is the only exchange.
+    """
+    from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8)
+    return lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
+
+
+@register(
+    "jaccard_verify_pairs",
+    oracle=dedent(f"""
+        WITH {_SIG_SQL},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        shingle_set AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingle_set GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS n_inter
+            FROM cand c
+            JOIN shingle_set sa ON sa.doc_id = c.a
+            JOIN shingle_set sb ON sb.doc_id = c.b AND sb.s = sa.s
+            GROUP BY c.a, c.b
+        )
+        SELECT c.a, c.b,
+               coalesce(i.n_inter, 0) AS n_inter,
+               coalesce(i.n_inter, 0)
+                   / CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN sizes na ON na.doc_id = c.a
+        JOIN sizes nb ON nb.doc_id = c.b
+    """),
+    tags=("dedup", "jaccard"),
+)
+def jaccard_verify_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard — the
+    verify stage of the dedup pipeline.  Jaccard is a ratio of exact
+    integer counts, so values hash-match across engines bit-for-bit."""
+    from kcidb_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8)
+    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
+    return jaccard_pairs(docs, cand)
+
+
+def _simhash_oracle() -> str:
+    bit_exprs = []
+    for i in range(16):
+        ci = i // 4 + 1
+        bit = 3 - (i % 4)
+        vote = (
+            f"CASE WHEN ((strpos('0123456789abcdef', substring(h, {ci}, 1)) - 1)"
+            f" & {1 << bit}) > 0 THEN 1 ELSE -1 END"
+        )
+        bit_exprs.append(
+            f"CASE WHEN list_sum(list_transform(hexes, h -> {vote})) > 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    total = " + ".join(bit_exprs)
+    return dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+        ),
+        hx AS (
+            SELECT doc_id,
+                   list_transform(tokens, t -> substring(md5(t), 1, 4)) AS hexes
+            FROM toks
+        )
+        SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+        FROM hx
+    """)
+
+
+@register("simhash_fingerprint", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document — near-dup fingerprint where
+    Hamming-close hashes mean similar token multisets.  Pure per-row
+    projection (no shuffle); bits derived from md5 hex prefixes with
+    string ops only, so the oracle computes the identical hash."""
+    from kcidb_spark.operators.dedup import simhash16
+
+    return simhash16(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID + ANN buckets
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "zh": ("de", "shi", "le", "he", "zai"),
+}
+
+
+def _langid_oracle() -> str:
+    score_cols = ", ".join(
+        "CAST(SUM(CASE WHEN token IN ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + f") THEN 1 ELSE 0 END) AS BIGINT) AS s_{lang}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    pred = "CASE "
+    for lang in langs:
+        others = [o for o in langs if o != lang]
+        cond = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in others
+        )
+        pred += f"WHEN {cond} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return dedent(f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split({_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, lang, {score_cols}
+            FROM tok
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+               {pred} AS predicted
+        FROM scores
+    """)
+
+
+@register("lang_id_ngram", oracle=_langid_oracle(), tags=("text", "langid"))
+def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: per-language stopword hit
+    counts → argmax with a fixed preference order on ties.  One
+    explode + one aggregation; scores are exact integers."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("token").isin(*markers), 1).otherwise(0))
+        .cast("long")
+        .alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    scores = tok.groupBy("doc_id", "lang").agg(*aggs)
+    langs = list(_LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise("und")
+    return scores.select(
+        "doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", "s_zh",
+        pred.alias("predicted"),
+    )
+
+
+def _ann_oracle() -> str:
+    from kcidb_spark.operators.similarity import hyperplanes
+
+    terms = []
+    for i, plane in enumerate(hyperplanes(8, 64)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, CAST({total} AS BIGINT) AS bucket FROM vecs
+        )
+        SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+        FROM bucketed
+        GROUP BY bucket
+    """)
+
+
+@register("ann_lsh_buckets", oracle=_ann_oracle(), tags=("similarity", "lsh"))
+def ann_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing — the ANN scale path: vectors
+    sharing a bucket are candidate neighbors, so query cost is
+    O(bucket), not O(corpus).  Planes come from a deterministic
+    integer LCG, identical in every engine; bucketing itself is a
+    zero-shuffle projection, the histogram is one tiny exchange."""
+    from kcidb_spark.operators.similarity import hyperplane_buckets
+
+    emb = table(spark, sf_dir, "embeddings")
+    b = hyperplane_buckets(emb, n_planes=8, dims=64)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (no SQL oracle — Pandas-UDF surface; the driver
+# records a rows-only check for this one)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → Arrow-batched feature extraction
+    (mapInPandas) → per-modality rollup.  The decode step is a
+    deterministic stub (codecs aren't in this container); the schema,
+    batch shape, and partitioning are the real 100 TB plumbing."""
+    from kcidb_spark.operators.multimodal import extract_features, to_media_table
+
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(to_media_table(docs))
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("checksum").alias("min_checksum"),
+    )

@@ -800,6 +800,29 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a11_cube_rollup",
+    oracle=dedent(f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               {oracle_int_sum('l_quantity', 100)} / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """),
+    tags=("A", "cube"),
+)
+def a11_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (all 4 grouping sets in one pass — beyond the
+    reference, which has no grouping sets; SURVEY §2.4).  Spark plans
+    an Expand + single aggregation; the exact integer sums stay
+    associative through the expansion."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        as_money(int_sum(F.col("l_quantity"), 100), 100).alias("sum_qty"),
+    )
+
+
+@register(
     "f8_date_extract",
     oracle=dedent(f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

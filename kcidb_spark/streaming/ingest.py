@@ -1,0 +1,137 @@
+"""Streaming ingest: JSON report files → Store → notifications.
+
+Reference lifecycle (main.py:286-402, kcidb/__init__.py:493-531):
+pull reports → merge → load → derive updated-object patterns (plus
+parents, the ``"<*#"`` suffix at kcidb/__init__.py:520) → match
+subscriptions → spool notifications.
+
+Spark shape: a file-source streaming query (``wholetext`` — one
+report per file, standing in for a message queue) with foreachBatch
+running the merge-load + match + spool stages.  At-least-once file
+delivery × idempotent merge-load × id-deduplicated spool =
+effectively exactly-once end-to-end (T3/T6/T7).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcidb_spark.schema.graph import TABLES
+from kcidb_spark.schema.io import merge as io_merge, upgrade, validate
+from kcidb_spark.store import Store
+from kcidb_spark.streaming.notify import (
+    NotificationSpool,
+    Subscription,
+    match_subscriptions,
+)
+from kcidb_spark.orm.types import type_views
+
+#: I/O-list → ORM type (checkouts → checkout, …).
+_IO_TO_ORM = {
+    "checkouts": "checkout",
+    "builds": "build",
+    "tests": "test",
+    "incidents": "incident",
+}
+
+
+def changed_id_dfs(
+    spark: SparkSession, report: dict[str, Any]
+) -> dict[str, DataFrame]:
+    """Ids of objects present in a loaded report, per ORM type — the
+    change fan-out key set (T4; reference Pattern.from_io,
+    kcidb/orm/query.py:787-848)."""
+    out: dict[str, DataFrame] = {}
+    for io_name, orm_name in _IO_TO_ORM.items():
+        objs = report.get(io_name)
+        if objs:
+            out[orm_name] = spark.createDataFrame(
+                [(o["id"],) for o in objs], "id string"
+            ).distinct()
+    return out
+
+
+def patterns_from_io(report: dict[str, Any]) -> list[str]:
+    """Updated-object pattern strings incl. the parents suffix — what
+    the reference publishes to the ``updated`` topic (T4)."""
+
+    def quote(s: str) -> str:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    pats = []
+    for io_name, orm_name in _IO_TO_ORM.items():
+        ids = sorted({o["id"] for o in report.get(io_name, [])})
+        if ids:
+            id_list = "; ".join(quote(i) for i in ids)
+            pats.append(f">{orm_name}[{id_list}]#<*#")
+    for issue in report.get("issues", []):
+        pats.append(
+            f'>issue_version[{issue["id"]},{issue["version"]}]#<*#'
+        )
+    return pats
+
+
+class IngestPipeline:
+    """File-source streaming ingest into a Store + notification spool."""
+
+    def __init__(
+        self,
+        store: Store,
+        spool: NotificationSpool,
+        subscriptions: list[Subscription] | None = None,
+    ):
+        self.store = store
+        self.spool = spool
+        self.subscriptions = subscriptions or []
+        self.loaded_reports = 0
+        self.spooled = 0
+
+    # -- batch stage (shared by streaming and inline ingest) -----------
+    def ingest_batch(self, raw_reports: list[str]) -> None:
+        """Validate/upgrade/merge a batch of JSON report strings, load
+        once, then match+spool (the kcidb_load_queue merge at
+        main.py:309-315 — one load per micro-batch)."""
+        if not raw_reports:
+            return
+        reports = [upgrade(json.loads(r)) for r in raw_reports]
+        merged = reports[0] if len(reports) == 1 else io_merge(
+            reports[0], reports[1:]
+        )
+        validate(merged)
+        self.store.load(merged)
+        self.loaded_reports += len(reports)
+        if self.subscriptions:
+            views = type_views(
+                {t: self.store.table(t, with_metadata=True) for t in TABLES}
+            )
+            changed = changed_id_dfs(self.store.spark, merged)
+            notifications = match_subscriptions(
+                views, self.subscriptions, changed_ids=changed
+            )
+            if notifications is not None:
+                self.spooled += self.spool.spool(notifications)
+
+    # -- streaming -----------------------------------------------------
+    def start(self, input_dir: str, checkpoint_dir: str):
+        """Start the streaming query over a directory of report files."""
+        spark = self.store.spark
+        stream = (
+            spark.readStream.format("text")
+            .option("wholetext", "true")
+            .load(input_dir)
+        )
+
+        def process(batch_df: DataFrame, epoch_id: int) -> None:
+            raw = [r["value"] for r in batch_df.collect() if r["value"].strip()]
+            self.ingest_batch(raw)
+
+        return (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

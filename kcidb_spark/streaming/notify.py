@@ -1,0 +1,185 @@
+"""Subscriptions, notifications, and the dedup spool.
+
+Reference: subscription match functions (kcidb/monitor/__init__.py:
+36-53, the user extension point), notification ids
+(kcidb/monitor/output.py:162-174: ``subscription:type:b64(obj_id):
+b64(msg_id)``), and the Firestore spool with create-or-update
+transactions (kcidb/monitor/spool/__init__.py:89-252).
+
+Spark-first redesign: a subscription is a *DataFrame predicate* over a
+canonical type view plus message templates — matching is one
+distributed filter per subscription, not a per-object Python call.
+The spool is a parquet table MERGE-deduplicated on the deterministic
+notification id, so redelivered micro-batches cannot double-notify
+(the Delta MERGE shape, emulated with anti-join + append).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import glob
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class Subscription:
+    """Declarative subscription: match rows of ``obj_type``'s canonical
+    view satisfying ``predicate``; render subject/body per row."""
+
+    name: str
+    obj_type: str
+    predicate: Column
+    subject: Column  # string column, ≤256 chars enforced at render
+    body: Column  # string column, ≤64 KiB enforced at render
+
+    #: reference caps (kcidb/monitor/output.py:23-26)
+    SUBJECT_MAX = 256
+    BODY_MAX = 65536
+
+
+@dataclass(frozen=True)
+class Notification:
+    id: str
+    subscription: str
+    obj_type: str
+    obj_id: str
+    subject: str
+    body: str
+
+
+_SPOOL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("subscription", T.StringType()),
+        T.StructField("obj_type", T.StringType()),
+        T.StructField("obj_id", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("sent_at", T.TimestampType()),
+    ]
+)
+
+
+def _b64(col: Column) -> Column:
+    return F.base64(F.encode(col, "UTF-8"))
+
+
+def match_subscriptions(
+    views: dict[str, DataFrame],
+    subscriptions: list[Subscription],
+    changed_ids: dict[str, DataFrame] | None = None,
+) -> DataFrame | None:
+    """Evaluate subscriptions, optionally restricted to changed ids
+    (the T5 stage: new-data keys ⋈ subscription predicates)."""
+    out: DataFrame | None = None
+    for sub in subscriptions:
+        df = views[sub.obj_type]
+        if changed_ids is not None:
+            ids = changed_ids.get(sub.obj_type)
+            if ids is None:
+                continue
+            df = df.join(F.broadcast(ids), on="id", how="left_semi")
+        # Deterministic notification id (monitor/output.py:162-174).
+        notif_id = F.concat_ws(
+            ":",
+            F.lit(sub.name),
+            F.lit(sub.obj_type),
+            _b64(F.col("id")),
+            _b64(F.substring(sub.subject, 1, Subscription.SUBJECT_MAX)),
+        )
+        rows = df.filter(sub.predicate).select(
+            notif_id.alias("id"),
+            F.lit(sub.name).alias("subscription"),
+            F.lit(sub.obj_type).alias("obj_type"),
+            F.col("id").alias("obj_id"),
+            F.substring(sub.subject, 1, Subscription.SUBJECT_MAX).alias("subject"),
+            F.substring(sub.body, 1, Subscription.BODY_MAX).alias("body"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+class NotificationSpool:
+    """Parquet-backed spool with MERGE-dedup on notification id."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _has_data(self) -> bool:
+        return bool(glob.glob(os.path.join(self.path, "*.parquet")))
+
+    def all(self) -> DataFrame:
+        if not self._has_data():
+            return self.spark.createDataFrame([], _SPOOL_SCHEMA)
+        return self.spark.read.schema(_SPOOL_SCHEMA).parquet(self.path)
+
+    def spool(self, notifications: DataFrame) -> int:
+        """Insert-if-absent by id; returns the number of new rows.
+        (The create-only transaction of the reference spool,
+        spool/__init__.py:89-252.)"""
+        fresh = (
+            notifications.dropDuplicates(["id"])
+            .join(self.all().select("id"), on="id", how="left_anti")
+            .withColumn("created_at", F.current_timestamp())
+            .withColumn("sent_at", F.lit(None).cast("timestamp"))
+            .select([f.name for f in _SPOOL_SCHEMA.fields])
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(self.path)
+        return n
+
+    def unsent(self) -> DataFrame:
+        """Pick stage: notifications not yet sent (main.py:387-402)."""
+        return self.all().filter(F.col("sent_at").isNull())
+
+    def mark_sent(self, send: Callable[[Notification], None] | None = None) -> int:
+        """Send every unsent notification (via ``send``) and persist
+        sent_at — the ack stage.  Local-parquet rewrite; on a lake
+        this is a MERGE on id."""
+        rows = self.unsent().collect()
+        for r in rows:
+            if send is not None:
+                send(
+                    Notification(
+                        id=r["id"],
+                        subscription=r["subscription"],
+                        obj_type=r["obj_type"],
+                        obj_id=r["obj_id"],
+                        subject=r["subject"],
+                        body=r["body"],
+                    )
+                )
+        if not rows:
+            return 0
+        now = datetime.datetime.now(datetime.timezone.utc)
+        sent_ids = self.spark.createDataFrame(
+            [(r["id"],) for r in rows], "id string"
+        )
+        updated = (
+            self.all()
+            .join(F.broadcast(sent_ids.withColumn("_sent", F.lit(True))), "id", "left")
+            .withColumn(
+                "sent_at",
+                F.when(F.col("_sent") & F.col("sent_at").isNull(), F.lit(now))
+                .otherwise(F.col("sent_at")),
+            )
+            .drop("_sent")
+        )
+        tmp = self.path + ".updating"
+        updated.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        return len(rows)
