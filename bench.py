@@ -34,6 +34,11 @@ def main() -> None:
     # Warm the JVM + parquet footer caches so per-query times measure the
     # queries, not session startup or file-listing overhead.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the Arrow/Python worker pool too (reused across queries), so
+    # pandas-UDF queries measure compute, not interpreter spin-up.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id: long"
+    ).write.format("noop").mode("overwrite").save()
     from kcidb_spark.tables import TABLES, table
 
     for t in TABLES:

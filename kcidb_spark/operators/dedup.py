@@ -7,7 +7,17 @@ Scale design:
   keys: only documents sharing a band bucket ever meet, so the
   shuffle is proportional to bucket sizes, not n²;
 * candidate pairs are verified with exact shingle Jaccard — an
-  explode + self-join on shingle restricted to candidates.
+  explode + equi-join on shingle restricted to candidate documents
+  only (the corpus-wide shingle explode never happens).
+
+Performance note (measured at sf0.1): higher-order functions built
+from *Python* lambdas (``F.transform(col, lambda ...)``), especially
+nested ones, run interpreted and were ~50× slower than the identical
+expressions written as SQL lambda strings via ``F.expr`` — 73 s vs
+1.4 s for the signature projection.  Every HOF here is therefore a
+SQL-text lambda, and the shingle array is materialized once in a
+preceding projection instead of being re-derived inside each of the
+8 hash columns.
 """
 
 from __future__ import annotations
@@ -15,20 +25,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: normalized-token split of a text column (SQL fragment, applied to
+#: a column named ``text``)
+_NORM_EXPR = "split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')"
+
+
+def _shingle_expr(k: int) -> str:
+    """SQL expr: array of k-word shingles over a ``tokens`` array
+    column (1-based sequence mirrors DuckDB list indexing)."""
+    parts = ", ".join(f"tokens[i-1+{j}]" if j else "tokens[i-1]" for j in range(k))
+    return (
+        f"transform(sequence(1, size(tokens) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+
 
 def _norm(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
-def shingle_array(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles of normalized text (1-based
-    element_at mirrors DuckDB list indexing for oracle parity)."""
-    tokens = F.split(_norm(text), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(k)]
-        ),
+def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              min_tokens: int = 1) -> DataFrame:
+    """(id, tokens) — normalized whitespace tokens per document."""
+    return df.select(
+        F.col(id_col),
+        F.expr(_NORM_EXPR.format(col=text_col)).alias("tokens"),
+    ).filter(F.size("tokens") >= min_tokens)
+
+
+def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """(id, shingles) — k-word shingle array per document, materialized
+    once so downstream hash columns share it."""
+    return tokenized(df, id_col, text_col, min_tokens=k).select(
+        F.col(id_col), F.expr(_shingle_expr(k)).alias("shingles")
     )
 
 
@@ -40,49 +70,54 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """(id, h0..h{n-1}) MinHash signature per document — a pure
-    projection (min over a multiset == min over the set)."""
-    sh = shingle_array(F.col(text_col), k)
-
-    def salted(seed: int):
-        # NB: a defaulted extra lambda param would receive the array
-        # INDEX from Spark's HOF binding — capture via closure instead.
-        prefix = f"{seed}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
+    projection (min over a multiset == min over the set): no explode,
+    no shuffle; embarrassingly parallel over the corpus at any scale.
+    """
+    sh = shingled(df, id_col, text_col, k)
     cols = [
-        F.array_min(F.transform(sh, salted(seed))).alias(f"h{seed}")
+        F.expr(
+            f"array_min(transform(shingles, s -> md5(concat('{seed}:', s))))"
+        ).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
-    return df.filter(F.size(F.split(_norm(F.col(text_col)), " ")) >= k).select(
-        F.col(id_col), *cols
-    )
+    return sh.select(F.col(id_col), *cols)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
               n_hashes: int = 8, n_bands: int = 2) -> DataFrame:
     """Fold a signature into band keys: (id, band, key) — documents
-    agreeing on ALL rows of any band share that band's key."""
+    agreeing on ALL rows of any band share that band's key.
+
+    Single pass: the per-band keys are built as one array column and
+    posexploded, so the (possibly expensive) signature subtree is
+    scanned exactly once — not once per band.
+    """
     rows_per_band = n_hashes // n_bands
-    out = []
-    for b in range(n_bands):
-        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        out.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *hs)).alias("key"),
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        )
-    df = out[0]
-    for o in out[1:]:
-        df = df.unionByName(o)
-    return df
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "key")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 8, n_bands: int = 2) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band
-    bucket — the n²-avoiding core of MinHash dedup."""
+    bucket — the n²-avoiding core of MinHash dedup.  Shuffle volume is
+    bucket-sized, never all-pairs; AQE's skew-join handles hot buckets.
+    """
     bands = lsh_bands(signatures, id_col, n_hashes, n_bands)
     left = bands.select(F.col("band"), F.col("key"), F.col(id_col).alias("a"))
     right = bands.select(F.col("band"), F.col("key"), F.col(id_col).alias("b"))
@@ -103,10 +138,44 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (a, b) pairs: explode
     distinct shingles, equi-join on shingle restricted to candidate
-    pairs, |∩| / (|A| + |B| − |∩|) — integer arithmetic, bit-stable."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingle_array(F.col(text_col), k)).alias("s"))
+    pairs, |∩| / (|A| + |B| − |∩|) — integer arithmetic, bit-stable.
+
+    Scale: shingles are only exploded for documents that appear in a
+    candidate pair (semi-join first), so verify cost is proportional
+    to the candidate set, not the corpus.  Both the pair set and the
+    restricted shingle set are persisted: they are referenced by
+    several joins below, and without a cache each reference would
+    re-execute the (projection-only, hence not exchange-reusable)
+    candidate-generation subtree.  Both are candidate-sized — small
+    by LSH design.
+    """
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
         .distinct()
+    )
+    docs = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    # Explode the shingle INDEX and build each shingle per output row:
+    # exploding a transform()-built array directly hits a pathological
+    # constant-overhead path in the generator (~40× slower, measured).
+    sh = (
+        tokenized(docs, id_col, text_col, min_tokens=k)
+        .select(
+            F.col(id_col),
+            F.col("tokens"),
+            F.expr(f"explode(sequence(1, size(tokens) - {k - 1}))").alias("i"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                "concat_ws(' ', "
+                + ", ".join(f"tokens[i-1+{j}]" if j else "tokens[i-1]" for j in range(k))
+                + ")"
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col(id_col).alias("a"), "s")
@@ -140,31 +209,27 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
     """16-bit SimHash over tokens: bit i = sign of Σ_tokens (±1),
     where a token votes +1 on bit i iff bit i of its md5 prefix is
     set.  Bits come from the first 4 hex chars (4 bits each) so both
-    engines extract them with pure string ops — no binary casts."""
-    tokens = F.split(_norm(F.col(text_col)), " ")
-    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 4))
+    engines extract them with pure string ops — no binary casts.
 
-    def digit_at(ci: int):
-        return lambda h: (
-            F.instr(F.lit("0123456789abcdef"), F.substring(h, ci, 1)) - 1
-        )
-
-    def vote_for(bit: int):
-        mask = 1 << bit
-        return lambda d: F.when((d.bitwiseAND(F.lit(mask))) > 0, 1).otherwise(-1)
-
-    bit_cols = []
+    The per-token hex prefix is materialized once; the 16 bit-vote
+    aggregations run over that shared array as SQL-text lambdas
+    (codegen-friendly — see module docstring).
+    """
+    hx = tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.expr("transform(tokens, t -> substring(md5(t), 1, 4))").alias("hexes"),
+    )
+    bit_exprs = []
     for i in range(16):
         ci = i // 4 + 1  # hex char index (1-based)
         bit = 3 - (i % 4)  # bit within the hex digit
-        digit = F.transform(hexes, digit_at(ci))
-        votes = F.aggregate(
-            F.transform(digit, vote_for(bit)),
-            F.lit(0),
-            lambda acc, x: acc + x,
+        vote = (
+            f"CASE WHEN ((instr('0123456789abcdef', substring(h, {ci}, 1)) - 1)"
+            f" & {1 << bit}) > 0 THEN 1 ELSE -1 END"
         )
-        bit_cols.append(F.when(votes > 0, F.lit(1 << i)).otherwise(0))
-    simhash = bit_cols[0]
-    for c in bit_cols[1:]:
-        simhash = simhash + c
-    return df.select(F.col(id_col), simhash.cast("long").alias("simhash"))
+        bit_exprs.append(
+            f"CASE WHEN aggregate(transform(hexes, h -> {vote}), 0,"
+            f" (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    total = " + ".join(bit_exprs)
+    return hx.select(F.col(id_col), F.expr(f"CAST({total} AS BIGINT)").alias("simhash"))

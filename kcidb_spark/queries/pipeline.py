@@ -126,25 +126,10 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH banding then buckets signatures for candidate-pair generation
     (operators/dedup.py).
     """
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(_norm_text(F.col("text")), " ").alias("tokens")).filter(
-        F.size("tokens") >= 3
-    )
-    # 1-based sequence mirrors DuckDB list indexing exactly.
-    shingles = toks.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(tokens) - 2),"
-            " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"
-        ).alias("shingles"),
-    )
-    cols = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-        ).alias(f"h{seed}")
-        for seed in _MINHASH_SEEDS
-    ]
-    return shingles.select("doc_id", *cols)
+    from kcidb_spark.operators.dedup import minhash_signatures
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return minhash_signatures(docs, n_hashes=len(_MINHASH_SEEDS))
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +249,7 @@ def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's token counts before the shuffle, so the exchange
     carries one row per distinct token per partition.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tok = docs.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
     return (
         tok.filter(F.col("token") != "")
@@ -330,7 +315,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, so the selected neighbor set is deterministic across
     engines.  The scale path (IVF buckets / LSH) lives in operators/.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
     q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"), vec.alias("qv")
@@ -402,7 +387,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8)
     return lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
 
@@ -446,7 +431,7 @@ def jaccard_verify_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
     return jaccard_pairs(docs, cand)
@@ -488,7 +473,7 @@ def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     string ops only, so the oracle computes the identical hash."""
     from kcidb_spark.operators.dedup import simhash16
 
-    return simhash16(table(spark, sf_dir, "documents"))
+    return simhash16(table(spark, sf_dir, "documents", spread=True))
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +527,7 @@ def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic: per-language stopword hit
     counts → argmax with a fixed preference order on ties.  One
     explode + one aggregation; scores are exact integers."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tok = docs.select(
         "doc_id",
         "lang",
@@ -604,7 +589,7 @@ def ann_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle projection, the histogram is one tiny exchange."""
     from kcidb_spark.operators.similarity import hyperplane_buckets
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     b = hyperplane_buckets(emb, n_planes=8, dims=64)
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
@@ -625,7 +610,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch shape, and partitioning are the real 100 TB plumbing."""
     from kcidb_spark.operators.multimodal import extract_features, to_media_table
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = extract_features(to_media_table(docs))
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_media"),

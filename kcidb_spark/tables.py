@@ -33,24 +33,57 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(spark: SparkSession, sf_dir: str, name: str,
+          spread: bool = False) -> DataFrame:
     """Read one synthetic table as a DataFrame (lazy parquet scan).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as a long and convert to a
     microsecond timestamp (floor semantics — matching how DuckDB
     truncates nanos to its microsecond TIMESTAMP).
+
+    ``spread=True`` is for per-row-CPU-heavy consumers (hashing,
+    shingling, vector math): if the scan would yield fewer splits than
+    cores (parquet can't split inside a row group, so a small file is
+    ONE task no matter what), repartition up to the default
+    parallelism.  The split estimate is file-size / maxPartitionBytes
+    — pure metadata, no JVM round-trip.  On a real cluster input
+    splits ≫ cores, so the guard makes it a no-op and the 100 TB plan
+    stays shuffle-free.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        raw = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        est_splits = max(1, os.path.getsize(path) // _max_partition_bytes(spark))
+        if est_splits < target:
+            df = df.repartition(target)
+    return df
+
+
+_SIZE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """spark.sql.files.maxPartitionBytes as an int (handles 128m etc.)."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    s = raw.strip().lower().removesuffix("b")
+    mult = _SIZE_SUFFIXES.get(s[-1:], 1)
+    if mult > 1:
+        s = s[:-1]
+    try:
+        return max(1, int(s) * mult)
+    except ValueError:
+        return 134217728
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
