@@ -14,6 +14,7 @@ from kcidb_spark.queries.registry import REGISTRY, Query, register  # noqa: F401
 # Importing the modules populates REGISTRY via @register decorators.
 from kcidb_spark.queries import relational  # noqa: F401,E402
 from kcidb_spark.queries import pipeline  # noqa: F401,E402
+from kcidb_spark.queries import advanced  # noqa: F401,E402
 
 
 def spark_queries():

@@ -1,0 +1,586 @@
+"""Second wave of operator-inventory queries (SURVEY.md §2 parity +
+training-pipeline extensions).
+
+Covers reference operators that the first wave left without a
+driver-checkable query: status-priority rollups (A6/A7,
+kcidb/oo/__init__.py:119-143), two-level count-ordered grouping (A10,
+oo/__init__.py:413-446), latest-version-per-id (A12,
+oo/__init__.py:624-636), report chunking (O4,
+kcidb/db/__init__.py:313-388), the scalar-function surface F6/F10/
+F13/F14/F15 (see §2.8), and JSON field extraction (misc columns,
+§1.3).  Plus pipeline extensions: embedding-cosine near-dup, IVF-style
+ANN, winnowing document fingerprints, BPE-ish token counting.
+
+Every query is a JVM-side DataFrame plan with a DuckDB oracle;
+float-valued outputs are rounded-from-exact-integers or ratios of
+exact integers so cross-engine hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kcidb_spark.queries.registry import register
+from kcidb_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# A6/A7 — status rollup by explicit priority (worst status wins)
+# ---------------------------------------------------------------------------
+
+#: error < purchase < click < view < signup — "worst first", mirroring
+#: the reference's FAIL<ERROR<MISS<PASS<DONE<SKIP ordering
+#: (kcidb/oo/__init__.py:119-127).
+_STATUS_PRIO = ("error", "purchase", "click", "view", "signup")
+
+
+def _prio_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(_STATUS_PRIO)
+    )
+    return f"CASE {col} {whens} ELSE {len(_STATUS_PRIO)} END"
+
+
+def _unprio_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_STATUS_PRIO)
+    )
+    return f"CASE {col} {whens} ELSE NULL END"
+
+
+@register(
+    "a6_status_priority_rollup",
+    oracle=dedent(f"""
+        SELECT user_id,
+               {_unprio_case_sql(f"min({_prio_case_sql('event_type')})")} AS worst_status,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """),
+    tags=("A6", "A7"),
+)
+def a6_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container status = min(status) under an explicit priority order
+    (reference: builds_status/checkouts_valid rollups,
+    kcidb/oo/__init__.py:119-143).  The priority map is a CASE chain,
+    so the rollup is a plain partial-aggregable min() — one small
+    exchange at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    prio = F.expr(_prio_case_sql("event_type"))
+    g = ev.groupBy("user_id").agg(
+        F.min(prio).alias("_p"), F.count(F.lit(1)).alias("n_events")
+    )
+    return g.select(
+        "user_id",
+        F.expr(_unprio_case_sql("_p")).alias("worst_status"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — two-level grouping, both levels ordered by count desc
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a10_two_level_grouping",
+    oracle=dedent("""
+        WITH shard_counts AS (
+            SELECT event_type,
+                   user_id % 7 AS shard,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type, user_id % 7
+        )
+        SELECT event_type, shard, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, shard) AS shard_rank,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total
+        FROM shard_counts
+    """),
+    tags=("A10", "O3"),
+)
+def a10_two_level_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested grouping repo→branch→[checkouts] with both levels
+    ordered by member count desc (reference: kcidb/oo/__init__.py:
+    413-446).  Count + rank-within-group; partial aggregation shrinks
+    the exchange to one row per (type, shard) per partition.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.select("event_type", (F.col("user_id") % 7).alias("shard"))
+        .groupBy("event_type", "shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.desc("n"), F.asc("shard"))
+    w_tot = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "shard",
+        "n",
+        F.row_number().over(w_rank).alias("shard_rank"),
+        F.sum("n").over(w_tot).cast("long").alias("type_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — latest version per id (ranking window dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a12_latest_per_key",
+    oracle=dedent("""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """),
+    tags=("A12", "A3"),
+)
+def a12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (reference: latest issue version,
+    kcidb/oo/__init__.py:624-636) — the ranking-window dedup shape.
+    One shuffle on the key; ties broken by id so results are
+    deterministic under any physical ordering.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — report chunking (objects_per_report pagination)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o4_chunk_pagination",
+    oracle=dedent("""
+        SELECT o_orderkey // 1000 AS chunk,
+               count(*) AS n_objects,
+               min(o_orderkey) AS first_key,
+               max(o_orderkey) AS last_key
+        FROM orders
+        GROUP BY o_orderkey // 1000
+    """),
+    tags=("O4",),
+)
+def o4_chunk_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked emission (reference: objects_per_report,
+    kcidb/db/__init__.py:313-388).  The scale-correct formulation is
+    key-RANGE chunking — floor(key / N) — which needs no global sort
+    or row numbering (a global row_number would serialize through one
+    partition); each chunk is derivable map-side.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select((F.col("o_orderkey") / 1000).cast("long").alias("chunk"), "o_orderkey")
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6/F10/F13/F14/F15 — scalar string-function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_string_suite",
+    oracle=dedent("""
+        SELECT p_partkey,
+               p_brand || '#' || split_part(p_type, ' ', 1) AS brand_type,
+               to_base64(encode(p_type)) AS type_b64,
+               split_part(p_type, ' ', 1) AS type_head,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked,
+               replace(p_type, ' ', '%20') AS type_uri
+        FROM part
+    """),
+    tags=("F6", "F10", "F13", "F14", "F15"),
+)
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface of the reference in one projection:
+    `||` concat (F10, postgresql/v05_00.py:206), base64 notification
+    ids (F13, monitor/output.py:113-140), dot-path head extraction
+    (F14, oo/__init__.py:304-316), linkification-style regex replace
+    (F15, monitor/output.py:225-229), and URI encoding (F6,
+    postgresql/v04_05.py:10-32 — here the space→%20 core, JVM-side
+    instead of a Python UDF).  Zero shuffles: pure projection.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("#", F.col("p_brand"), F.substring_index("p_type", " ", 1)).alias(
+            "brand_type"
+        ),
+        F.base64(F.encode("p_type", "UTF-8")).alias("type_b64"),
+        F.substring_index("p_type", " ", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+        F.regexp_replace("p_type", " ", "%20").alias("type_uri"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 / F9 — JSON field extraction over free-form `misc`-style columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p7_json_extract",
+    oracle=dedent("""
+        SELECT event_type,
+               CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+               count(*) AS n,
+               CAST(min(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+               CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+        FROM events
+        GROUP BY event_type
+    """),
+    tags=("P7", "F9"),
+)
+def p7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form JSON (`misc`) field extraction + aggregation
+    (reference stores misc as JSONB/JSON-string, kcidb/db/
+    bigquery/v04_00.py:732-733; field-tree walk main.py:256-281).
+    get_json_object stays JVM-side; the agg is partial-aggregable.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (bucketed, the 100 TB path)
+# ---------------------------------------------------------------------------
+
+_COS_THRESH = 0.93
+
+
+def _bucket_case_sql(planes) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _emb_cos_oracle() -> str:
+    from kcidb_spark.operators.similarity import hyperplanes
+
+    bucket = _bucket_case_sql(hyperplanes(8, 64))
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        b AS (
+            SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM vecs
+        )
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               round(list_dot_product(l.v, r.v)
+                     / (sqrt(list_dot_product(l.v, l.v))
+                        * sqrt(list_dot_product(r.v, r.v))), 4) AS sim
+        FROM b l
+        JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE round(list_dot_product(l.v, r.v)
+                    / (sqrt(list_dot_product(l.v, l.v))
+                       * sqrt(list_dot_product(r.v, r.v))), 4) >= {_COS_THRESH}
+    """)
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 4)"
+    )
+
+
+@register("dedup_embedding_cosine", oracle=_emb_cos_oracle(), tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH bucket join, cosine ≥
+    τ within buckets only.  The all-pairs O(n²) comparison never
+    happens — the equi-join on bucket is the only exchange, and at
+    100 TB AQE's skew handling splits hot buckets.  Cosine is rounded
+    to 4 decimals before thresholding so the kept-pair set is
+    identical across engines.
+    """
+    from kcidb_spark.operators.similarity import bucket_column
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vec = F.col("embedding").cast("array<double>")
+    b = emb.select(
+        "vec_id",
+        vec.alias("v"),
+        bucket_column(vec, n_planes=8, dims=64).alias("bucket"),
+    )
+    left = b.select(
+        F.col("bucket"), F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr(_cos_expr("va", "vb")).alias("sim"))
+        .filter(F.col("sim") >= _COS_THRESH)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantize to centroids, search within cluster
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROIDS = 8
+_IVF_QUERIES = 5
+_IVF_K = 3
+
+
+def _ivf_oracle() -> str:
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v
+            FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY round(list_dot_product(v, cv)
+                                    / (sqrt(list_dot_product(v, v))
+                                       * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                                    cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            )
+            WHERE rn = 1
+        )
+        SELECT q_id, n_id, sim
+        FROM (
+            SELECT q.vec_id AS q_id, m.vec_id AS n_id,
+                   round(list_dot_product(q.v, m.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(m.v, m.v))), 4) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, m.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(m.v, m.v))), 4) DESC,
+                                m.vec_id
+                   ) AS rn
+            FROM assign q
+            JOIN assign m ON m.c_id = q.c_id AND m.vec_id <> q.vec_id
+            WHERE q.vec_id < {_IVF_QUERIES}
+        )
+        WHERE rn <= {_IVF_K}
+    """)
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: coarse-quantize every
+    vector to its nearest centroid (tiny centroid set → broadcast
+    cross join, zero shuffle for the assignment scan), then answer
+    queries by scanning ONLY their own cluster.  Search cost is
+    O(cluster), not O(corpus) — the standard inverted-file trade.
+    Centroids here are the first {_IVF_CENTROIDS} vectors
+    (deterministic stand-in for a k-means step).
+    """
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = (
+        vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("c_id")
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "c_id", "v", F.expr(_cos_expr("v", "cv")).alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id", "v")
+    )
+    q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id"), F.col("v").alias("qv")
+    )
+    m = assign.select(
+        F.col("vec_id").alias("n_id"), F.col("c_id"), F.col("v").alias("nv")
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        m.join(F.broadcast(q), on="c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.expr(_cos_expr("qv", "nv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_K)
+        .select("q_id", "n_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al. local minima)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "doc_fingerprint_winnow",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(generate_series(1, length(tokens) - 2),
+                           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+                       s -> md5(s)) AS hashes
+            FROM toks
+            WHERE length(tokens) >= {_WINNOW_W + 2}
+        ),
+        fp AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, length(hashes) - {_WINNOW_W - 1}),
+                       i -> list_min(list_slice(hashes, i, i + {_WINNOW_W - 1})))) AS fps
+            FROM hs
+        )
+        SELECT doc_id,
+               CAST(length(fps) AS INTEGER) AS n_fp,
+               list_min(fps) AS min_fp,
+               list_max(fps) AS max_fp
+        FROM fp
+    """),
+    tags=("dedup", "fingerprint"),
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash the
+    3-shingles, slide a w={_WINNOW_W} window, keep each window's min
+    hash, dedup.  Near-identical documents share most fingerprints, so
+    a downstream explode + groupBy(fp) finds clusters with
+    bucket-sized shuffles.  Here: per-doc fingerprint-set summary, a
+    pure projection (no shuffle at all).
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.expr("split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')").alias(
+            "tokens"
+        ),
+    ).filter(F.size("tokens") >= _WINNOW_W + 2)
+    hs = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(transform(sequence(1, size(tokens) - 2),"
+            " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1])),"
+            " s -> md5(s))"
+        ).alias("hashes"),
+    )
+    fp = hs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hashes) - {_WINNOW_W - 1}),"
+            f" i -> array_min(slice(hashes, i, {_WINNOW_W}))))"
+        ).alias("fps"),
+    )
+    return fp.select(
+        "doc_id",
+        F.size("fps").cast("int").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (regex word-piece segmentation)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=dedent(f"""
+        WITH d AS (
+            SELECT source,
+                   CAST(length(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+                       AS n_pieces,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_words
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(SUM(n_pieces) AS BIGINT) AS sum_pieces,
+               CAST(SUM(n_words) AS BIGINT) AS sum_words,
+               CAST(SUM(n_pieces) AS BIGINT) / (1.0 * CAST(SUM(n_words) AS BIGINT))
+                   AS pieces_per_word
+        FROM d
+        GROUP BY source
+    """),
+    tags=("text", "tokenize"),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word ("BPE-ish") token counting via regex word-piece
+    segmentation — letters runs / digit runs / single punctuation —
+    the standard pre-tokenizer shape.  Counting uses size(regexp
+    matches) per row (no explode needed), then one partial-aggregated
+    group-by; the ratio is exact-int / exact-int.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    # Regex passed via the column API (F.lit), NOT an expr string —
+    # Spark SQL string literals process backslash escapes, which would
+    # silently corrupt the \s class.
+    d = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_pieces"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").cast("long").alias("sum_pieces"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        (
+            F.sum("n_pieces").cast("long") / (1.0 * F.sum("n_words").cast("long"))
+        ).alias("pieces_per_word"),
+    )
