@@ -23,6 +23,7 @@ from textwrap import dedent
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kcidb_spark.queries._exact import oracle_int_sum
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
 
@@ -314,14 +315,7 @@ def _emb_cos_oracle() -> str:
     """)
 
 
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-
-
-def _cos_expr(a: str, b: str) -> str:
-    return (
-        f"round({_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 4)"
-    )
+from kcidb_spark.operators.similarity import cosine_expr as _cos_expr  # noqa: E402
 
 
 @register("dedup_embedding_cosine", oracle=_emb_cos_oracle(), tags=("dedup", "similarity"))
@@ -336,11 +330,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.similarity import bucket_column
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    vec = F.col("embedding").cast("array<double>")
     b = emb.select(
         "vec_id",
-        vec.alias("v"),
-        bucket_column(vec, n_planes=8, dims=64).alias("bucket"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        bucket_column("cast(embedding as array<double>)", n_planes=8, dims=64).alias(
+            "bucket"
+        ),
     )
     left = b.select(
         F.col("bucket"), F.col("vec_id").alias("a"), F.col("v").alias("va")
@@ -583,4 +578,101 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("n_pieces").cast("long") / (1.0 * F.sum("n_words").cast("long"))
         ).alias("pieces_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 — tumbling event-time window aggregation (Spark-native windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t8_tumbling_window",
+    oracle=dedent(f"""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {oracle_int_sum('value', 100)} / 100.0 AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """),
+    tags=("T8", "streaming"),
+)
+def t8_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (the reference has no stream
+    windowing — SURVEY §2.9 T8 — this is the Spark-native extension;
+    the same ``F.window`` expression drives the Structured Streaming
+    ingest in streaming/ingest.py, where a watermark bounds state).
+    Batch and streaming share the plan shape: partial-agg per
+    partition, one exchange keyed (window, type).
+    """
+    from kcidb_spark.queries._exact import as_money, int_sum
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            int_sum(F.col("value"), 100).alias("_sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            as_money(F.col("_sv"), 100).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — lead/lag inter-arrival analysis (ranking/offset window frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_lead_lag_gaps",
+    oracle=dedent("""
+        WITH gaps AS (
+            SELECT user_id, event_id,
+                   CAST(date_diff('microseconds',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts) AS BIGINT)
+                       AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """),
+    tags=("W", "A"),
+)
+def w_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via lag() then an exact-integer
+    rollup — the offset-window shape (no frame scan, single shuffle on
+    the partition key shared by the window and the group-by: Catalyst
+    reuses the exchange, so the agg adds no second shuffle).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
     )

@@ -265,12 +265,6 @@ def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential fold dot-product (matches DuckDB list_dot_product's
-    left-to-right accumulation → bit-comparable doubles)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
 
 
 _KNN_K = 5
@@ -315,33 +309,11 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, so the selected neighbor set is deterministic across
     engines.  The scale path (IVF buckets / LSH) lives in operators/.
     """
+    from kcidb_spark.operators.similarity import cosine_topk
+
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    vec = F.col("embedding").cast("array<double>")
-    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), vec.alias("qv")
-    )
-    b = emb.select(F.col("vec_id").alias("n_id"), vec.alias("nv"))
-    sims = (
-        b.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(
-                _dot(F.col("qv"), F.col("nv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("nv"), F.col("nv")))
-                ),
-                4,
-            ).alias("sim"),
-        )
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
-        .select("q_id", "n_id", "sim")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < _KNN_QUERIES), emb, k=_KNN_K
     )
 
 
