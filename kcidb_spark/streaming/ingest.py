@@ -116,14 +116,20 @@ class IngestPipeline:
                 self.spooled += self.spool.spool(notifications)
 
     # -- streaming -----------------------------------------------------
-    def start(self, input_dir: str, checkpoint_dir: str):
-        """Start the streaming query over a directory of report files."""
+    def start(self, input_dir: str, checkpoint_dir: str,
+              max_files_per_trigger: int | None = None):
+        """Start the streaming query over a directory of report files.
+
+        ``max_files_per_trigger`` bounds each micro-batch (T1 — the
+        reference's LOAD_QUEUE_MSG_MAX pull cap, main.py:36-42), so a
+        backlog drains in bounded-memory batches instead of one giant
+        epoch.
+        """
         spark = self.store.spark
-        stream = (
-            spark.readStream.format("text")
-            .option("wholetext", "true")
-            .load(input_dir)
-        )
+        reader = spark.readStream.format("text").option("wholetext", "true")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.load(input_dir)
 
         def process(batch_df: DataFrame, epoch_id: int) -> None:
             raw = [r["value"] for r in batch_df.collect() if r["value"].strip()]
