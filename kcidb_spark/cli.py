@@ -1,0 +1,224 @@
+"""Command-line parity surface — the ``kcidb-*`` tool set re-expressed
+over the Spark store (reference: kcidb/__init__.py CLI entry points,
+kcidb/db/__init__.py db tools).
+
+    python -m kcidb_spark.cli validate           < report.json
+    python -m kcidb_spark.cli upgrade            < report.json
+    python -m kcidb_spark.cli count              < report.json
+    python -m kcidb_spark.cli merge              < reports.jsonl
+    python -m kcidb_spark.cli db-load  -d DIR    < report.json
+    python -m kcidb_spark.cli db-dump  -d DIR [--after ISO] [--until ISO]
+    python -m kcidb_spark.cli db-empty -d DIR
+    python -m kcidb_spark.cli db-purge -d DIR --before ISO
+    python -m kcidb_spark.cli query    -d DIR [-c ID]... [--parents] [--children]
+    python -m kcidb_spark.cli oo-query -d DIR -p PATTERN
+    python -m kcidb_spark.cli ingest   -d DIR --spool DIR < reports.jsonl
+
+Stream tools (validate/upgrade/count/merge) are pure Python — no
+SparkSession is started for them (CLI latency parity with the
+reference's thin stdin tools).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+from typing import Any
+
+
+def _read_reports(stream) -> list[dict[str, Any]]:
+    """Reports from a stream: one JSON document, or one per line."""
+    text = stream.read().strip()
+    if not text:
+        return []
+    try:
+        return [json.loads(text)]
+    except json.JSONDecodeError:
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
+
+
+def _emit(data: Any) -> None:
+    json.dump(data, sys.stdout, indent=2, sort_keys=True)
+    sys.stdout.write("\n")
+
+
+def _spark():
+    from kcidb_spark.session import get_spark
+
+    return get_spark(app_name="kcidb_spark_cli")
+
+
+def _store(args):
+    from kcidb_spark.store import Store
+
+    return Store(_spark(), args.database)
+
+
+def _parse_ts(s: str) -> datetime.datetime:
+    dt = datetime.datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return dt
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kcidb-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("validate", "upgrade", "count", "merge"):
+        sub.add_parser(name)
+
+    def add_db(name):
+        p = sub.add_parser(name)
+        p.add_argument("-d", "--database", required=True, help="store directory")
+        return p
+
+    p = add_db("db-load")
+    p = add_db("db-dump")
+    p.add_argument("--after", type=_parse_ts)
+    p.add_argument("--until", type=_parse_ts)
+    p.add_argument("--with-metadata", action="store_true")
+    add_db("db-empty")
+    p = add_db("db-purge")
+    p.add_argument("--before", type=_parse_ts, required=True)
+
+    p = add_db("query")
+    p.add_argument("-c", "--checkout", action="append", default=[])
+    p.add_argument("-b", "--build", action="append", default=[])
+    p.add_argument("-t", "--test", action="append", default=[])
+    p.add_argument("-i", "--issue", action="append", default=[],
+                   metavar="ID^VERSION")
+    p.add_argument("-n", "--incident", action="append", default=[])
+    p.add_argument("--parents", action="store_true")
+    p.add_argument("--children", action="store_true")
+
+    p = add_db("oo-query")
+    p.add_argument("-p", "--pattern", action="append", required=True)
+
+    p = add_db("ingest")
+    p.add_argument("--spool", required=True, help="notification spool dir")
+
+    args = ap.parse_args(argv)
+
+    # -- sparkless stream tools ----------------------------------------
+    if args.cmd in ("validate", "upgrade", "count", "merge"):
+        from kcidb_spark.schema.io import count, merge, upgrade, validate
+
+        reports = _read_reports(sys.stdin)
+        if args.cmd == "validate":
+            for r in reports:
+                validate(r)
+                _emit(r)
+        elif args.cmd == "upgrade":
+            for r in reports:
+                _emit(validate(upgrade(r)))
+        elif args.cmd == "count":
+            _emit(sum(count(r) for r in reports))
+        elif args.cmd == "merge":
+            reports = [r for r in reports]
+            if not reports:
+                from kcidb_spark.schema.io import new
+
+                _emit(new())
+            else:
+                _emit(merge(reports[0], reports[1:]))
+        return 0
+
+    # -- store tools ----------------------------------------------------
+    if args.cmd == "db-load":
+        store = _store(args)
+        for r in _read_reports(sys.stdin):
+            store.load(r)
+        return 0
+
+    if args.cmd == "db-dump":
+        store = _store(args)
+        _emit(
+            store.dump(
+                after=args.after, until=args.until, with_metadata=args.with_metadata
+            )
+        )
+        return 0
+
+    if args.cmd == "db-empty":
+        _store(args).empty()
+        return 0
+
+    if args.cmd == "db-purge":
+        _store(args).purge(before=args.before)
+        return 0
+
+    if args.cmd == "query":
+        from kcidb_spark.closure import query_store
+
+        ids: dict[str, list] = {}
+        if args.checkout:
+            ids["checkouts"] = args.checkout
+        if args.build:
+            ids["builds"] = args.build
+        if args.test:
+            ids["tests"] = args.test
+        if args.issue:
+            # "<id>^<version>" 2-part ids (reference zips issue ids with
+            # versions, kcidb/__init__.py:380-384).
+            ids["issues"] = [
+                (part[0], int(part[1]))
+                for part in (i.rsplit("^", 1) for i in args.issue)
+            ]
+        if args.incident:
+            ids["incidents"] = args.incident
+        _emit(
+            query_store(
+                _store(args), ids, parents=args.parents, children=args.children
+            )
+        )
+        return 0
+
+    if args.cmd == "oo-query":
+        from kcidb_spark.orm.compiler import compile_patterns
+        from kcidb_spark.orm.pattern import parse_pattern
+        from kcidb_spark.orm.types import type_views
+        from kcidb_spark.schema.graph import TABLES
+
+        store = _store(args)
+        patterns = set()
+        for s in args.pattern:
+            patterns |= parse_pattern(s)
+        views = type_views({t: store.table(t, with_metadata=True) for t in TABLES})
+        result = compile_patterns(store.spark, views, patterns)
+        out = {
+            typ: [row.asDict(recursive=True) for row in df.collect()]
+            for typ, df in sorted(result.items())
+        }
+        _emit(_jsonable(out))
+        return 0
+
+    if args.cmd == "ingest":
+        from kcidb_spark.streaming.ingest import IngestPipeline
+        from kcidb_spark.streaming.notify import NotificationSpool
+
+        store = _store(args)
+        spool = NotificationSpool(store.spark, args.spool)
+        pipe = IngestPipeline(store, spool)
+        raw = [json.dumps(r) for r in _read_reports(sys.stdin)]
+        pipe.ingest_batch(raw)
+        _emit({"loaded_reports": pipe.loaded_reports, "spooled": pipe.spooled})
+        return 0
+
+    raise AssertionError(f"unhandled command {args.cmd}")
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+if __name__ == "__main__":
+    sys.exit(main())

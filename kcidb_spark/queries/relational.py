@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from kcidb_spark.queries._exact import as_money, exact_avg, int_sum, oracle_int_sum
 from kcidb_spark.queries.registry import register
-from kcidb_spark.tables import table
+from kcidb_spark.tables import events_in_window, table
 
 
 def _utc(spark: SparkSession) -> None:
@@ -247,14 +247,19 @@ def s2_scan_ts_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dump-style scan with an (after, until] timestamp window.
 
     Reference: kcidb/db/sql/schema.py:331-343 renders `_timestamp > ?
-    AND _timestamp <= ?`; here the filter is pushed into the parquet
-    scan (at 100 TB this is the difference between reading one
-    time-partition and reading everything).
+    AND _timestamp <= ?`.  The window is applied to the RAW nanos
+    column via events_in_window so it is genuinely pushed into the
+    parquet scan — verified in the plan as PushedFilters:
+    GreaterThan(ts,…),LessThanOrEqual(ts,…).
     """
+    import datetime
+
     _utc(spark)
-    ev = table(spark, sf_dir, "events").filter(
-        (F.col("ts") > F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    ev = events_in_window(
+        spark,
+        sf_dir,
+        after=datetime.datetime(2024, 1, 10, tzinfo=datetime.timezone.utc),
+        until=datetime.datetime(2024, 1, 20, tzinfo=datetime.timezone.utc),
     )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

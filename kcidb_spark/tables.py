@@ -70,6 +70,43 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def events_in_window(
+    spark: SparkSession,
+    sf_dir: str,
+    after: "datetime.datetime | None" = None,
+    until: "datetime.datetime | None" = None,
+) -> DataFrame:
+    """events with an ``(after, until]`` window applied to the RAW
+    nanos column — BEFORE the timestamp conversion — so the predicate
+    reaches the parquet scan (``PushedFilters: GreaterThan(ts, …)``).
+    A filter on the converted column cannot be pushed through the
+    ``timestamp_micros`` expression and degrades to a full scan — at
+    100 TB that is the difference between reading one time partition
+    and reading everything.
+
+    Bound equivalence holds because the data and the bounds are whole
+    microseconds (nanos are micros·1000), so ``ts_ns > after_us·1000``
+    ⟺ ``ts_us > after_us``.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def ns(dt: _dt.datetime) -> int:
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1_000_000) * 1000
+
+    if after is not None:
+        df = df.filter(F.col("ts") > F.lit(ns(after)))
+    if until is not None:
+        df = df.filter(F.col("ts") <= F.lit(ns(until)))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 _SIZE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
 
 

@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(.explain audit) must survive refactors.
+
+These assert the *declared* plan shape on sf0.001 inputs.  AQE may
+re-plan at runtime (e.g. SMJ→BHJ when a side turns out tiny) — these
+tests check the static plan, which is what survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kcidb_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _formatted(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_SMOKE)
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.mark.parametrize(
+    "name,needles",
+    [
+        # Timestamp window reaches the parquet scan (raw nanos column).
+        ("s2_scan_ts_window", ["GreaterThan(ts,", "LessThanOrEqual(ts,"]),
+        # Date filters push down on TPC-H-shaped scans.
+        ("q1_pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)"]),
+        # Dimension joins broadcast; id-set predicates are semi-joins.
+        ("q5_local_supplier_volume", ["BroadcastHashJoin"]),
+        ("p4_idset_semijoin", ["LeftSemi"]),
+        ("j1_exists_semi", ["LeftSemi"]),
+        ("j2_not_exists_anti", ["LeftAnti"]),
+        # Brute-force knn broadcasts the query side (no shuffle of corpus).
+        ("knn_cosine_bruteforce", ["BroadcastNestedLoopJoin"]),
+        # Top-k compiles to TakeOrdered, not global sort.
+        ("q3_shipping_priority", ["TakeOrderedAndProject"]),
+        ("token_freq_topk", ["TakeOrderedAndProject"]),
+    ],
+)
+def test_plan_shape(spark, name, needles):
+    plan = _formatted(spark, name)
+    for needle in needles:
+        assert needle in plan, f"{name}: {needle!r} not in plan\n{plan[:3000]}"
+
+
+def test_column_pruning(spark):
+    """A narrow projection must not scan all columns."""
+    plan = _formatted(spark, "q1_pricing_summary")
+    # lineitem has l_comment-like wide columns in real TPC-H; here check
+    # the ReadSchema holds only the referenced columns.
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }, cols
+
+
+def test_no_cartesian_products(spark):
+    """No accidental CartesianProduct anywhere (broadcast NL joins for
+    the deliberate small-side cross joins are fine)."""
+    for name in REGISTRY:
+        plan = _formatted(spark, name)
+        assert "CartesianProduct" not in plan, name
