@@ -1,0 +1,104 @@
+"""Streaming window operators: watermarked windows + stateful sessions."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcidb_spark.streaming.windows import sessionize_stateful, windowed_counts
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    lines = [
+        json.dumps(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": et,
+                "value": v,
+            }
+        )
+        for i, (ts, uid, et, v) in enumerate(rows)
+    ]
+    (path / "batch0.json").write_text("\n".join(lines))
+
+
+EVENTS = [
+    ("2024-01-01T00:05:00", 1, "click", 1.0),
+    ("2024-01-01T00:20:00", 1, "view", 2.0),
+    ("2024-01-01T01:10:00", 1, "click", 3.0),  # new hour, same session? gap 50m > 30m → new session
+    ("2024-01-01T00:30:00", 2, "error", 4.5),
+    ("2024-01-01T02:00:00", 2, "click", 0.5),
+]
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    indir = tmp_path / "ev"
+    _write_events(indir, EVENTS)
+
+    batch = spark.read.schema(SCHEMA).json(str(indir))
+    expect = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_counts(batch).collect()
+    }
+    assert expect[("2024-01-01 00:00:00", "click")] == (1, 1.0)
+    assert expect[("2024-01-01 02:00:00", "click")] == (1, 0.5)
+
+    stream = spark.readStream.schema(SCHEMA).json(str(indir))
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expect  # one code path, two execution modes
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    indir = tmp_path / "ev2"
+    _write_events(indir, EVENTS)
+    stream = spark.readStream.schema(SCHEMA).json(str(indir))
+    q = (
+        sessionize_stateful(stream, gap_minutes=30, timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start").collect()
+    # Sessions closed by a later-than-gap event are always emitted;
+    # still-open sessions may ALSO flush via the idle timeout before
+    # the availableNow run drains — assert on the gap-closed ones.
+    sessions = {
+        (r["user_id"], r["session_start"]): r for r in rows
+    }
+    # user 1: events at 00:05/00:20 then 01:10 (50 min gap) → first
+    # session closed with exactly 2 events.
+    s = sessions[(1, datetime.datetime(2024, 1, 1, 0, 5))]
+    assert s["n_events"] == 2
+    assert s["event_types"] == ["click", "view"]
+    assert s["session_end"] == datetime.datetime(2024, 1, 1, 0, 20)
+    # user 2: 00:30 then 02:00 (90 min gap) → first session closed.
+    s2 = sessions[(2, datetime.datetime(2024, 1, 1, 0, 30))]
+    assert s2["n_events"] == 1
+    assert s2["event_types"] == ["error"]
+    # No duplicated session rows for the same (user, start).
+    assert len(sessions) == len(rows)
