@@ -117,3 +117,89 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize the image rows to a fixed geometry (mapInPandas).
+
+    The pixel resample is STUBBED deterministically (no imaging libs in
+    this environment: a real implementation swaps PIL/opencv into
+    ``_resize_stub`` with no plan change); filtering to the image
+    modality happens JVM-side BEFORE the Python boundary so only image
+    bytes cross into Arrow.
+    """
+
+    def _resize_stub(payload: bytes) -> bytes:
+        # Deterministic stand-in: proportional byte sampling to a
+        # size suggestive of w*h (keeps tests meaningful).
+        if not payload:
+            return b""
+        target = min(len(payload), max(1, (width * height) // 1024))
+        step = max(1, len(payload) // target)
+        return payload[::step][:target]
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: None if p is None else _resize_stub(p)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    images = media.filter(F.col("meta.modality") == "image")
+    return images.mapInPandas(do_resize, schema=_RESIZED_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample ``n_frames`` evenly spaced frames from each video row —
+    a 1→N mapInPandas (the pandas iterator may emit more output rows
+    than input rows, which is how frame explosion stays Arrow-batched
+    instead of per-row).  Frame decode is STUBBED as byte slicing; an
+    ffmpeg-backed decoder drops into ``_frames_stub`` unchanged.
+    """
+
+    def _frames_stub(payload: bytes) -> list[bytes]:
+        if not payload:
+            return []
+        n = min(n_frames, len(payload))
+        span = len(payload) // n
+        return [payload[i * span:(i + 1) * span] for i in range(n)]
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(_frames_stub(payload or b"")):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    videos = media.filter(F.col("meta.modality") == "video")
+    return videos.mapInPandas(do_sample, schema=_FRAME_SCHEMA)

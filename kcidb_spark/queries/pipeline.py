@@ -360,7 +360,12 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(docs, n_hashes=8)
+    # Persist: the band self-join references the signature subtree on
+    # both sides, and a pure projection has no exchange to reuse — the
+    # cache halves the (hash-heavy) signature work.  Signature rows are
+    # narrow (id + 8 hashes), so this is cheap at any corpus size; at
+    # 100 TB you would write signatures to a table once instead.
+    sig = minhash_signatures(docs, n_hashes=8).persist()
     return lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
 
 
@@ -404,7 +409,7 @@ def jaccard_verify_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(docs, n_hashes=8)
+    sig = minhash_signatures(docs, n_hashes=8).persist()  # see lsh_candidate_pairs_q
     cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
     return jaccard_pairs(docs, cand)
 

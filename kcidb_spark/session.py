@@ -10,6 +10,7 @@ are stable across engines and executor geographies.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +38,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Catalog tables (bucketed joins) land in a temp warehouse, not
+        # the repo working directory; static conf, so set it here.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "kcidb_spark_warehouse"),
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
