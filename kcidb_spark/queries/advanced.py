@@ -676,3 +676,72 @@ def w_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").cast("long").alias("max_gap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_CAND_SQL = (
+    "toks AS (SELECT doc_id, string_split(" + _NORM_SQL + ", ' ') AS tokens FROM documents),\n"
+    "sh AS (SELECT doc_id, list_transform(generate_series(1, length(tokens) - 2),"
+    " i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) AS shingles"
+    " FROM toks WHERE length(tokens) >= 3),\n"
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{s}:' || s))) AS h{s}"
+        for s in range(8)
+    )
+    + " FROM sh),\n"
+    "bands AS ("
+    "SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS key FROM sig"
+    " UNION ALL "
+    "SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS key FROM sig),\n"
+    "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b"
+    " FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"
+)
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=dedent(f"""
+        WITH RECURSIVE {_CAND_SQL},
+        edges AS (
+            SELECT a AS u, b AS v FROM cand
+            UNION
+            SELECT b AS u, a AS v FROM cand
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        SELECT cluster AS cluster_id,
+               count(*) AS n_members,
+               min(node) AS keeper_id,
+               max(node) AS max_member
+        FROM comp
+        GROUP BY cluster
+    """),
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = connected components over the MinHash-LSH
+    candidate graph; keeper = min id per component (deterministic).
+    Iterative min-label propagation in Spark (O(diameter) rounds of
+    join+min — see operators/components.py); the oracle replays the
+    same fixpoint as a DuckDB recursive CTE, so even this iterative
+    operator stays hash-verified.
+    """
+    from kcidb_spark.operators.components import (
+        cluster_summary,
+        connected_components,
+    )
+    from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sig = minhash_signatures(docs, n_hashes=8).persist()
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).persist()
+    return cluster_summary(connected_components(pairs))
