@@ -199,6 +199,26 @@ class Store:
             objs.append(obj)
         return objs
 
+    # -- SQL surface ------------------------------------------------------
+    def sql(self, query: str, with_metadata: bool = False) -> DataFrame:
+        """Run Spark SQL against the store: the five object tables and
+        the derived ORM views (revision, issue_version, …) are
+        registered as temp views first.  This is the third query
+        surface next to the closure API and the pattern language —
+        the reference's raw-SQL escape hatch equivalent.
+        """
+        from kcidb_spark.orm.types import type_views
+        from kcidb_spark.schema.graph import TABLES as _TABLES
+
+        base = {t: self.table(t, with_metadata=with_metadata) for t in _TABLES}
+        for name, df in base.items():
+            df.createOrReplaceTempView(name)
+        for name, df in type_views(
+            {t: self.table(t, with_metadata=True) for t in _TABLES}
+        ).items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- maintenance ----------------------------------------------------
     def purge(self, before: datetime.datetime) -> None:
         """Drop raw rows with _timestamp < before (reference S11,

@@ -146,3 +146,22 @@ def test_validation_rejects(store):
         store.load({"version": {"major": 5, "minor": 3},
                     "builds": [{"id": "x:1", "origin": "x", "checkout_id": "c",
                                 "status": "GREAT"}]})
+
+
+def test_sql_surface(spark, tmp_path):
+    """Store.sql: raw Spark SQL over object tables + ORM views."""
+    from tests.kcidb_fixtures import COMPREHENSIVE
+
+    st = Store(spark, str(tmp_path / "sqlstore"))
+    st.load(COMPREHENSIVE)
+    rows = st.sql(
+        "SELECT b.id, c.tree_name FROM builds b "
+        "JOIN checkouts c ON b.checkout_id = c.id ORDER BY b.id"
+    ).collect()
+    assert [r["id"] for r in rows] == sorted(
+        o["id"] for o in COMPREHENSIVE["builds"]
+    )
+    assert all(r["tree_name"] == "mainline" for r in rows)
+    # Derived ORM view is queryable too.
+    revs = st.sql("SELECT git_commit_hash FROM revision").collect()
+    assert len(revs) == 1
