@@ -745,3 +745,41 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs, n_hashes=8).persist()
     pairs = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).persist()
     return cluster_summary(connected_components(pairs))
+
+
+# ---------------------------------------------------------------------------
+# A15 — exact per-group quantiles (beyond the reference; SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a15_exact_quantiles",
+    oracle=dedent("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.50) AS p50,
+               quantile_cont(o_totalprice, 0.95) AS p95
+        FROM orders
+        GROUP BY o_orderpriority
+    """),
+    tags=("A", "quantile"),
+)
+def a15_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the lower + (upper−lower)·frac
+    formula over doubles, so results are bit-identical (probed before
+    registering).
+
+    Scale note: exact quantiles concentrate each group's values on
+    one reducer — acceptable for bounded-cardinality groups like the
+    5 priorities; for high-cardinality groups at 100 TB swap in
+    ``approx_percentile`` (identical call shape, mergeable sketch).
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )

@@ -594,3 +594,63 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.min("checksum").alias("min_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-cleaning pipeline: filter → quality → exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=dedent(f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   md5({_NORM_SQL}) AS fp,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                   length(text) AS len,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+            FROM documents
+            WHERE lang = 'en'
+        )
+        SELECT fp,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_copies,
+               min_by(n_tokens, doc_id) AS n_tokens
+        FROM feat
+        WHERE n_tokens >= 5 AND alpha > len * 0.5
+        GROUP BY fp
+    """),
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pre-training cleaning pass as ONE composed plan:
+    language filter → quality gate (token count, alpha ratio) →
+    exact dedup on normalized text, keeping the lowest doc_id.
+
+    Everything before the final groupBy is a narrow projection, so
+    the whole pipeline is map-side until the single fingerprint
+    shuffle — the shape that holds at 100 TB: filters prune first
+    (pushed to the scan), hashes are computed only for surviving
+    rows, and only (fp, doc_id, n_tokens) tuples cross the wire.
+    """
+    docs = table(spark, sf_dir, "documents")
+    length = F.length("text").cast("long")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
+    feat = docs.filter(F.col("lang") == "en").select(
+        "doc_id",
+        F.md5(_norm_text(F.col("text"))).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        length.alias("len"),
+        alpha.alias("alpha"),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= 5) & (F.col("alpha") > F.col("len") * 0.5)
+    )
+    return kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.expr("min_by(n_tokens, doc_id)").alias("n_tokens"),
+    )
