@@ -853,3 +853,41 @@ def f8_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_money(int_sum(F.col("o_totalprice"), 100), 100).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=dedent(f"""
+        SELECT {oracle_int_sum('l_extendedprice * l_discount', 10000)} / 10000.0
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """),
+    tags=("A", "P3"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter → global scalar aggregate.
+
+    All three predicates push to the parquet scan (range on shipdate,
+    bounds on discount/quantity — row-group stats skip most of the
+    file), and the aggregate is a partial-agg → single-row exchange:
+    the cheapest possible plan, dominated entirely by scan pruning
+    at 100 TB.
+    """
+    _utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        as_money(int_sum(F.col("l_extendedprice") * F.col("l_discount"), 10_000),
+                 10_000).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -30,6 +30,15 @@ def _formatted(spark, name: str) -> str:
         ("s2_scan_ts_window", ["GreaterThan(ts,", "LessThanOrEqual(ts,"]),
         # Date filters push down on TPC-H-shaped scans.
         ("q1_pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)"]),
+        # Q6: every predicate (date range + bounds) reaches the scan.
+        (
+            "q6_forecast_revenue",
+            [
+                "GreaterThanOrEqual(l_shipdate,1996-01-01T00:00)",
+                "LessThanOrEqual(l_discount,0.07)",
+                "LessThan(l_quantity,24.0)",
+            ],
+        ),
         # Dimension joins broadcast; id-set predicates are semi-joins.
         ("q5_local_supplier_volume", ["BroadcastHashJoin"]),
         ("p4_idset_semijoin", ["LeftSemi"]),
