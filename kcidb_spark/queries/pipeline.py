@@ -654,3 +654,63 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.expr("min_by(n_tokens, doc_id)").alias("n_tokens"),
     )
+
+
+_N_AGREE_SQL = " + ".join(
+    f"CAST(sa.h{i} = sb.h{i} AS INTEGER)" for i in range(8)
+)
+
+
+@register(
+    "jaccard_estimate_minhash",
+    oracle=dedent(f"""
+        WITH {_SIG_SQL},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        )
+        SELECT c.a, c.b,
+               CAST({_N_AGREE_SQL} AS BIGINT) AS n_agree,
+               CAST({_N_AGREE_SQL} AS BIGINT) / 8.0 AS jaccard_est
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+    """),
+    tags=("dedup", "minhash", "sketch"),
+)
+def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only similarity: estimate Jaccard for each LSH candidate
+    pair as the fraction of agreeing MinHash components — E[h_a = h_b]
+    IS the Jaccard similarity, so no shingle set is ever re-touched.
+
+    This is the true 100 TB verify path: exact Jaccard
+    (jaccard_verify_pairs) re-explodes candidate documents' shingles,
+    which is fine for LSH-sized candidate sets but dominates when
+    candidates are plentiful; the estimate joins two 9-column
+    signature rows per pair — narrow, broadcast-friendly, and
+    entirely integer arithmetic (n_agree/8.0 is one exact IEEE
+    division, bit-stable across engines).
+    """
+    from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sig = minhash_signatures(docs, n_hashes=8).persist()
+    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
+    sa = sig.select(F.col("doc_id").alias("a"),
+                    *[F.col(f"h{i}").alias(f"__a{i}") for i in range(8)])
+    sb = sig.select(F.col("doc_id").alias("b"),
+                    *[F.col(f"h{i}").alias(f"__b{i}") for i in range(8)])
+    n_agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    return (
+        cand.join(sa, on="a").join(sb, on="b")
+        .select(
+            "a",
+            "b",
+            n_agree.cast("long").alias("n_agree"),
+            (n_agree.cast("long") / F.lit(8.0)).alias("jaccard_est"),
+        )
+    )
