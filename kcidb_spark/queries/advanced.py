@@ -783,3 +783,45 @@ def a15_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
     )
+
+
+@register(
+    "o6_topk_per_group",
+    oracle=dedent("""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(rn AS INTEGER) AS rn
+        FROM ranked
+        WHERE rn <= 3
+    """),
+    tags=("O", "W", "topk"),
+)
+def o6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — the rank-filter shape.
+    Catalyst rewrites the row_number ≤ k filter into WindowGroupLimit
+    (plan-asserted): each partition keeps a k-row heap map-side before
+    the window shuffle, so the exchange carries ≤ k·partitions rows
+    per group instead of every row — the difference between a top-k
+    and a full per-group sort at 100 TB.  Tie-break on o_orderkey
+    keeps both engines deterministic.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -49,6 +49,8 @@ def _formatted(spark, name: str) -> str:
         # Top-k compiles to TakeOrdered, not global sort.
         ("q3_shipping_priority", ["TakeOrderedAndProject"]),
         ("token_freq_topk", ["TakeOrderedAndProject"]),
+        # Per-group top-k: rank filter rewritten to a map-side k-heap.
+        ("o6_topk_per_group", ["WindowGroupLimit"]),
     ],
 )
 def test_plan_shape(spark, name, needles):
