@@ -714,3 +714,58 @@ def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_agree.cast("long") / F.lit(8.0)).alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector quantization: float32 embeddings → int8 + per-vector scale
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vec_quantize_int8",
+    oracle=dedent("""
+        WITH d AS (
+            SELECT vec_id, label, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings
+        )
+        SELECT vec_id, label, mx,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                        / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END)
+                        * 127.0 + 0.5) AS INTEGER)) AS q8
+        FROM d
+    """),
+    tags=("similarity", "quantize"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    standard 4× storage/bandwidth cut before ANN indexing at scale.
+    Per vector: scale = max |x|, q_i = floor(x/scale·127 + 0.5).
+
+    Pure per-row projection (zero shuffle, embarrassingly parallel);
+    SQL-text lambdas keep it codegen'd (see operators/dedup.py perf
+    note).  Cross-engine exactness: float32 → double casts are exact,
+    both engines then run the identical double ops, and floor(+0.5)
+    rounding avoids the half-even/half-up divergence of round().
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        ).alias("mx"),
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        "mx",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " / (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END)"
+            " * 127.0 + 0.5) AS INT))"
+        ).alias("q8"),
+    )
