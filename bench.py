@@ -44,6 +44,8 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).schema  # footer read only
 
+    from kcidb_spark.cache import release_persisted  # noqa: E402
+
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():
         if not q.bench:
@@ -52,6 +54,9 @@ def main() -> None:
         df = q.spark(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Scoped persists (dedup signature caches etc.) die with the
+        # query — a 60-query session must not accumulate cached RDDs.
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     print(

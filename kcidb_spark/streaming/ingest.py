@@ -69,8 +69,10 @@ def patterns_from_io(report: dict[str, Any]) -> list[str]:
             id_list = "; ".join(quote(i) for i in ids)
             pats.append(f">{orm_name}[{id_list}]#<*#")
     for issue in report.get("issues", []):
+        # Quote the id (it may contain `"`, `;`, `,`, `#`, spaces…);
+        # the version is an integer and stays unquoted.
         pats.append(
-            f'>issue_version[{issue["id"]},{issue["version"]}]#<*#'
+            f'>issue_version[{quote(issue["id"])},{issue["version"]}]#<*#'
         )
     return pats
 

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import duckdb
 import pandas as pd
 
+from kcidb_spark.cache import release_persisted
 from kcidb_spark.tables import TABLES
 
 
@@ -65,8 +66,30 @@ class CompareResult:
     detail: str = ""
 
 
+def _driver_unhashable(df: pd.DataFrame) -> list[str]:
+    """Columns the driver's pandas sort_values canonicalization cannot
+    hash (lists/arrays/dicts).  The round-1 driver gate errored on such
+    a column (vec_quantize_int8); mirror that rejection locally."""
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and s.map(
+            lambda v: isinstance(v, (list, dict, set)) or hasattr(v, "tolist")
+        ).any():
+            bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_df, duck_df: pd.DataFrame) -> CompareResult:
     sp = spark_df.toPandas()
+    bad = _driver_unhashable(sp) + _driver_unhashable(duck_df)
+    if bad:
+        return CompareResult(
+            name, False,
+            f"array/object-valued output columns {sorted(set(bad))} are not "
+            "canonicalizable by the driver harness — serialize them "
+            "(array_join/to_json) in both engines",
+        )
     if sorted(sp.columns) != sorted(duck_df.columns):
         return CompareResult(
             name, False, f"columns differ: spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}"
@@ -100,4 +123,6 @@ def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareR
             results.append(compare(qname, spark_df, duck_df))
         except Exception as e:  # noqa: BLE001
             results.append(CompareResult(qname, False, f"spark error: {e}"))
+        finally:
+            release_persisted()
     return results

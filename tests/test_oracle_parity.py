@@ -23,10 +23,29 @@ def duck():
 
 @pytest.mark.parametrize("name", _ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
+    from kcidb_spark.cache import release_persisted
+
     q = REGISTRY[name]
     duck_df = duck.execute(q.oracle).df()
-    res = compare(name, q.spark(spark, SF), duck_df)
+    try:
+        res = compare(name, q.spark(spark, SF), duck_df)
+    finally:
+        release_persisted()
     assert res.ok, res.detail
+
+
+def test_no_leaked_caches_after_dedup_family(spark):
+    """Scoped persists must be released: after running the dedup family
+    plus release_persisted(), the JVM cache manager is empty."""
+    from kcidb_spark.cache import release_persisted
+
+    for name in ("lsh_candidate_pairs", "jaccard_verify_pairs",
+                 "jaccard_estimate_minhash", "dedup_cluster_components"):
+        REGISTRY[name].spark(spark, SF).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        release_persisted()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_registry_nonempty():

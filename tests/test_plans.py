@@ -80,6 +80,14 @@ def test_column_pruning(spark):
     }, cols
 
 
+def test_a8_single_events_scan(spark):
+    """a8's share is a window total over the post-agg counts — the
+    events table must be scanned exactly once (no driver-side count()
+    second scan; VERDICT r1 §3)."""
+    plan = _formatted(spark, "a8_status_histogram")
+    assert plan.count("events.parquet") == 1, plan[:3000]
+
+
 def test_no_cartesian_products(spark):
     """No accidental CartesianProduct anywhere (broadcast NL joins for
     the deliberate small-side cross joins are fine)."""
