@@ -44,6 +44,13 @@ def _emit(data: Any) -> None:
     sys.stdout.write("\n")
 
 
+def _emit_line(data: Any) -> None:
+    """One compact JSON document per line (paginated output)."""
+    json.dump(data, sys.stdout, sort_keys=True)
+    sys.stdout.write("\n")
+    sys.stdout.flush()
+
+
 def _spark():
     from kcidb_spark.session import get_spark
 
@@ -80,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--after", type=_parse_ts)
     p.add_argument("--until", type=_parse_ts)
     p.add_argument("--with-metadata", action="store_true")
+    p.add_argument("--objects-per-report", type=int, default=None,
+                   help="paginate: emit one report per line, each with "
+                        "at most N objects")
     add_db("db-empty")
     p = add_db("db-purge")
     p.add_argument("--before", type=_parse_ts, required=True)
@@ -93,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-n", "--incident", action="append", default=[])
     p.add_argument("--parents", action="store_true")
     p.add_argument("--children", action="store_true")
+    p.add_argument("--objects-per-report", type=int, default=None,
+                   help="paginate: emit one report per line, each with "
+                        "at most N objects")
 
     p = add_db("oo-query")
     p.add_argument("-p", "--pattern", action="append", required=True)
@@ -135,11 +148,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "db-dump":
         store = _store(args)
-        _emit(
-            store.dump(
-                after=args.after, until=args.until, with_metadata=args.with_metadata
+        if args.objects_per_report is not None:
+            for report in store.dump_iter(
+                args.objects_per_report,
+                after=args.after,
+                until=args.until,
+                with_metadata=args.with_metadata,
+            ):
+                _emit_line(report)
+        else:
+            _emit(
+                store.dump(
+                    after=args.after,
+                    until=args.until,
+                    with_metadata=args.with_metadata,
+                )
             )
-        )
         return 0
 
     if args.cmd == "db-empty":
@@ -169,11 +193,23 @@ def main(argv: list[str] | None = None) -> int:
             ]
         if args.incident:
             ids["incidents"] = args.incident
-        _emit(
-            query_store(
-                _store(args), ids, parents=args.parents, children=args.children
+        if args.objects_per_report is not None:
+            from kcidb_spark.closure import query_store_iter
+
+            for report in query_store_iter(
+                _store(args),
+                ids,
+                parents=args.parents,
+                children=args.children,
+                objects_per_report=args.objects_per_report,
+            ):
+                _emit_line(report)
+        else:
+            _emit(
+                query_store(
+                    _store(args), ids, parents=args.parents, children=args.children
+                )
             )
-        )
         return 0
 
     if args.cmd == "oo-query":
@@ -188,8 +224,14 @@ def main(argv: list[str] | None = None) -> int:
             patterns |= parse_pattern(s)
         views = type_views({t: store.table(t, with_metadata=True) for t in TABLES})
         result = compile_patterns(store.spark, views, patterns)
+        from kcidb_spark.functions import iso_utc_timestamps
+
         out = {
-            typ: [row.asDict(recursive=True) for row in df.collect()]
+            # Timestamps serialize engine-side: collected TimestampType
+            # is rendered in the driver's local tz (see functions.iso_
+            # utc_timestamps), so stringify before collect.
+            typ: [row.asDict(recursive=True)
+                  for row in iso_utc_timestamps(store.spark, df).collect()]
             for typ, df in sorted(result.items())
         }
         _emit(_jsonable(out))

@@ -141,7 +141,7 @@ def query_store(
     children: bool = False,
     with_metadata: bool = False,
 ) -> dict[str, Any]:
-    """Closure query against a Store, returning an I/O JSON report
+    """Closure query against a Store, returning ONE I/O JSON report
     (the kcidb-query CLI shape, kcidb/__init__.py:371-392)."""
     from kcidb_spark.schema.io import IO_VERSION
 
@@ -156,3 +156,39 @@ def query_store(
         if objs:
             out[t] = objs
     return out
+
+
+def query_store_iter(
+    store,
+    ids: dict[str, Iterable] | None = None,
+    parents: bool = False,
+    children: bool = False,
+    with_metadata: bool = False,
+    objects_per_report: int | None = None,
+):
+    """Paginated closure query: a generator of validated I/O reports of
+    at most ``objects_per_report`` objects each (reference O4 —
+    query pagination, kcidb/db/__init__.py:313-388).  Objects stream
+    via toLocalIterator, so driver memory is bounded by one chunk."""
+    from kcidb_spark.schema.io import IO_VERSION, validate
+
+    if objects_per_report is not None and objects_per_report <= 0:
+        raise ValueError("objects_per_report must be positive or None")
+    tables = {t: store.table(t, with_metadata=True) for t in TABLES}
+    result = closure(store.spark, tables, ids, parents=parents, children=children)
+    report: dict[str, Any] = {"version": dict(IO_VERSION)}
+    n = emitted = 0
+    for t in TABLES:
+        df = result[t]
+        if not with_metadata:
+            df = df.drop("_timestamp")
+        for obj in store._iter_objs(t, df):
+            report.setdefault(t, []).append(obj)
+            n += 1
+            if objects_per_report is not None and n >= objects_per_report:
+                yield validate(report)
+                report = {"version": dict(IO_VERSION)}
+                n = 0
+                emitted += 1
+    if n or not emitted:
+        yield validate(report)

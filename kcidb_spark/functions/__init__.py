@@ -140,3 +140,32 @@ def walk_urls(report: dict[str, Any]) -> list[str]:
                         r["url"] for r in val if isinstance(r, dict) and "url" in r
                     )
     return urls
+
+
+def iso_utc_timestamps(spark, df):
+    """Replace every top-level TimestampType column with its ISO-8601
+    UTC string (``yyyy-MM-ddTHH:mm:ss.SSSSSS+00:00``), engine-side.
+
+    Timestamps must leave the engine as strings or epoch integers:
+    PySpark's collect/toLocalIterator renders TimestampType via the
+    *driver process's local* timezone (``spark.sql.session.timeZone``
+    does not govern that path), so collected datetimes are silently
+    shifted on any non-UTC driver.  ``date_format`` DOES honor the
+    session timezone, which this helper pins to UTC first.
+    """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.concat(
+                F.date_format(F.col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                F.lit("+00:00"),
+            ).alias(f.name)
+            if isinstance(f.dataType, T.TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )

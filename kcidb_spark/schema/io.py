@@ -103,23 +103,22 @@ def upgrade(data: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
-_REQUIRED = {
-    "checkouts": ("id", "origin"),
-    "builds": ("id", "origin", "checkout_id"),
-    "tests": ("id", "origin", "build_id"),
-    "issues": ("id", "origin", "version"),
-    "incidents": ("id", "origin", "issue_id", "issue_version"),
-}
+from kcidb_spark.schema.validation import (  # noqa: E402
+    REQUIRED_FIELDS as _REQUIRED,
+    validate_schema,
+)
 
 _KNOWN_FIELDS = {t: {f.name for f in SCHEMAS[t].fields} for t in TABLES}
 
 
 def validate(data: dict[str, Any]) -> dict[str, Any]:
-    """Structural validation of a v5 report (lightweight stand-in for
-    the reference's JSON Schema validation, kcidb/db/abstract.py:352).
-
-    Checks version, required fields, unknown fields, status enum
-    values, and incident build/test linkage.  Returns data unchanged.
+    """Validate a v5 report: fast structural checks (version, required
+    fields, unknown fields, status enum — with readable errors), then
+    full JSON-Schema validation of types/formats/nesting against the
+    schema derived from the engine's StructTypes
+    (schema/validation.py), matching the reference's validate-on-every-
+    load/dump behavior (kcidb/db/abstract.py:352-354).  Returns data
+    unchanged.
     """
     version = data.get("version", {})
     if version.get("major") != 5:
@@ -130,12 +129,16 @@ def validate(data: dict[str, Any]) -> dict[str, Any]:
             for req in _REQUIRED[t]:
                 if obj.get(req) is None:
                     raise ValueError(f"{where}: missing required field {req!r}")
-            unknown = set(obj) - _KNOWN_FIELDS[t]
+            # "_"-prefixed metadata fields (_timestamp) are legal: a
+            # dump(with_metadata=True) report must re-load.
+            unknown = {f for f in set(obj) - _KNOWN_FIELDS[t]
+                       if not f.startswith("_")}
             if unknown:
                 raise ValueError(f"{where}: unknown fields {sorted(unknown)}")
             status = obj.get("status")
             if status is not None and status not in STATUS_VALUES:
                 raise ValueError(f"{where}: invalid status {status!r}")
+    validate_schema(data)
     return data
 
 

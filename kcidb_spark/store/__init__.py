@@ -39,16 +39,9 @@ from kcidb_spark.schema import (
     schema_for,
     validate,
 )
+from kcidb_spark.functions import iso_utc_timestamps
 from kcidb_spark.schema.types import SCHEMAS
-
-#: Dotted paths of free-form JSON fields stored as JSON strings.
-_JSON_FIELDS = {
-    "checkouts": {("misc",)},
-    "builds": {("misc",)},
-    "tests": {("misc",), ("environment", "misc")},
-    "issues": {("misc",)},
-    "incidents": {("misc",)},
-}
+from kcidb_spark.schema.validation import JSON_FIELDS as _JSON_FIELDS
 
 
 def _pack_value(value, path, json_paths):
@@ -124,7 +117,13 @@ class Store:
                 packed = {
                     k: _pack_value(v, (k,), json_paths) for k, v in obj.items()
                 }
-                packed["_timestamp"] = obj.get("_timestamp", ts)
+                # A report from dump(with_metadata=True) carries its
+                # _timestamp as an ISO string — parse it back so the
+                # round-trip preserves load times.
+                own_ts = obj.get("_timestamp", ts)
+                if isinstance(own_ts, str):
+                    own_ts = datetime.datetime.fromisoformat(own_ts)
+                packed["_timestamp"] = own_ts
                 rows.append(packed)
             df = self.spark.createDataFrame(rows, schema_for(table, with_metadata=True))
             df.write.mode("append").parquet(self._path(table))
@@ -168,11 +167,52 @@ class Store:
         until: datetime.datetime | None = None,
         with_metadata: bool = False,
     ) -> dict[str, Any]:
-        """Full dump as an I/O report, optional (after, until] window
+        """Full dump as ONE I/O report, optional (after, until] window
         on _timestamp (reference S2, kcidb/db/sql/schema.py:288-344)."""
         from kcidb_spark.schema.io import IO_VERSION
 
         out: dict[str, Any] = {"version": dict(IO_VERSION)}
+        for table, df in self._window_tables(after, until, with_metadata):
+            objs = self._rows_to_objs(table, df)
+            if objs:
+                out[table] = objs
+        return out
+
+    def dump_iter(
+        self,
+        objects_per_report: int | None,
+        after: datetime.datetime | None = None,
+        until: datetime.datetime | None = None,
+        with_metadata: bool = False,
+    ):
+        """Paginated dump: a generator of I/O reports holding at most
+        ``objects_per_report`` objects each, every emitted chunk
+        re-validated (reference O4 — kcidb/db/__init__.py:313-388,
+        postgresql/v04_00.py:763-782 incl. the per-chunk validation at
+        :772-773).  ``None`` → one report with everything.
+
+        Objects stream through ``toLocalIterator`` — driver memory is
+        bounded by one chunk, not the dump, which is what lets a bulk
+        consumer page a huge store through JSON without OOM."""
+        from kcidb_spark.schema.io import IO_VERSION
+
+        if objects_per_report is not None and objects_per_report <= 0:
+            raise ValueError("objects_per_report must be positive or None")
+        report: dict[str, Any] = {"version": dict(IO_VERSION)}
+        n = emitted = 0
+        for table, df in self._window_tables(after, until, with_metadata):
+            for obj in self._iter_objs(table, df):
+                report.setdefault(table, []).append(obj)
+                n += 1
+                if objects_per_report is not None and n >= objects_per_report:
+                    yield validate(report)
+                    report = {"version": dict(IO_VERSION)}
+                    n = 0
+                    emitted += 1
+        if n or not emitted:
+            yield validate(report)
+
+    def _window_tables(self, after, until, with_metadata):
         for table in TABLES:
             df = self.table(table, with_metadata=True)
             if after is not None:
@@ -181,23 +221,26 @@ class Store:
                 df = df.filter(F.col("_timestamp") <= F.lit(until))
             if not with_metadata:
                 df = df.drop("_timestamp")
-            objs = self._rows_to_objs(table, df)
-            if objs:
-                out[table] = objs
-        return out
+            yield table, df
 
-    def _rows_to_objs(self, table: str, df: DataFrame) -> list[dict[str, Any]]:
+    def _iter_objs(self, table: str, df: DataFrame):
         json_paths = _JSON_FIELDS[table]
-        objs = []
+        # Serialize timestamps ENGINE-side (session tz is pinned UTC):
+        # PySpark's collect/toLocalIterator renders TimestampType in the
+        # *driver's local* timezone regardless of session tz, so a
+        # non-UTC driver would silently shift every timestamp while
+        # _unpack_value labels it +00:00.
+        df = iso_utc_timestamps(self.spark, df)
         for row in df.toLocalIterator():
             d = row.asDict(recursive=True)
-            obj = {
+            yield {
                 k: u
                 for k, v in d.items()
                 if (u := _unpack_value(v, (k,), json_paths)) is not None
             }
-            objs.append(obj)
-        return objs
+
+    def _rows_to_objs(self, table: str, df: DataFrame) -> list[dict[str, Any]]:
+        return list(self._iter_objs(table, df))
 
     # -- SQL surface ------------------------------------------------------
     def sql(self, query: str, with_metadata: bool = False) -> DataFrame:
@@ -253,7 +296,16 @@ class Store:
         for table in TABLES:
             if not self._has_data(table):
                 continue
-            val = self.raw(table).agg(agg("_timestamp").alias("m")).collect()[0]["m"]
+            # Collect epoch micros, not TimestampType: collected
+            # timestamps are rendered in the driver's local tz (see
+            # _rows_to_objs), while integers cross unchanged.
+            val = (
+                self.raw(table)
+                .agg(F.unix_micros(agg("_timestamp")).alias("m"))
+                .collect()[0]["m"]
+            )
             if val is not None:
-                out[table] = val.replace(tzinfo=datetime.timezone.utc)
+                out[table] = datetime.datetime(
+                    1970, 1, 1, tzinfo=datetime.timezone.utc
+                ) + datetime.timedelta(microseconds=val)
         return out

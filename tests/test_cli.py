@@ -86,3 +86,24 @@ def test_ingest_inline(monkeypatch, capsys, tmp_path, spark):
     )
     assert rc == 0
     assert json.loads(out)["loaded_reports"] == 1
+
+
+def test_db_dump_objects_per_report(monkeypatch, capsys, tmp_path, spark):
+    from kcidb_spark.schema.io import count as io_count
+
+    d = str(tmp_path / "db")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", d],
+                    json.dumps(COMPREHENSIVE))
+    assert rc == 0
+    rc, out = run_cli(
+        monkeypatch, capsys,
+        ["db-dump", "-d", d, "--objects-per-report", "2"],
+    )
+    assert rc == 0
+    reports = [json.loads(line) for line in out.splitlines() if line.strip()]
+    assert len(reports) >= 2
+    assert all(io_count(r) <= 2 for r in reports)
+    total = sum(
+        len(v) for k, v in COMPREHENSIVE.items() if isinstance(v, list)
+    )
+    assert sum(io_count(r) for r in reports) == total

@@ -165,3 +165,103 @@ def test_sql_surface(spark, tmp_path):
     # Derived ORM view is queryable too.
     revs = st.sql("SELECT git_commit_hash FROM revision").collect()
     assert len(revs) == 1
+
+
+def test_metadata_roundtrip(store, spark, tmp_path):
+    """dump(with_metadata=True) → load preserves per-object load times
+    (reference metadata-preserving round-trip; ADVICE r1 item 1)."""
+    t = datetime.datetime(2025, 3, 1, 12, 30, 45, 123456, tzinfo=UTC)
+    store.load(COMPREHENSIVE, timestamp=t)
+    dumped = store.dump(with_metadata=True)
+    for tbl in ("checkouts", "builds", "tests", "issues", "incidents"):
+        for obj in dumped.get(tbl, []):
+            assert obj["_timestamp"] == "2025-03-01T12:30:45.123456+00:00"
+    store2 = Store(spark, str(tmp_path / "store2"))
+    store2.load(dumped, timestamp=datetime.datetime(2099, 1, 1, tzinfo=UTC))
+    again = store2.dump(with_metadata=True)
+    assert _sorted(again) == _sorted(dumped)
+
+
+def test_dump_timestamps_survive_non_utc_driver(store):
+    """Timestamps serialize engine-side in UTC: a non-UTC driver
+    process must not shift dumped values (ADVICE r1 item 2)."""
+    import os
+    import time as _time
+
+    t = datetime.datetime(2025, 3, 1, 12, 30, 45, 123456, tzinfo=UTC)
+    store.load(COMPREHENSIVE, timestamp=t)
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        dumped = store.dump(with_metadata=True)
+        co = dumped["checkouts"][0]
+        assert co["start_time"] == COMPREHENSIVE["checkouts"][0]["start_time"]
+        assert co["_timestamp"] == "2025-03-01T12:30:45.123456+00:00"
+        assert store.last_modified()["checkouts"] == t
+        assert store.first_modified()["checkouts"] == t
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+
+
+def test_dump_iter_pagination(store):
+    """objects_per_report=k → ⌈N/k⌉ validated reports that merge back
+    to the monolithic dump (reference kcidb/db/__init__.py:313-388)."""
+    from kcidb_spark.schema.io import count as io_count
+    from kcidb_spark.schema.io import merge as io_merge
+    from kcidb_spark.schema.io import validate as io_validate
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {"id": f"o:c{i}", "origin": "o"} for i in range(3)
+        ],
+        "builds": [
+            {"id": f"o:b{i}", "origin": "o", "checkout_id": "o:c0"}
+            for i in range(4)
+        ],
+        "tests": [
+            {"id": f"o:t{i}", "origin": "o", "build_id": "o:b0"}
+            for i in range(4)
+        ],
+    }
+    store.load(report)
+    chunks = list(store.dump_iter(4))
+    assert len(chunks) == 3  # ⌈11/4⌉
+    assert [io_count(c) for c in chunks] == [4, 4, 3]
+    for c in chunks:
+        io_validate(c)
+    merged = io_merge(chunks[0], chunks[1:])
+    assert _sorted(merged) == _sorted(store.dump())
+    # No pagination → identical to dump().
+    [whole] = list(store.dump_iter(None))
+    assert _sorted(whole) == _sorted(store.dump())
+    # Empty store still yields exactly one (empty, valid) report.
+    from kcidb_spark.schema.io import new as io_new
+    store.empty()
+    assert list(store.dump_iter(5)) == [io_new()]
+    with pytest.raises(ValueError):
+        list(store.dump_iter(0))
+
+
+def test_query_store_iter_pagination(store):
+    from kcidb_spark.closure import query_store, query_store_iter
+    from kcidb_spark.schema.io import count as io_count
+    from kcidb_spark.schema.io import merge as io_merge
+
+    store.load(COMPREHENSIVE)
+    whole = query_store(store, {"checkouts": ["origin:checkout-1"]},
+                        children=True)
+    n = io_count(whole)
+    assert n >= 4  # checkout + build + test + issueless incidents etc.
+    chunks = list(
+        query_store_iter(store, {"checkouts": ["origin:checkout-1"]},
+                         children=True, objects_per_report=2)
+    )
+    assert len(chunks) == (n + 1) // 2
+    assert all(io_count(c) <= 2 for c in chunks)
+    assert _sorted(io_merge(chunks[0], chunks[1:])) == _sorted(whole)
