@@ -80,14 +80,54 @@ def _unpack_value(value, path, json_paths):
     return value
 
 
+def _bulk_convert(col, src, dst, path, json_paths):
+    """Engine-side conversion of a JSON-inferred column to the target
+    column type (load_bulk): free-form JSON members → canonical JSON
+    strings, ISO strings → timestamps, structs rebuilt field-wise with
+    missing members as NULL."""
+    from pyspark.sql import types as T
+
+    if path in json_paths:
+        if isinstance(src, (T.StructType, T.ArrayType, T.MapType)):
+            return F.to_json(col)
+        return col.cast("string")
+    if isinstance(dst, T.TimestampType):
+        return F.to_timestamp(col)
+    if isinstance(dst, T.StructType):
+        if not isinstance(src, T.StructType):
+            return F.lit(None).cast(dst)
+        by_name = {f.name: f for f in src.fields}
+        sub = []
+        for f in dst.fields:
+            if f.name in by_name:
+                sub.append(
+                    _bulk_convert(
+                        col[f.name], by_name[f.name].dataType, f.dataType,
+                        path + (f.name,), json_paths,
+                    ).alias(f.name)
+                )
+            else:
+                sub.append(F.lit(None).cast(f.dataType).alias(f.name))
+        # Absent nested objects stay NULL (not a struct of NULLs).
+        return F.when(col.isNotNull(), F.struct(*sub))
+    if isinstance(dst, T.ArrayType) and not isinstance(src, T.ArrayType):
+        return F.lit(None).cast(dst)
+    return col.cast(dst)
+
+
 class Store:
     """A named collection of the five kcidb tables under a directory."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from kcidb_spark.store.versioning import ensure_current
+
         self.spark = spark
         self.root = root
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         os.makedirs(root, exist_ok=True)
+        # Stamp/verify the directory's schema version; v4-era stores
+        # migrate in place on open (store/versioning.py).
+        ensure_current(spark, root)
 
     # -- paths ----------------------------------------------------------
     def _path(self, table: str) -> str:
@@ -127,6 +167,97 @@ class Store:
                 rows.append(packed)
             df = self.spark.createDataFrame(rows, schema_for(table, with_metadata=True))
             df.write.mode("append").parquet(self._path(table))
+
+    def load_bulk(
+        self,
+        path: str,
+        timestamp: datetime.datetime | None = None,
+        multiline: bool = True,
+    ) -> None:
+        """Bulk backfill: append a directory of I/O report JSON files
+        entirely engine-side — ``spark.read.json`` → column transforms
+        → parquet append.  No report ever materializes on the driver,
+        so a multi-TB backfill is a distributed rewrite; ``load`` stays
+        the validated control-plane path for report-at-a-time trickle
+        (VERDICT r1 §5: the collect()-based path is wrong for bulk).
+
+        ``multiline=True`` reads one report per FILE; ``False`` reads
+        one report per LINE (JSONL).  Validation is engine-side and
+        structural (version major, required fields non-null) — run the
+        full JSON-Schema check per report via ``load`` when provenance
+        is untrusted.
+        """
+        from kcidb_spark.schema.validation import REQUIRED_FIELDS
+
+        ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
+        raw = (
+            self.spark.read.option("multiLine", "true").json(path)
+            if multiline
+            else self.spark.read.json(path)
+        )
+        if "version" not in raw.columns:
+            raise ValueError("no version field in any report")
+        bad = (
+            raw.filter(
+                F.col("version.major").isNull() | (F.col("version.major") != 5)
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError("bulk load requires major version 5 reports")
+        for table in TABLES:
+            if table not in raw.columns:
+                continue
+            objs = raw.select(F.explode(table).alias("o")).select("o.*")
+            # A required field absent from the inferred schema means NO
+            # object carries it; reference it as NULL, not a column.
+            n_bad = (
+                objs.filter(
+                    ~F.expr(
+                        " AND ".join(
+                            f"{r} IS NOT NULL"
+                            if r in objs.columns
+                            else "FALSE"
+                            for r in REQUIRED_FIELDS[table]
+                        )
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"{table}: object(s) missing required fields "
+                    f"{REQUIRED_FIELDS[table]}"
+                )
+            target = schema_for(table, with_metadata=True)
+            json_paths = _JSON_FIELDS[table]
+            cols = []
+            for f in target.fields:
+                if f.name == "_timestamp":
+                    if "_timestamp" in objs.columns:
+                        cols.append(
+                            F.coalesce(
+                                F.to_timestamp("_timestamp"),
+                                F.lit(ts).cast("timestamp"),
+                            ).alias("_timestamp")
+                        )
+                    else:
+                        cols.append(
+                            F.lit(ts).cast("timestamp").alias("_timestamp")
+                        )
+                elif f.name not in objs.columns:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                else:
+                    src_type = objs.schema[f.name].dataType
+                    cols.append(
+                        _bulk_convert(
+                            F.col(f.name), src_type, f.dataType,
+                            (f.name,), json_paths,
+                        ).alias(f.name)
+                    )
+            objs.select(*cols).write.mode("append").parquet(self._path(table))
 
     # -- read -----------------------------------------------------------
     def raw(self, table: str) -> DataFrame:

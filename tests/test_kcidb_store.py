@@ -265,3 +265,63 @@ def test_query_store_iter_pagination(store):
     assert len(chunks) == (n + 1) // 2
     assert all(io_count(c) <= 2 for c in chunks)
     assert _sorted(io_merge(chunks[0], chunks[1:])) == _sorted(whole)
+
+
+def test_load_bulk_matches_incremental(store, spark, tmp_path):
+    """load_bulk over a directory of report files == report-at-a-time
+    load (same dump), with no driver-side report materialization."""
+    import json as _json
+
+    from tests.kcidb_fixtures import graph_fixture
+
+    t = datetime.datetime(2025, 6, 1, tzinfo=UTC)
+    reports = [COMPREHENSIVE, graph_fixture()]
+    src = tmp_path / "reports"
+    src.mkdir()
+    for i, r in enumerate(reports):
+        (src / f"r{i}.json").write_text(_json.dumps(r))
+
+    bulk = store
+    inc = Store(spark, str(tmp_path / "inc"))
+    for r in reports:
+        inc.load(r, timestamp=t)
+    bulk.load_bulk(str(src), timestamp=t)
+    assert _sorted(bulk.dump(with_metadata=True)) == _sorted(
+        inc.dump(with_metadata=True)
+    )
+
+
+def test_load_bulk_jsonl(store, tmp_path):
+    import json as _json
+
+    t = datetime.datetime(2025, 6, 1, tzinfo=UTC)
+    p = tmp_path / "reports.jsonl"
+    rep1 = {"version": {"major": 5, "minor": 3},
+            "checkouts": [{"id": "o:c1", "origin": "o"}]}
+    rep2 = {"version": {"major": 5, "minor": 3},
+            "checkouts": [{"id": "o:c2", "origin": "o",
+                           "misc": {"k": [1, 2]}}]}
+    p.write_text(_json.dumps(rep1) + "\n" + _json.dumps(rep2) + "\n")
+    store.load_bulk(str(p), timestamp=t, multiline=False)
+    dump = store.dump()
+    assert sorted(c["id"] for c in dump["checkouts"]) == ["o:c1", "o:c2"]
+    assert [c.get("misc") for c in dump["checkouts"]
+            if c["id"] == "o:c2"] == [{"k": [1, 2]}]
+
+
+def test_load_bulk_rejects_bad_version_and_missing_required(store, tmp_path):
+    import json as _json
+
+    p1 = tmp_path / "bad1"
+    p1.mkdir()
+    (p1 / "r.json").write_text(_json.dumps({"version": {"major": 4}}))
+    with pytest.raises(ValueError, match="major version 5"):
+        store.load_bulk(str(p1))
+    p2 = tmp_path / "bad2"
+    p2.mkdir()
+    (p2 / "r.json").write_text(_json.dumps(
+        {"version": {"major": 5, "minor": 3},
+         "builds": [{"id": "o:b1", "origin": "o"}]}  # no checkout_id
+    ))
+    with pytest.raises(ValueError, match="required"):
+        store.load_bulk(str(p2))
