@@ -74,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kcidb-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    for name in ("validate", "upgrade", "count", "merge"):
+    for name in ("validate", "upgrade", "count", "merge", "url-stats"):
         sub.add_parser(name)
 
     def add_db(name):
@@ -116,6 +116,27 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     # -- sparkless stream tools ----------------------------------------
+    if args.cmd == "url-stats":
+        # Reference kcidb-get-url-stats (main.py:689-730): aggregate
+        # artifact-URL statistics over reports on stdin.
+        from collections import Counter
+        from urllib.parse import urlparse
+
+        from kcidb_spark.functions import walk_urls
+
+        urls: list[str] = []
+        for r in _read_reports(sys.stdin):
+            urls.extend(walk_urls(r))
+        hosts = Counter(urlparse(u).netloc for u in urls)
+        _emit(
+            {
+                "total_urls": len(urls),
+                "distinct_urls": len(set(urls)),
+                "by_host": dict(sorted(hosts.items())),
+            }
+        )
+        return 0
+
     if args.cmd in ("validate", "upgrade", "count", "merge"):
         from kcidb_spark.schema.io import count, merge, upgrade, validate
 

@@ -17,6 +17,7 @@ from kcidb_spark.queries import pipeline  # noqa: F401,E402
 from kcidb_spark.queries import advanced  # noqa: F401,E402
 from kcidb_spark.queries import temporal  # noqa: F401,E402
 from kcidb_spark.queries import kcidb_domain  # noqa: F401,E402
+from kcidb_spark.queries import coverage  # noqa: F401,E402
 
 
 def spark_queries():

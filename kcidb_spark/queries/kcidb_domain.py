@@ -165,3 +165,42 @@ def j4_pattern_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+@register(
+    "a14_culprit_partition",
+    oracle=dedent("""
+        WITH iv(id, version_num, code, tool, harness) AS (VALUES
+            ('i1', 1, TRUE,  FALSE, NULL),
+            ('i1', 2, FALSE, TRUE,  FALSE),
+            ('i2', 1, NULL,  NULL,  NULL),
+            ('i3', 1, FALSE, FALSE, TRUE))
+        SELECT id, version_num,
+               CASE WHEN code THEN 'code'
+                    WHEN tool THEN 'tool'
+                    WHEN harness THEN 'harness'
+                    ELSE 'unknown' END AS culprit
+        FROM iv
+    """),
+    tags=("A14",),
+    bench=False,  # fixture-scale semantics proof
+)
+def a14_culprit_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Culprit-flag partition of issue versions (A14 — reference
+    kcidb/oo/__init__.py:214-252): first-true of code/tool/harness,
+    else 'unknown'.  Runs the real oo.culprit_partition over an
+    issue_version-view-shaped frame; pure projection at any scale."""
+    from kcidb_spark.oo import culprit_partition
+
+    rows = [
+        ("i1", 1, True, False, None),
+        ("i1", 2, False, True, False),
+        ("i2", 1, None, None, None),
+        ("i3", 1, False, False, True),
+    ]
+    iv = spark.createDataFrame(
+        rows,
+        "id string, version_num long, culprit_code boolean, "
+        "culprit_tool boolean, culprit_harness boolean",
+    )
+    return culprit_partition(iv).select("id", "version_num", "culprit")

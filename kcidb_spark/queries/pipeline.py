@@ -777,3 +777,366 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 127.0 + 0.5) AS INT) AS STRING)), ',')"
         ).alias("q8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text quality: repetition ratio, Gopher-style rule gate, decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+               1.0 - count(DISTINCT w) / CAST(count(*) AS DOUBLE)
+                   AS repetition
+        FROM toks
+        GROUP BY doc_id
+    """),
+    tags=("pipeline", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token repetition ratio per document — the duplicate-content
+    quality signal (high ratio → boilerplate/spam; the within-document
+    twin of corpus-level dedup).
+
+    One explode + one two-level agg (count + countDistinct over the
+    doc_id partition); the ratio is a pure integer-count division, so
+    it hash-matches DuckDB bit-for-bit.  At 100 TB: partial counts
+    merge map-side; no token string ever leaves its executor except
+    under the doc_id hash — the same single-shuffle shape as
+    text_token_stats.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("w") / F.count(F.lit(1)).cast("double")
+        ).alias("repetition"),
+    )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=dedent("""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(length(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS BIGINT) AS n_chars,
+                   CAST(length(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                        AS n_alpha_words
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               n_chars / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+               n_alpha_words / CAST(n_tokens AS DOUBLE) AS alpha_word_frac,
+               CAST(n_tokens BETWEEN 50 AND 100000
+                    AND n_chars / CAST(n_tokens AS DOUBLE)
+                        BETWEEN 3.0 AND 10.0
+                    AND n_alpha_words / CAST(n_tokens AS DOUBLE) > 0.8
+                    AS BOOLEAN) AS passes
+        FROM feat
+    """),
+    tags=("pipeline", "quality"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 repurposed as public-heuristic thresholds):
+    token count in [50, 100k], mean word length in [3, 10], >80% of
+    words containing an alphabetic character.
+
+    Pure per-row projection — zero shuffle, embarrassingly parallel at
+    any scale.  All ratios are integer/IEEE-exact divisions; the
+    booleans therefore hash-match across engines.  The word filter is
+    a SQL-text lambda (JVM-evaluated, not a Python UDF).
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_chars = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    n_alpha = F.expr(
+        "cast(size(filter(split(trim(text), '\\\\s+'),"
+        " w -> w rlike '[A-Za-z]')) as bigint)"
+    )
+    feat = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha_words"),
+    )
+    mean_wl = F.col("n_chars") / F.col("n_tokens").cast("double")
+    alpha_frac = F.col("n_alpha_words") / F.col("n_tokens").cast("double")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        (
+            F.col("n_tokens").between(50, 100000)
+            & mean_wl.between(3.0, 10.0)
+            & (alpha_frac > 0.8)
+        ).alias("passes"),
+    )
+
+
+@register(
+    "contamination_ngram",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens
+            FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT md5(array_to_string(tokens[1:8], ' ')) AS g
+            FROM toks WHERE doc_id < 5 AND length(tokens) >= 8
+        ),
+        grams AS (
+            SELECT doc_id, md5(array_to_string(tokens[i:i+7], ' ')) AS g
+            FROM (
+                SELECT doc_id, tokens,
+                       unnest(generate_series(1, length(tokens) - 7)) AS i
+                FROM toks WHERE length(tokens) >= 8
+            )
+        )
+        SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM grams gr
+        JOIN bench b ON gr.g = b.g
+        GROUP BY gr.doc_id
+    """),
+    tags=("pipeline", "decontamination"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by 8-gram overlap: count, per
+    document, how many of its normalized 8-grams appear in a benchmark
+    gram set (here: the leading 8-gram of docs 0–4, making the check
+    self-verifying on synthetic data; in production the benchmark set
+    comes from eval suites).
+
+    The 100 TB shape: the benchmark gram set is tiny → broadcast
+    semi-equi-join, so corpus grams stream map-side and only matching
+    (doc_id, gram) pairs reach the one groupBy shuffle.  Grams are
+    md5'd before the join — fixed-width keys, no long token strings on
+    the wire.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("tokens")
+    ).filter(F.size("tokens") >= 8)
+    bench = (
+        toks.filter(F.col("doc_id") < 5)
+        .select(
+            F.md5(F.concat_ws(" ", F.slice("tokens", 1, 8))).alias("g")
+        )
+        .distinct()
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(tokens) - 7)")).alias("i"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr("slice(tokens, i, 8)"))).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(bench), on="g", how="inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus plumbing: chunking, deterministic sampling, PII, vector norms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunking",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens
+            FROM documents
+        )
+        SELECT doc_id, i AS chunk_idx,
+               CAST(len(tokens[(i-1)*128+1 : i*128]) AS INTEGER)
+                   AS n_tokens,
+               md5(array_to_string(tokens[(i-1)*128+1 : i*128], ' '))
+                   AS chunk_fp
+        FROM (
+            SELECT doc_id, tokens,
+                   unnest(generate_series(
+                       1, CAST(ceil(length(tokens) / 128.0) AS BIGINT))) AS i
+            FROM toks
+        )
+    """),
+    tags=("pipeline", "chunking"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training: split each document's token
+    stream into 128-token chunks (last chunk ragged), emitting
+    (doc_id, chunk_idx, n_tokens, chunk fingerprint).
+
+    Pure projection + in-row explode — no shuffle at all; every chunk
+    is derived from its own document's row, so 100 TB chunks at input
+    parallelism.  Fingerprints stand in for chunk text in the output
+    (fixed-width, hash-comparable); a writer stage would emit the
+    token slice itself.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("tokens")
+    )
+    return (
+        toks.select(
+            "doc_id", "tokens",
+            F.explode(
+                F.expr(
+                    "sequence(1, cast(ceil(size(tokens) / 128.0) as bigint))"
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("size(slice(tokens, (chunk_idx-1)*128+1, 128))").alias(
+                "n_tokens"
+            ),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr("slice(tokens, (chunk_idx-1)*128+1, 128)")
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+
+
+@register(
+    "sample_by_hash",
+    oracle=dedent("""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+    """),
+    tags=("pipeline", "sampling"),
+)
+def sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 corpus sample by content-independent key
+    hash — the reproducible-sampling primitive every corpus experiment
+    needs (same rows on every run, every engine, any partitioning;
+    unlike ``df.sample`` which is seed- and partition-dependent).
+
+    Pure pushdown-friendly filter projection; at 100 TB the md5 is
+    computed map-side and the sample never shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "a"
+    ).select("doc_id", "lang")
+
+
+#: PII fixture rows (crafted — synthetic docs carry no PII, so the
+#: redaction semantics are proven on inline golden inputs).
+_PII_ROWS = (
+    (1, "contact me at alice@example.org or bob.smith+x@sub.example.co.uk"),
+    (2, "no pii here, just text about e-mail etiquette"),
+    (3, "dial +1-555-123-4567 or 555 987 6543 today"),
+    (4, "mixed: carol@test.io and 555-000-1111 in one line"),
+)
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[+]?[0-9][0-9 -]{6,}[0-9]"
+
+
+@register(
+    "pii_redact",
+    oracle=dedent(f"""
+        WITH t(id, s) AS (VALUES
+            {", ".join("(%d, '%s')" % (i, s.replace("'", "''")) for i, s in _PII_ROWS)})
+        SELECT id,
+               CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(s, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM t
+    """),
+    tags=("pipeline", "pii"),
+    bench=False,  # golden-values semantics proof
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact emails and phone-shaped numbers
+    (the standard pre-training privacy pass).  Patterns restricted to
+    syntax shared by Java regex and RE2 so both engines execute the
+    identical automaton.  As a projection it runs map-side at any
+    scale; counts let a pipeline report redaction rates per shard."""
+    df = spark.createDataFrame(list(_PII_ROWS), "id int, s string")
+    email, phone = _EMAIL_RE, _PHONE_RE
+    return df.select(
+        "id",
+        F.expr(f"cast(size(regexp_extract_all(s, '{email}', 0)) as bigint)")
+        .alias("n_emails"),
+        F.expr(f"cast(size(regexp_extract_all(s, '{phone}', 0)) as bigint)")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("s", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "vec_l2_norm",
+    oracle=dedent("""
+        WITH d AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               sqrt(list_dot_product(v, v)) AS l2_norm,
+               list_max(list_transform(v, x -> abs(x)))
+                   / sqrt(list_dot_product(v, v)) AS max_abs_normalized
+        FROM d
+    """),
+    tags=("similarity", "normalize"),
+)
+def vec_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms + the largest normalized component per embedding — the
+    normalization pass before cosine ANN (post-normalization, cosine =
+    dot, which removes a sqrt from every pair comparison at query
+    time).
+
+    Zero-shuffle projection; the dot product is a sequential in-row
+    fold (operators/similarity.dot_expr), bit-comparable with DuckDB's
+    list_dot_product, so doubles hash-match exactly.
+    """
+    from kcidb_spark.operators.similarity import dot_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    norm = F.expr(f"sqrt({dot_expr('v', 'v')})")
+    return d.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        (
+            F.expr("array_max(transform(v, x -> abs(x)))") / norm
+        ).alias("max_abs_normalized"),
+    )

@@ -118,13 +118,23 @@ def _bulk_convert(col, src, dst, path, json_paths):
 class Store:
     """A named collection of the five kcidb tables under a directory."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    #: Partition directory column (derived from _timestamp, UTC date).
+    PARTITION_COL = "_load_date"
+
+    def __init__(self, spark: SparkSession, root: str,
+                 partitioned: bool = False):
         from kcidb_spark.store.versioning import ensure_current
 
         self.spark = spark
         self.root = root
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         os.makedirs(root, exist_ok=True)
+        # Date-partitioned layout (the 100 TB shape: purge = partition
+        # drop).  Auto-detected on reopen so the flag only matters for
+        # a store's FIRST write.
+        self.partitioned = partitioned or bool(
+            glob.glob(os.path.join(root, "*", f"{self.PARTITION_COL}=*"))
+        )
         # Stamp/verify the directory's schema version; v4-era stores
         # migrate in place on open (store/versioning.py).
         ensure_current(spark, root)
@@ -166,7 +176,7 @@ class Store:
                 packed["_timestamp"] = own_ts
                 rows.append(packed)
             df = self.spark.createDataFrame(rows, schema_for(table, with_metadata=True))
-            df.write.mode("append").parquet(self._path(table))
+            self._append(df, table)
 
     def load_bulk(
         self,
@@ -257,16 +267,42 @@ class Store:
                             (f.name,), json_paths,
                         ).alias(f.name)
                     )
-            objs.select(*cols).write.mode("append").parquet(self._path(table))
+            self._append(objs.select(*cols), table)
+
+    def _append(self, df: DataFrame, table: str) -> None:
+        """Append rows to a raw table in the store's layout."""
+        if self.partitioned:
+            (
+                df.withColumn(
+                    self.PARTITION_COL,
+                    F.date_format("_timestamp", "yyyy-MM-dd"),
+                )
+                .write.mode("append")
+                .partitionBy(self.PARTITION_COL)
+                .parquet(self._path(table))
+            )
+        else:
+            df.write.mode("append").parquet(self._path(table))
 
     # -- read -----------------------------------------------------------
     def raw(self, table: str) -> DataFrame:
         """The append-only raw table (all loaded versions of each row)."""
         if not self._has_data(table):
             return self.spark.createDataFrame([], schema_for(table, with_metadata=True))
-        return self.spark.read.schema(schema_for(table, with_metadata=True)).parquet(
-            self._path(table)
-        )
+        schema = schema_for(table, with_metadata=True)
+        if self.partitioned:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(self.PARTITION_COL, T.StringType(), True)]
+            )
+            return (
+                self.spark.read.schema(schema)
+                .parquet(self._path(table))
+                .drop(self.PARTITION_COL)
+            )
+        return self.spark.read.schema(schema).parquet(self._path(table))
 
     def table(self, table: str, with_metadata: bool = False) -> DataFrame:
         """The dedup view: one row per PK; per column, the value of the
@@ -394,10 +430,70 @@ class Store:
         return self.spark.sql(query)
 
     # -- maintenance ----------------------------------------------------
+    def compact(self) -> None:
+        """Materialize the dedup view back into the raw tables: one row
+        per PK, per-column latest-non-NULL already resolved, _timestamp
+        = MAX.  Query results are unchanged (the dedup view of a
+        compacted table is the identity); what changes is cost — the
+        reference's BigQuery model periodically materializes its dedup
+        view for the same reason.  Local parquet: rewrite+rename; on a
+        partitioned lake this is a per-partition rewrite job."""
+        for table in TABLES:
+            if not self._has_data(table):
+                continue
+            resolved = self.table(table, with_metadata=True)
+            tmp = self._path(table) + ".compacting"
+            if self.partitioned:
+                (
+                    resolved.withColumn(
+                        self.PARTITION_COL,
+                        F.date_format("_timestamp", "yyyy-MM-dd"),
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy(self.PARTITION_COL)
+                    .parquet(tmp)
+                )
+            else:
+                resolved.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self._path(table))
+            os.rename(tmp, self._path(table))
+
     def purge(self, before: datetime.datetime) -> None:
         """Drop raw rows with _timestamp < before (reference S11,
-        postgresql/v04_02.py:74-105).  Local parquet: filter+rewrite;
-        on a partitioned lake this is a partition drop."""
+        postgresql/v04_02.py:74-105).
+
+        Partitioned layout: whole partitions strictly before the
+        cutoff DATE are directory drops (no data read — the operation
+        is O(partitions), not O(rows), which is what makes retention
+        enforcement viable at 100 TB); only the single boundary-date
+        partition is filter-rewritten.  Flat layout: filter+rewrite.
+        """
+        if before.tzinfo is None:
+            before = before.replace(tzinfo=datetime.timezone.utc)
+        if self.partitioned:
+            cutoff = before.astimezone(datetime.timezone.utc).strftime(
+                "%Y-%m-%d"
+            )
+            schema = None
+            for table in TABLES:
+                for pdir in glob.glob(
+                    os.path.join(self._path(table), f"{self.PARTITION_COL}=*")
+                ):
+                    day = os.path.basename(pdir).split("=", 1)[1]
+                    if day < cutoff:
+                        shutil.rmtree(pdir)
+                    elif day == cutoff:
+                        schema = schema_for(table, with_metadata=True)
+                        kept = (
+                            self.spark.read.schema(schema)
+                            .parquet(pdir)
+                            .filter(F.col("_timestamp") >= F.lit(before))
+                        )
+                        tmp = pdir + ".purging"
+                        kept.write.mode("overwrite").parquet(tmp)
+                        shutil.rmtree(pdir)
+                        os.rename(tmp, pdir)
+            return
         for table in TABLES:
             if not self._has_data(table):
                 continue

@@ -43,6 +43,29 @@ class Subscription:
     SUBJECT_MAX = 256
     BODY_MAX = 65536
 
+    @classmethod
+    def from_templates(
+        cls,
+        name: str,
+        obj_type: str,
+        predicate: Column,
+        subject: str,
+        body: str,
+    ) -> "Subscription":
+        """Build a subscription from ``{field}`` message templates
+        (the reference's per-subscription Jinja2 template pair,
+        kcidb/monitor/output.py:175-241) — compiled to JVM-side
+        Columns, see streaming/templates.py."""
+        from kcidb_spark.streaming.templates import template_column
+
+        return cls(
+            name=name,
+            obj_type=obj_type,
+            predicate=predicate,
+            subject=template_column(subject),
+            body=template_column(body),
+        )
+
 
 @dataclass(frozen=True)
 class Notification:

@@ -107,3 +107,12 @@ def test_db_dump_objects_per_report(monkeypatch, capsys, tmp_path, spark):
         len(v) for k, v in COMPREHENSIVE.items() if isinstance(v, list)
     )
     assert sum(io_count(r) for r in reports) == total
+
+
+def test_url_stats(monkeypatch, capsys):
+    rc, out = run_cli(monkeypatch, capsys, ["url-stats"],
+                      json.dumps(COMPREHENSIVE))
+    assert rc == 0
+    stats = json.loads(out)
+    assert stats["total_urls"] == stats["distinct_urls"] > 5
+    assert "example.org" in stats["by_host"]

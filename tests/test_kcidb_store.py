@@ -325,3 +325,31 @@ def test_load_bulk_rejects_bad_version_and_missing_required(store, tmp_path):
     ))
     with pytest.raises(ValueError, match="required"):
         store.load_bulk(str(p2))
+
+
+def test_compact_preserves_dump(store):
+    """compact() materializes the dedup view; dump before == after,
+    and the raw tables shrink to one row per PK."""
+    t1 = datetime.datetime(2025, 1, 1, tzinfo=UTC)
+    t2 = datetime.datetime(2025, 1, 2, tzinfo=UTC)
+    store.load(
+        {"version": {"major": 5, "minor": 3},
+         "builds": [{"id": "b:1", "origin": "b", "checkout_id": "c:1",
+                     "comment": "first"}]},
+        timestamp=t1,
+    )
+    store.load(
+        {"version": {"major": 5, "minor": 3},
+         "builds": [{"id": "b:1", "origin": "b", "checkout_id": "c:1",
+                     "status": "PASS"}]},
+        timestamp=t2,
+    )
+    before = store.dump(with_metadata=True)
+    assert store.raw("builds").count() == 2
+    store.compact()
+    assert store.raw("builds").count() == 1
+    assert store.dump(with_metadata=True) == before
+    # Field-wise merge semantics survived: comment from load 1,
+    # status from load 2.
+    b = before["builds"][0]
+    assert b["comment"] == "first" and b["status"] == "PASS"

@@ -39,6 +39,9 @@ def test_no_leaked_caches_after_dedup_family(spark):
     plus release_persisted(), the JVM cache manager is empty."""
     from kcidb_spark.cache import release_persisted
 
+    # Start from a clean cache manager — earlier tests in the shared
+    # session may hold their own (legitimate, fixture-scoped) caches.
+    spark.catalog.clearCache()
     for name in ("lsh_candidate_pairs", "jaccard_verify_pairs",
                  "jaccard_estimate_minhash", "dedup_cluster_components"):
         REGISTRY[name].spark(spark, SF).write.format("noop").mode(

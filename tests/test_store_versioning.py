@@ -122,3 +122,67 @@ def test_future_major_rejected(spark, tmp_path):
         json.dump({"major": 9, "minor": 0}, f)
     with pytest.raises(ValueError, match="unsupported schema version"):
         Store(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned layout (purge = partition drop)
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_store_roundtrip_and_purge(spark, tmp_path):
+    from tests.kcidb_fixtures import COMPREHENSIVE
+
+    t_old = datetime.datetime(2025, 1, 1, 8, 0, tzinfo=UTC)
+    t_mid = datetime.datetime(2025, 1, 15, 6, 0, tzinfo=UTC)
+    t_mid2 = datetime.datetime(2025, 1, 15, 18, 0, tzinfo=UTC)
+    t_new = datetime.datetime(2025, 2, 1, 8, 0, tzinfo=UTC)
+
+    root = str(tmp_path / "pstore")
+    ps = Store(spark, root, partitioned=True)
+    rep = lambda i: {"version": {"major": 5, "minor": 3},
+                     "checkouts": [{"id": f"c:{i}", "origin": "c"}]}
+    ps.load(rep("old"), timestamp=t_old)
+    ps.load(rep("mid_am"), timestamp=t_mid)
+    ps.load(rep("mid_pm"), timestamp=t_mid2)
+    ps.load(rep("new"), timestamp=t_new)
+
+    # Layout: one partition dir per load date.
+    parts = sorted(
+        os.path.basename(p) for p in
+        __import__("glob").glob(os.path.join(root, "checkouts",
+                                             "_load_date=*"))
+    )
+    assert parts == ["_load_date=2025-01-01", "_load_date=2025-01-15",
+                     "_load_date=2025-02-01"]
+
+    # Dump is layout-independent.
+    flat = Store(spark, str(tmp_path / "flat"))
+    for r, t in ((rep("old"), t_old), (rep("mid_am"), t_mid),
+                 (rep("mid_pm"), t_mid2), (rep("new"), t_new)):
+        flat.load(r, timestamp=t)
+    assert ps.dump(with_metadata=True) == flat.dump(with_metadata=True)
+
+    # Purge mid-day on the boundary date: 2025-01-01 partition is a
+    # directory drop; the boundary partition is filter-rewritten
+    # (mid_am goes, mid_pm stays); 2025-02-01 untouched.
+    ps.purge(before=datetime.datetime(2025, 1, 15, 12, 0, tzinfo=UTC))
+    parts = sorted(
+        os.path.basename(p) for p in
+        __import__("glob").glob(os.path.join(root, "checkouts",
+                                             "_load_date=*"))
+    )
+    assert parts == ["_load_date=2025-01-15", "_load_date=2025-02-01"]
+    ids = {c["id"] for c in ps.dump()["checkouts"]}
+    assert ids == {"c:mid_pm", "c:new"}
+
+    # Reopen without the flag: layout auto-detected, loads keep
+    # partitioning, compact preserves it.
+    ps2 = Store(spark, root)
+    assert ps2.partitioned
+    ps2.load(COMPREHENSIVE, timestamp=t_new)
+    ps2.compact()
+    assert __import__("glob").glob(os.path.join(root, "builds",
+                                                "_load_date=*"))
+    assert {c["id"] for c in ps2.dump()["checkouts"]} == {
+        "c:mid_pm", "c:new", "origin:checkout-1"
+    }

@@ -88,3 +88,55 @@ def test_patterns_from_io_parse(spark):
     # every generated pattern parses under our own grammar
     for p in pats:
         parse_pattern(p)
+
+
+def test_template_rendering_golden(spark, tmp_path):
+    """Template pair renders golden subject/body per matched object
+    (reference kcidb/monitor/output.py:175-241 template rendering;
+    golden-output style of kcidb test_monitor)."""
+    from kcidb_spark.streaming.notify import match_subscriptions
+    from kcidb_spark.streaming.templates import template_column
+
+    store = Store(spark, str(tmp_path / "store"))
+    store.load({
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [{"id": "o:c1", "origin": "o"}],
+        "builds": [
+            {"id": "o:b1", "origin": "o", "checkout_id": "o:c1",
+             "status": "FAIL", "architecture": "riscv64",
+             "config_name": "defconfig"},
+            {"id": "o:b2", "origin": "o", "checkout_id": "o:c1",
+             "status": "PASS", "architecture": "arm64"},
+            # NULL architecture must render as "" without nullifying
+            # the message.
+            {"id": "o:b3", "origin": "o", "checkout_id": "o:c1",
+             "status": "FAIL"},
+        ],
+    })
+    from kcidb_spark.orm.types import type_views
+    from kcidb_spark.schema.graph import TABLES
+
+    views = type_views({t: store.table(t, True) for t in TABLES})
+    sub = Subscription.from_templates(
+        name="failed-builds",
+        obj_type="build",
+        predicate=F.col("status") == "FAIL",
+        subject="Build {id} failed on {architecture}",
+        body="Status: {status} {{literal}}\nConfig: {config_name}",
+    )
+    rows = {r["obj_id"]: r for r in
+            match_subscriptions(views, [sub]).collect()}
+    assert set(rows) == {"o:b1", "o:b3"}
+    assert rows["o:b1"]["subject"] == "Build o:b1 failed on riscv64"
+    assert rows["o:b1"]["body"] == "Status: FAIL {literal}\nConfig: defconfig"
+    assert rows["o:b3"]["subject"] == "Build o:b3 failed on "
+    assert rows["o:b3"]["body"] == "Status: FAIL {literal}\nConfig: "
+
+    # Dotted struct placeholder + cap enforcement.
+    tdf = spark.createDataFrame(
+        [(("qemu",),)], "environment struct<comment:string>"
+    )
+    [r] = tdf.select(
+        template_column("env={environment.comment}").alias("s")
+    ).collect()
+    assert r["s"] == "env=qemu"
