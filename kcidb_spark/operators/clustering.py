@@ -1,0 +1,127 @@
+"""Iterative Lloyd k-means over an embedding column.
+
+The clustering primitive behind IVF coarse quantization
+(queries/advanced.ann_ivf_topk uses fixed centroids as a stand-in)
+and SemDeDup-style semantic pruning (queries/ranking.semdedup_prune).
+
+Scale design:
+* centroids are control-plane-sized (k × dim doubles) and live on the
+  driver between rounds — the one place a ``collect()`` is the RIGHT
+  call, exactly like every distributed k-means (Spark MLlib included);
+* each round is: broadcast-join assignment (zero corpus shuffle) →
+  per-(cluster, dim) partial-agg mean (one exchange keyed by at most
+  k·dim values — salt-free because k·dim ≪ partitions is the normal
+  regime; for tiny k on huge data the partial aggregation already
+  reduces each partition to ≤ k·dim rows before the shuffle);
+* the corpus DataFrame is persisted once and re-scanned per round;
+  lineage stays shallow because every round restarts from it, so no
+  checkpointing is needed (contrast operators/components.py, whose
+  frontier is itself iterative state).
+
+The assignment step is deterministic (squared-distance argmin, ties
+to the lowest cluster id); the mean update is floating-point and
+therefore engine-ordering-dependent — which is why the oracle-checked
+registry queries use either fixed centroids (ann_ivf_topk,
+semdedup_prune) or integer outputs, and the full iterative loop is
+proven by property tests (tests/test_clustering.py) instead of the
+hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kcidb_spark.operators.similarity import dot_expr
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, c_id) nearest-centroid assignment: broadcast cross join +
+    in-group argmin via min_by (partial-agg friendly — map-side the
+    k candidate rows per vector collapse back to one before any
+    exchange)."""
+    d2 = F.expr(
+        f"{dot_expr('v', 'v')} - 2 * {dot_expr('v', 'cv')}"
+        f" + {dot_expr('cv', 'cv')}"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("id", "c_id", d2.alias("d2"))
+        .groupBy("id")
+        .agg(F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"))
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Lloyd's algorithm; returns (assignment, centroids, converged).
+
+    * assignment: (id_col, cluster) — every input row labelled;
+    * centroids: (cluster, centroid array<double>) — final means;
+    * converged: True iff an iteration left every label unchanged
+      before ``max_iter`` ran out (callers should treat False like
+      connected_components' failure — raise or widen max_iter).
+
+    Init is deterministic: the k lowest-id vectors seed the clusters,
+    so repeated runs (and test re-runs) agree without a seed channel.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()
+    try:
+        cents = (
+            vecs.orderBy("id").limit(k)
+            .select(F.col("id").alias("c_id"), F.col("v").alias("cv"))
+        )
+        prev: DataFrame | None = None
+        converged = False
+        for _ in range(max_iter):
+            assign = _assign(vecs, cents).persist()
+            if prev is not None:
+                changed = (
+                    assign.alias("a")
+                    .join(prev.alias("p"), on="id")
+                    .filter(F.col("a.c_id") != F.col("p.c_id"))
+                    .limit(1)
+                    .count()
+                )
+                prev.unpersist()
+                if changed == 0:
+                    prev = assign
+                    converged = True
+                    break
+            prev = assign
+            # Mean update: explode to (cluster, dim, value), partial-agg
+            # average, re-assemble the array ordered by dim.
+            cents = (
+                assign.join(vecs, on="id")
+                .select("c_id", F.posexplode("v").alias("pos", "x"))
+                .groupBy("c_id", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("c_id")
+                .agg(F.collect_list(F.struct("pos", "m")).alias("pm"))
+                .select(
+                    "c_id",
+                    F.expr(
+                        "transform(array_sort(pm), s -> s.m)"
+                    ).alias("cv"),
+                )
+            ).localCheckpoint(eager=True)
+        assignment = prev.select(F.col("id").alias(id_col),
+                                 F.col("c_id").alias("cluster"))
+        centroids = cents.select(F.col("c_id").alias("cluster"),
+                                 F.col("cv").alias("centroid"))
+        # Materialize before releasing the inputs.
+        assignment = assignment.localCheckpoint(eager=True)
+        centroids = centroids.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        return assignment, centroids, converged
+    finally:
+        vecs.unpersist()

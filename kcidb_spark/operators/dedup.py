@@ -205,23 +205,28 @@ def jaccard_pairs(
     )
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over tokens: bit i = sign of Σ_tokens (±1),
+def simhash_bits(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n_bits: int = 16) -> DataFrame:
+    """n-bit SimHash over tokens: bit i = sign of Σ_tokens (±1),
     where a token votes +1 on bit i iff bit i of its md5 prefix is
-    set.  Bits come from the first 4 hex chars (4 bits each) so both
-    engines extract them with pure string ops — no binary casts.
+    set.  Bits come from the first n_bits/4 hex chars (4 bits each) so
+    both engines extract them with pure string ops — no binary casts.
 
-    The per-token hex prefix is materialized once; the 16 bit-vote
+    The per-token hex prefix is materialized once; the n bit-vote
     aggregations run over that shared array as SQL-text lambdas
-    (codegen-friendly — see module docstring).
+    (codegen-friendly — see module docstring).  ``n_bits`` must be a
+    multiple of 4 and at most 63 bits fit the signed BIGINT output
+    (use ≤60 to keep the banding arithmetic comfortable).
     """
+    assert n_bits % 4 == 0 and n_bits <= 60
     hx = tokenized(df, id_col, text_col).select(
         F.col(id_col),
-        F.expr("transform(tokens, t -> substring(md5(t), 1, 4))").alias("hexes"),
+        F.expr(
+            f"transform(tokens, t -> substring(md5(t), 1, {n_bits // 4}))"
+        ).alias("hexes"),
     )
     bit_exprs = []
-    for i in range(16):
+    for i in range(n_bits):
         ci = i // 4 + 1  # hex char index (1-based)
         bit = 3 - (i % 4)  # bit within the hex digit
         vote = (
@@ -234,3 +239,67 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
         )
     total = " + ".join(bit_exprs)
     return hx.select(F.col(id_col), F.expr(f"CAST({total} AS BIGINT)").alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (see :func:`simhash_bits`)."""
+    return simhash_bits(df, id_col, text_col, n_bits=16)
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found via
+    banded blocking: split the n-bit fingerprint into ``n_bands``
+    equal bands and equi-join on (band index, band value) — by the
+    pigeonhole principle any pair with Hamming distance ≤
+    ``n_bands - 1`` agrees on at least one whole band, so with
+    ``max_hamming < n_bands`` the banded result EQUALS the all-pairs
+    result while the shuffle stays proportional to band-bucket sizes
+    (never n²).  Survivors are verified exactly with
+    ``bit_count(a ^ b) <= max_hamming``.
+
+    At 100 TB: widen the fingerprint (simhash_bits up to 60) and keep
+    bands ≥ max_hamming+1; band values spread documents over 2^(bits/
+    bands) buckets, and AQE's skew split handles hot buckets (e.g.
+    boilerplate-heavy corpora where one fingerprint dominates).
+    """
+    assert max_hamming < n_bands and n_bits % n_bands == 0
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.expr(
+                    f"named_struct('band', {j}, "
+                    f"'key', shiftright(simhash, {j * band_bits}) & {mask})"
+                )
+                for j in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.key")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band", "key",
+    )
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -415,9 +415,12 @@ def jaccard_verify_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, cand)
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte(n_bits: int = 16) -> str:
+    """DuckDB CTE text computing the identical n-bit SimHash as
+    operators/dedup.simhash_bits — shared by the fingerprint and
+    hamming-pair oracles."""
     bit_exprs = []
-    for i in range(16):
+    for i in range(n_bits):
         ci = i // 4 + 1
         bit = 3 - (i % 4)
         vote = (
@@ -430,17 +433,24 @@ def _simhash_oracle() -> str:
         )
     total = " + ".join(bit_exprs)
     return dedent(f"""
-        WITH toks AS (
+        toks AS (
             SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
         ),
         hx AS (
             SELECT doc_id,
-                   list_transform(tokens, t -> substring(md5(t), 1, 4)) AS hexes
+                   list_transform(tokens, t -> substring(md5(t), 1, {n_bits // 4}))
+                       AS hexes
             FROM toks
+        ),
+        sh AS (
+            SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+            FROM hx
         )
-        SELECT doc_id, CAST({total} AS BIGINT) AS simhash
-        FROM hx
     """)
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_cte(16)} SELECT doc_id, simhash FROM sh"
 
 
 @register("simhash_fingerprint", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
@@ -452,6 +462,32 @@ def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import simhash16
 
     return simhash16(table(spark, sf_dir, "documents", spread=True))
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""WITH {_simhash_cte(32)}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance ≤ 3 over a
+    32-bit fingerprint, found by 4-band blocking (pigeonhole: ≤3
+    differing bits ⇒ at least one 8-bit band identical, so the banded
+    join provably finds every qualifying pair — the oracle checks that
+    by brute-force all-pairs).  The Spark plan's shuffle is
+    band-bucket-sized, never n²; see
+    operators/dedup.simhash_hamming_pairs for the 100 TB notes."""
+    from kcidb_spark.operators.dedup import simhash_bits, simhash_hamming_pairs
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sig = simhash_bits(docs, n_bits=32)
+    return simhash_hamming_pairs(sig, n_bits=32, n_bands=4, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

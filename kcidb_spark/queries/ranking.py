@@ -1,0 +1,251 @@
+"""Corpus ranking / curation queries: TF-IDF-style term salience,
+vocabulary OOV-rate scoring, and semantic (embedding-cluster) dedup.
+
+Cross-engine exactness rule for this module: transcendental functions
+are NOT bit-portable between the JVM and C libm (``ln(3.0)`` differs
+in the last ulp — probed), so every hashed score here is either pure
+integer arithmetic or a SINGLE correctly-rounded IEEE division of
+integers, which every engine rounds identically.  Classic
+``tf·ln(N/df)`` ranking is monotone in ``tf·N/df`` for fixed tf sign,
+so the rational score preserves the ranking semantics without the
+libm dependency.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
+from kcidb_spark.queries.registry import register
+from kcidb_spark.tables import table
+
+_TFIDF_K = 5
+_VOCAB_K = 20
+_SEM_CENTROIDS = 8
+_SEM_TAU = 0.35
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ),
+        dft AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df_docs
+            FROM tf GROUP BY w
+        ),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf)
+        SELECT doc_id, term, tf, df_docs, score, rank
+        FROM (
+            SELECT tf.doc_id, tf.w AS term, tf.tf, dft.df_docs,
+                   (tf.tf * n.n_docs) / CAST(dft.df_docs AS DOUBLE) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * n.n_docs)
+                                / CAST(dft.df_docs AS DOUBLE) DESC, tf.w
+                   ) AS BIGINT) AS rank
+            FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN n
+        )
+        WHERE rank <= {_TFIDF_K}
+    """),
+    tags=("pipeline", "ranking"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} salient terms per document by rational TF-IDF
+    (``tf·N/df`` — same ranking as ``tf·ln(N/df)``, see module
+    docstring).  The canonical keyword-extraction / topic-salience
+    pass of a corpus curation pipeline.
+
+    Plan: token explode → (doc, term) partial-agg count → per-term
+    document frequency (second partial-agg, input already one row per
+    (doc, term)) → term-keyed join back (AQE-broadcast here; at
+    100 TB the term dictionary shuffles hash-partitioned and
+    heavy-hitter skew is AQE-split) → per-doc top-k through a rank
+    window that compiles to WindowGroupLimit, so only k rows per doc
+    survive the final exchange.  N arrives via a broadcast 1-row
+    aggregate — no driver-side count() action.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")) / F.col("df_docs").cast("double")
+    w_rank = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        tf.join(dft, on="w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select(
+            "doc_id", F.col("w").alias("term"), "tf", "df_docs",
+            "score", "rank",
+        )
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w FROM toks GROUP BY w
+            ORDER BY count(*) DESC, w LIMIT {_VOCAB_K}
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+               count(*) FILTER (WHERE v.w IS NULL)
+                   / CAST(count(*) AS DOUBLE) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """),
+    tags=("pipeline", "ranking"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{k} vocabulary — the rare-token quality signal (a portable
+    stand-in for LM-perplexity scoring, whose ``ln`` is not
+    bit-portable; high OOV-rate ⇔ high perplexity under a unigram
+    cap).  Vocabulary selection is deterministic: count desc, term
+    asc.
+
+    Plan: one token explode feeds both sides; the vocabulary is a
+    partial-agg + distributed top-k (TakeOrdered — never a global
+    sort), broadcast back, so the per-doc pass is a map-side hash
+    probe + one groupBy(doc_id) shuffle.  OOV rate is one exact
+    integer division.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="w", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_SEM_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos.format(a="vecs.v", b="cents.cv")}
+                                    DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.c_id AS cluster,
+               CAST(NOT EXISTS (
+                   SELECT 1 FROM assign e
+                   WHERE e.c_id = a.c_id AND e.vec_id < a.vec_id
+                     AND {cos.format(a="e.v", b="a.v")} >= {_SEM_TAU}
+               ) AS BOOLEAN) AS is_kept
+        FROM assign a
+    """)
+
+
+@register(
+    "semdedup_prune", oracle=_semdedup_oracle(), tags=("dedup", "similarity")
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster embeddings to their nearest
+    centroid, then within each cluster drop every vector that has an
+    EARLIER (lower-id) cluster-mate with cosine ≥ τ={_SEM_TAU} — the
+    deterministic keep-first rule.  Output keeps every vector with its
+    cluster and the keep/drop verdict so downstream filters stay a
+    semi-join.
+
+    Scale shape: centroid assignment is a broadcast cross join (zero
+    corpus shuffle, same as ann_ivf_topk); the pairwise stage
+    equi-joins ON CLUSTER, so comparisons are bucket-local — n²/k per
+    cluster, and k is chosen to grow with the corpus (SemDeDup used
+    50k clusters at LAION scale) so the bucket size stays bounded.
+    Cosines round to 4 decimals on both engines before the threshold
+    compare (dot products fold sequentially → bit-identical; see
+    operators/similarity.cosine_expr).
+    """
+    from kcidb_spark.operators.similarity import cosine_expr
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = vecs.filter(F.col("vec_id") < _SEM_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "c_id", "v",
+            F.expr(cosine_expr("v", "cv")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id", "v")
+    )
+    earlier = assign.select(
+        F.col("vec_id").alias("e_id"), "c_id", F.col("v").alias("ev")
+    )
+    dropped = (
+        assign.join(earlier, on="c_id")
+        .filter(F.col("e_id") < F.col("vec_id"))
+        .filter(F.expr(cosine_expr("ev", "v")) >= _SEM_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return assign.join(dropped.withColumn("_d", F.lit(True)),
+                       on="vec_id", how="left").select(
+        "vec_id",
+        F.col("c_id").alias("cluster"),
+        F.col("_d").isNull().alias("is_kept"),
+    )
