@@ -249,3 +249,212 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id").alias("cluster"),
         F.col("_d").isNull().alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-stream assembly: sequence packing, PQ codes, sampling
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 512
+_PQ_SUBS = 8
+_PQ_DIMS = 8
+_PQ_CODES = 8
+
+
+@register(
+    "seq_pack_windows",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(length(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n,
+                   SUM(n) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+            FROM toks
+        )
+        SELECT doc_id, n AS n_tokens,
+               CAST(c - n AS BIGINT) AS start_offset,
+               CAST(floor((c - n) / {_PACK_WINDOW}) AS BIGINT) AS window_id
+        FROM cum
+    """),
+    tags=("pipeline", "packing"),
+)
+def seq_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-stream assembly: concatenate the
+    corpus token stream in doc_id order and cut it into
+    {_PACK_WINDOW}-token context windows; each document reports its
+    global start offset and the window its first token lands in.
+
+    The global running total is a distributed two-phase prefix scan
+    (operators/scan.distributed_cumsum) — NEVER a bare
+    ``Window.orderBy`` with no partition key, which collapses the
+    whole corpus into one task.  Cost at any scale: one bucket-keyed
+    shuffle + a broadcast of ≤64 bucket offsets; all arithmetic is
+    integer-exact.
+    """
+    from kcidb_spark.operators.scan import distributed_cumsum
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(_norm_text(F.col("text")), " ")).cast("long").alias("n"),
+    )
+    cum = distributed_cumsum(toks, "doc_id", "n", out_col="c")
+    start = F.col("c") - F.col("n")
+    return cum.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / _PACK_WINDOW).cast("long").alias("window_id"),
+    )
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cw)"
+        " + list_dot_product(cw, cw)"
+    )
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        subs AS (
+            SELECT vec_id, s, v[s*{_PQ_DIMS}+1 : s*{_PQ_DIMS}+{_PQ_DIMS}] AS sub
+            FROM vecs CROSS JOIN (
+                SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS s)
+        ),
+        codes AS (
+            SELECT vec_id AS m, s, sub AS cw FROM subs
+            WHERE vec_id < {_PQ_CODES}
+        ),
+        best AS (
+            SELECT vec_id, s, m FROM (
+                SELECT subs.vec_id, subs.s, codes.m,
+                       row_number() OVER (
+                           PARTITION BY subs.vec_id, subs.s
+                           ORDER BY {d2}, codes.m
+                       ) AS rn
+                FROM subs JOIN codes ON subs.s = codes.s
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS pq_codes
+        FROM best GROUP BY vec_id
+    """)
+
+
+@register("pq_encode", oracle=_pq_oracle(), tags=("similarity", "quantize"))
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): split each
+    {_PQ_SUBS * _PQ_DIMS}-dim embedding into {_PQ_SUBS} subvectors and
+    replace each with the id of its nearest codeword — the memory-
+    compression layer under IVF-PQ ANN indexes (64 dims → {_PQ_SUBS}
+    bytes here).  Codebooks are the first {_PQ_CODES} vectors'
+    subvectors (deterministic stand-in for per-subspace k-means —
+    operators/clustering.kmeans_lloyd trains real ones at production).
+
+    Scale shape: codebooks are tiny → broadcast; the encode pass is a
+    per-row explode of {_PQ_SUBS} subvectors, an in-executor argmin
+    (min_by partial-agg), and one vec_id-keyed reassembly shuffle.
+    Squared distances expand to dot products computed by the same
+    sequential fold on both engines → bit-identical, ties break on
+    codeword id.
+    """
+    from kcidb_spark.operators.similarity import dot_expr
+
+    d2 = F.expr(
+        f"{dot_expr('sub', 'sub')} - 2 * {dot_expr('sub', 'cw')}"
+        f" + {dot_expr('cw', 'cw')}"
+    )
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {_PQ_SUBS - 1})")).alias("s"),
+        "v",
+    ).select(
+        "vec_id", "s",
+        F.expr(f"slice(v, s*{_PQ_DIMS}+1, {_PQ_DIMS})").alias("sub"),
+    )
+    codes = subs.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("m"), "s", F.col("sub").alias("cw")
+    )
+    best = (
+        subs.join(F.broadcast(codes), on="s")
+        .select("vec_id", "s", "m", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("m", F.struct("d2", "m")).alias("m"))
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(F.collect_list(F.struct("s", "m")).alias("sm"))
+        .select(
+            "vec_id",
+            F.expr(
+                "concat_ws(',', transform(array_sort(sm),"
+                " x -> cast(x.m as string)))"
+            ).alias("pq_codes"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=dedent("""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              < CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+    """),
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (en: 8/16, others: 4/16) applied through the same key-hash gate as
+    sample_by_hash — the language-rebalancing step of corpus mixing
+    (downsample the dominant language, keep the tail).  Map-side
+    filter, zero shuffle, reproducible under any partitioning."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.when(F.col("lang") == "en", "8").otherwise("4")
+    ).select("doc_id", "lang")
+
+
+@register(
+    "group_sample_topn",
+    oracle=dedent("""
+        SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rk
+            FROM documents
+        ) WHERE rk <= 10
+    """),
+    tags=("pipeline", "sampling"),
+)
+def group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (10 docs per language) — the
+    deterministic reservoir: rank by key hash inside each group and
+    keep the first n.  Unlike ``sampleBy`` fractions, the output size
+    is exact per group and identical across engines/runs.  Compiles to
+    WindowGroupLimit: only 10 rows per group survive each partial
+    window, so the shuffle carries ~n·groups rows, not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
