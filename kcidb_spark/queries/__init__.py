@@ -19,6 +19,7 @@ from kcidb_spark.queries import temporal  # noqa: F401,E402
 from kcidb_spark.queries import kcidb_domain  # noqa: F401,E402
 from kcidb_spark.queries import coverage  # noqa: F401,E402
 from kcidb_spark.queries import ranking  # noqa: F401,E402
+from kcidb_spark.queries import mixing  # noqa: F401,E402
 
 
 def spark_queries():

@@ -1,0 +1,608 @@
+"""Corpus-assembly queries: temperature mixing, curriculum length
+buckets, cross-document boilerplate detection, sliding event-time
+windows, and PQ-compressed ANN search (ADC).
+
+These extend the LLM-data-pipeline surface (SURVEY §2.10): after
+dedup/quality/packing, a training corpus is *mixed* (per-language
+sampling temperatures), *curriculum-bucketed* (length strata), and
+swept for *boilerplate* (n-grams shared across many documents — the
+cross-doc analog of text_repetition's within-doc signal).
+
+Exactness: every hashed value is integer arithmetic, a single
+correctly-rounded IEEE op chain (sqrt/divide on identical operands),
+or a floor-scaled integer of such a chain — see ``_exact`` for why
+double *sums* are never hashed directly.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kcidb_spark.operators.similarity import dot_expr
+from kcidb_spark.queries._exact import as_money, int_sum, oracle_int_sum
+from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
+from kcidb_spark.queries.registry import register
+from kcidb_spark.queries.relational import _utc
+from kcidb_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: temperature-scaled per-language sampling weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mix_weights",
+    oracle=dedent("""
+        WITH g AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        SELECT lang, n_docs, n_chars,
+               CAST(floor(1000000 * (n_docs / n_total)) AS BIGINT)
+                   AS share_ppm,
+               CAST(floor(1000000 * sqrt(n_docs / n_total)) AS BIGINT)
+                   AS mix_ppm
+        FROM g CROSS JOIN t
+    """),
+    tags=("pipeline", "mixing"),
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights at temperature alpha=0.5 — the
+    multilingual-corpus rebalancing step (upweight tail languages by
+    sampling proportional to n^alpha instead of n).  ``mix_ppm`` is
+    the unnormalized temperature share floor(1e6·sqrt(n_g/N)); the
+    normalizing constant is a trivial driver-side scalar, kept out of
+    the hashed output because a *sum of doubles* is aggregation-order
+    dependent while sqrt/divide on identical operands are bit-stable.
+
+    Plan: one partial-aggregable groupBy + a broadcast 1-row total —
+    two scans collapse into one via Catalyst exchange reuse is not
+    needed: both aggs are metadata-cheap count/sum scans.
+    """
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    t = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    share = F.col("n_docs") / F.col("n_total")
+    return g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.floor(F.lit(1000000) * share).cast("long").alias("share_ppm"),
+        F.floor(F.lit(1000000) * F.sqrt(share)).cast("long").alias("mix_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum: power-of-two document-length strata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_bucket_hist",
+    oracle=dedent("""
+        SELECT CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars > 0
+        GROUP BY bucket
+    """),
+    tags=("pipeline", "curriculum"),
+)
+def length_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum strata: documents bucketed by
+    floor(log2(n_chars))+1, computed as the *bit length* of the
+    integer (``length(bin(n))``) so the boundary cases are exact
+    integer ops on both engines — ``log2`` itself is libm territory
+    and not bit-portable.  Map-side projection + one partial-agg
+    shuffle of ≤64 bucket rows; this is the batch-assembly histogram
+    that sizes per-stratum packing quotas.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        docs.groupBy(
+            F.length(F.bin(F.col("n_chars"))).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate: n-grams shared across documents (cross-doc repetition)
+# ---------------------------------------------------------------------------
+
+_BP_N = 5
+_BP_MIN_DF = 2
+
+
+@register(
+    "boilerplate_ngram_ratio",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+            FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, length(t) - {_BP_N - 1}),
+                       i -> md5(array_to_string(
+                                list_slice(t, i, i + {_BP_N - 1}), ' ')))
+                       AS ghs
+            FROM toks WHERE length(t) >= {_BP_N}
+        ),
+        grams AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM hs),
+        dfreq AS (SELECT gh, CAST(count(*) AS BIGINT) AS df
+                  FROM grams GROUP BY gh)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df >= {_BP_MIN_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               sum(CASE WHEN df >= {_BP_MIN_DF} THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS boiler_ratio
+        FROM grams JOIN dfreq USING (gh)
+        GROUP BY doc_id
+    """),
+    tags=("pipeline", "quality"),
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: the fraction of a document's
+    distinct {_BP_N}-grams that appear in ≥{_BP_MIN_DF} documents —
+    the corpus-level repetition signal (headers, navigation chrome,
+    license blurbs) that within-doc text_repetition cannot see.
+
+    Scale shape: explode the *index sequence* and slice per index
+    (exploding a transform()-built array is ~40× slower — measured,
+    see operators/dedup.py), hash each gram to a fixed-width md5 so
+    the shuffles carry 32-byte keys instead of raw 5-gram text.  The
+    document-frequency count is a window over ``gh``, NOT a self-join
+    against a groupBy — a join would make the explode subtree appear
+    twice in the DAG and Spark would recompute the 5-gram scan from
+    parquet both times (measured 2× wall here; a persist would trade
+    that for corpus-sized executor memory).  Pipeline is linear:
+    explode once → distinct (shuffle 1) → df window (shuffle 2) →
+    doc rollup (shuffle 3), each partial-agg-friendly.  Ultra-common
+    grams skew the window key — AQE's skew-split handles the hot
+    bucket.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= _BP_N)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(t) - {_BP_N - 1})")).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"concat_ws(' ', slice(t, i, {_BP_N}))")).alias("gh"),
+        )
+        .distinct()
+    )
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("gh"))
+    )
+    boiler = F.sum(
+        F.when(F.col("df") >= _BP_MIN_DF, 1).otherwise(0)
+    )
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            boiler.cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler") / F.col("n_grams")).alias("boiler_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T9 — sliding (hopping) event-time windows
+# ---------------------------------------------------------------------------
+
+_SLIDE_SIZE_US = 600_000_000  # 10 minutes
+_SLIDE_HOP_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "t9_sliding_window",
+    oracle=dedent(f"""
+        WITH e AS (
+            SELECT event_type, value,
+                   (epoch_us(ts) // {_SLIDE_HOP_US}) * {_SLIDE_HOP_US} AS a_us
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, value,
+                   make_timestamp(a_us - k * {_SLIDE_HOP_US}) AS window_start
+            FROM e CROSS JOIN (
+                SELECT unnest(generate_series(
+                    0, {_SLIDE_SIZE_US // _SLIDE_HOP_US - 1})) AS k)
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {oracle_int_sum('value', 100)} / 100.0 AS sum_value
+        FROM w
+        GROUP BY window_start, event_type
+    """),
+    tags=("T8", "streaming"),
+)
+def t9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows hopping every 5 (each event lands in
+    size/hop = 2 windows) — the hopping-window companion to
+    t8_tumbling_window; the same ``F.window(size, slide)`` expression
+    is the Structured Streaming form with a watermark bounding state.
+    ``F.window`` is a *generator*: the 1→2 row expansion happens
+    inside the project before the partial agg, so the shuffle carries
+    already-combined (window, type) partials, not doubled events.
+    """
+    _utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            int_sum(F.col("value"), 100).alias("_sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            as_money(F.col("_sv"), 100).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: asymmetric-distance (ADC) top-k over PQ codes
+# ---------------------------------------------------------------------------
+
+_ADC_SUBS = 8
+_ADC_DIMS = 8
+_ADC_CODES = 8
+_ADC_CENTROIDS = 4
+_ADC_QUERIES = 4
+_ADC_K = 5
+_ADC_SCALE = 1_000_000
+
+
+def _adc_oracle() -> str:
+    d2 = (
+        "list_dot_product(a, a) - 2 * list_dot_product(a, b)"
+        " + list_dot_product(b, b)"
+    )
+    d2_sub_cw = d2.replace("a, a", "sub, sub").replace(
+        "a, b", "sub, cw").replace("b, b", "cw, cw")
+    d2_v_cv = d2.replace("a, a", "v, v").replace(
+        "a, b", "v, cv").replace("b, b", "cv, cv")
+    d2_qsub_cw = d2.replace("a, a", "qsub, qsub").replace(
+        "a, b", "qsub, cw").replace("b, b", "cw, cw")
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_ADC_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY CAST(floor({_ADC_SCALE} * ({d2_v_cv}))
+                                    AS BIGINT), cents.c_id) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        subs AS (
+            SELECT vec_id, s,
+                   v[s*{_ADC_DIMS}+1 : s*{_ADC_DIMS}+{_ADC_DIMS}] AS sub
+            FROM vecs CROSS JOIN (
+                SELECT unnest(generate_series(0, {_ADC_SUBS - 1})) AS s)
+        ),
+        cbook AS (
+            SELECT vec_id AS m, s, sub AS cw FROM subs
+            WHERE vec_id < {_ADC_CODES}
+        ),
+        codes AS (
+            SELECT vec_id, s, m FROM (
+                SELECT subs.vec_id, subs.s, cbook.m,
+                       row_number() OVER (
+                           PARTITION BY subs.vec_id, subs.s
+                           ORDER BY CAST(floor({_ADC_SCALE} * ({d2_sub_cw}))
+                                    AS BIGINT), cbook.m) AS rn
+                FROM subs JOIN cbook ON subs.s = cbook.s
+            ) WHERE rn = 1
+        ),
+        dt AS (
+            SELECT q.vec_id AS q_id, q.s, cbook.m,
+                   CAST(floor({_ADC_SCALE} * ({d2_qsub_cw})) AS BIGINT) AS d
+            FROM (SELECT vec_id, s, sub AS qsub FROM subs
+                  WHERE vec_id < {_ADC_QUERIES}) q
+            JOIN cbook ON q.s = cbook.s
+        ),
+        adc AS (
+            SELECT dt.q_id, codes.vec_id AS n_id,
+                   CAST(sum(dt.d) AS BIGINT) AS adc_micro
+            FROM codes
+            JOIN assign na ON codes.vec_id = na.vec_id
+            JOIN assign qa ON qa.c_id = na.c_id
+                          AND qa.vec_id < {_ADC_QUERIES}
+            JOIN dt ON dt.q_id = qa.vec_id AND dt.s = codes.s
+                   AND dt.m = codes.m
+            WHERE codes.vec_id != qa.vec_id
+            GROUP BY dt.q_id, codes.vec_id
+        )
+        SELECT q_id, n_id, adc_micro, rk FROM (
+            SELECT q_id, n_id, adc_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY adc_micro, n_id
+                   ) AS BIGINT) AS rk
+            FROM adc
+        ) WHERE rk <= {_ADC_K}
+    """)
+
+
+@register("ivf_pq_adc_topk", oracle=_adc_oracle(), tags=("similarity", "ivf"))
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011, §IV): queries scan only their
+    coarse cluster, and distances are *asymmetric* — exact query
+    subvectors against the neighbors' PQ codewords via a per-query
+    distance table (ADC), so the corpus side needs only its
+    {_ADC_SUBS}-byte codes, never the raw vectors.  This completes the
+    ann_ivf_topk → pq_encode chain: IVF prunes the search space, PQ
+    compresses what remains ~{_ADC_SUBS * _ADC_DIMS * 4 // _ADC_SUBS}×.
+
+    Scale shape: centroids, codebooks, and the Q×{_ADC_SUBS}×{_ADC_CODES}
+    distance table are all tiny → broadcast; the corpus-side work is
+    the code lookup join keyed (s, m) after the cluster semi-join, one
+    (q,n)-keyed integer-sum shuffle, then WindowGroupLimit top-k.
+    Distances are floor-scaled to BIGINT micros *per (s,m) entry*, so
+    the 8-term ADC sum is integer-associative — bit-identical under
+    any aggregation order (a raw double sum would not be).
+    """
+    d2 = "{dot_aa} - 2 * {dot_ab} + {dot_bb}"
+
+    def _d2(a: str, b: str) -> F.Column:
+        return F.expr(
+            f"cast(floor({_ADC_SCALE} * ("
+            + d2.format(
+                dot_aa=dot_expr(a, a),
+                dot_ab=dot_expr(a, b),
+                dot_bb=dot_expr(b, b),
+            )
+            + ")) as bigint)"
+        )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = vecs.filter(F.col("vec_id") < _ADC_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "c_id", "v", _d2("v", "cv").alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("c_id"))
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {_ADC_SUBS - 1})")).alias("s"),
+        "v",
+    ).select(
+        "vec_id", "s",
+        F.expr(f"slice(v, s*{_ADC_DIMS}+1, {_ADC_DIMS})").alias("sub"),
+    )
+    cbook = subs.filter(F.col("vec_id") < _ADC_CODES).select(
+        F.col("vec_id").alias("m"), "s", F.col("sub").alias("cw")
+    )
+    codes = (
+        subs.join(F.broadcast(cbook), on="s")
+        .select("vec_id", "s", "m", _d2("sub", "cw").alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("m", F.struct("d", "m")).alias("m"))
+    )
+    dt = (
+        subs.filter(F.col("vec_id") < _ADC_QUERIES)
+        .withColumnRenamed("sub", "qsub")
+        .join(F.broadcast(cbook), on="s")
+        .select(
+            F.col("vec_id").alias("q_id"), "s", "m",
+            _d2("qsub", "cw").alias("d"),
+        )
+    )
+    q_assign = assign.filter(F.col("vec_id") < _ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "c_id"
+    )
+    n_codes = codes.join(assign, on="vec_id").withColumnRenamed(
+        "vec_id", "n_id"
+    )
+    w_rank = W.partitionBy("q_id").orderBy("adc_micro", "n_id")
+    return (
+        n_codes.join(F.broadcast(q_assign), on="c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .join(F.broadcast(dt), on=["q_id", "s", "m"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d").alias("adc_micro"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= _ADC_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch anti-joined against the corpus index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    oracle=dedent(f"""
+        WITH d AS (
+            SELECT doc_id, md5({_NORM_SQL}) AS th,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS g
+            FROM documents
+        )
+        SELECT doc_id, th FROM d
+        WHERE g < '4' AND NOT EXISTS (
+            SELECT 1 FROM d c WHERE c.g >= '4' AND c.th = d.th)
+    """),
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the day-N batch (a deterministic
+    ~25% key-hash slice stands in for it) keeps only documents whose
+    normalized-text fingerprint is absent from the already-ingested
+    corpus — the anti-join every append-only corpus runs per
+    ingestion cycle, complementing dedup_exact's full-corpus pass.
+
+    Scale shape: LEFT ANTI on the 32-byte fingerprint; both sides
+    project to (hash[, id]) before the join so the shuffle carries
+    fingerprints, not text.  The corpus side is the big one — in
+    production it is the *bucketed* fingerprint index
+    (operators/bucketing.py), making the daily anti-join a
+    zero-shuffle sort-merge against pre-bucketed files; here it is a
+    plain hash-partitioned anti-join.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    with_h = docs.select(
+        "doc_id",
+        F.md5(_norm_text(F.col("text"))).alias("th"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("g"),
+    )
+    new = with_h.filter(F.col("g") < "4").select("doc_id", "th")
+    corpus = with_h.filter(F.col("g") >= "4").select("th")
+    return new.join(corpus, on="th", how="left_anti").select("doc_id", "th")
+
+
+# ---------------------------------------------------------------------------
+# Quality gate: drop the per-language bottom quartile (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=dedent("""
+        SELECT doc_id, lang, n_chars, rk FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS BIGINT) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        ) WHERE rk > cnt // 4
+    """),
+    tags=("pipeline", "quality"),
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bottom-quartile drop: rank documents by length
+    inside each language and discard the shortest ⌊n/4⌋ — the
+    relative quality gate (absolute thresholds misfire across
+    languages; quantile gates self-calibrate per stratum).
+
+    The quartile boundary is *pure integer arithmetic* — rank and
+    count over the same window partition (one shuffle, the two window
+    functions share the exchange), keep ``rk > cnt div 4`` — because
+    percent_rank()'s (rk-1)/(n-1) division lands on engine-specific
+    double formatting only special-cases avoid; integers don't argue.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w_rank = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_all = W.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars",
+            F.row_number().over(w_rank).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("cnt"),
+        )
+        .filter(F.col("rk") > F.floor(F.col("cnt") / 4))
+        .select("doc_id", "lang", "n_chars", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge statistics: adjacent-pair frequencies
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+@register(
+    "bpe_adjacent_pairs",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+            FROM documents
+        ),
+        pairs AS (
+            SELECT t[i] || ' ' || t[i+1] AS pair
+            FROM toks CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, length(t) - 1)) AS i)
+            WHERE length(t) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT {_BPE_TOPK}
+    """),
+    tags=("pipeline", "tokenize"),
+)
+def bpe_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE merge iteration: frequencies of
+    adjacent token pairs across the corpus, top-{_BPE_TOPK} — the
+    statistic a tokenizer-training loop computes per merge (the argmax
+    pair becomes the next merge rule; token_count_bpe applies the
+    resulting vocabulary downstream).
+
+    Scale shape: explode the index sequence (not a transform-built
+    array), project the pair, partial-agg map-side (the pair
+    distribution is Zipfian — the hot pairs combine before the
+    shuffle), one exchange, TakeOrderedAndProject for the top-k —
+    never a global sort.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.split(_norm_text(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t"
+    ).select(
+        F.concat_ws(
+            " ", F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + 1),
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
+    )

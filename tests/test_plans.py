@@ -51,6 +51,13 @@ def _formatted(spark, name: str) -> str:
         ("token_freq_topk", ["TakeOrderedAndProject"]),
         # Per-group top-k: rank filter rewritten to a map-side k-heap.
         ("o6_topk_per_group", ["WindowGroupLimit"]),
+        ("group_sample_topn", ["WindowGroupLimit"]),
+        # IVF-PQ: tiny sides broadcast; final top-k is a k-heap.
+        ("ivf_pq_adc_topk", ["WindowGroupLimit", "BroadcastHashJoin"]),
+        # Incremental dedup is an anti-join on fingerprints.
+        ("dedup_incremental", ["LeftAnti"]),
+        # BPE pair top-k never global-sorts.
+        ("bpe_adjacent_pairs", ["TakeOrderedAndProject"]),
     ],
 )
 def test_plan_shape(spark, name, needles):
