@@ -20,6 +20,7 @@ from kcidb_spark.queries import kcidb_domain  # noqa: F401,E402
 from kcidb_spark.queries import coverage  # noqa: F401,E402
 from kcidb_spark.queries import ranking  # noqa: F401,E402
 from kcidb_spark.queries import mixing  # noqa: F401,E402
+from kcidb_spark.queries import integrity  # noqa: F401,E402
 
 
 def spark_queries():

@@ -1,0 +1,181 @@
+"""Data-integrity audit queries: declarative constraint checking and
+wide→long reshaping.
+
+``constraints_check`` is the deequ-style data-quality gate a corpus
+pipeline runs before promoting a snapshot: primary-key uniqueness,
+referential integrity, null and range rules — each a violation COUNT
+so the output is all-integer (exact across engines) and the pass/fail
+bit derives from it.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcidb_spark.queries.registry import register
+from kcidb_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Declarative constraint audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "constraints_check",
+    oracle=dedent("""
+        SELECT 'orders_pk_unique' AS constraint_name,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+               CAST(count(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'documents_scan_rules',
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN length(text) != n_chars
+                          THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'events_ts_nonnull',
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+    """),
+    tags=("pipeline", "integrity"),
+)
+def constraints_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-promotion data-quality gate: one row per declared
+    constraint with its violation count — PK uniqueness, two foreign
+    keys, per-row scan rules (nullability, range, n_chars==length
+    consistency), event-time presence.
+
+    Scale shape: per-row rules for one table FUSE into a single scan
+    (one agg computing every CASE sum — 'documents_scan_rules' is
+    three rules in one pass, the pattern to extend per table); FK
+    checks are LEFT ANTI joins that only shuffle the key column; the
+    PK check is count vs count-distinct in one partial agg.  Each
+    branch is independently prunable — at 100 TB you run the cheap
+    scans nightly and the FK anti-joins weekly.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    docs = table(spark, sf_dir, "documents")
+    events = table(spark, sf_dir, "events")
+
+    def one(name: str, agg) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    pk = one(
+        "orders_pk_unique",
+        orders.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+            .alias("violations")
+        ),
+    )
+    fk_orders = one(
+        "orders_custkey_fk",
+        orders.join(
+            customer,
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    fk_lineitem = one(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders,
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    doc_rules = one(
+        "documents_scan_rules",
+        docs.agg(
+            (
+                F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+                + F.sum(F.when(F.col("n_chars") < 0, 1).otherwise(0))
+                + F.sum(
+                    F.when(
+                        F.length("text") != F.col("n_chars"), 1
+                    ).otherwise(0)
+                )
+            ).alias("violations")
+        ),
+    )
+    ev_rule = one(
+        "events_ts_nonnull",
+        events.agg(
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+            .alias("violations")
+        ),
+    )
+    return (
+        pk.unionByName(fk_orders)
+        .unionByName(fk_lineitem)
+        .unionByName(doc_rules)
+        .unionByName(ev_rule)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16 — unpivot (wide → long melt)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a16_unpivot",
+    oracle=dedent("""
+        WITH wide AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+        UNION ALL
+        SELECT lang, 'sum_chars', sum_chars FROM wide
+        UNION ALL
+        SELECT lang, 'max_chars', max_chars FROM wide
+    """),
+    tags=("A", "reshape"),
+)
+def a16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-language aggregate columns reshaped to
+    (lang, metric, value) rows — the inverse of a9's pivot, via the
+    ``stack`` generator.  The reshape is a pure projection (each input
+    row fans out to 3 in the same task, no shuffle beyond the source
+    agg) — at scale melt is always preferable to N self-unions, which
+    would scan the aggregate N times.
+    """
+    wide = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    return wide.select(
+        "lang",
+        F.expr(
+            "stack(3, 'n_docs', n_docs, 'sum_chars', sum_chars,"
+            " 'max_chars', max_chars)"
+        ).alias("metric", "value"),
+    )

@@ -278,6 +278,77 @@ def t9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T10 — native session windows (dynamic-gap event-time sessions)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@register(
+    "t10_session_window",
+    oracle=dedent(f"""
+        WITH ordered AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('microsecond',
+                                          lag(ts) OVER w, ts)
+                                >= {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(ns) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+            FROM ordered
+        )
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {oracle_int_sum('value', 100)} / 100.0 AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """),
+    tags=("T8", "streaming"),
+)
+def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window(ts, gap)`` merges
+    events closer than 30 minutes into one session per user — the
+    third event-time window family after tumbling (t8) and hopping
+    (t9), and the batch twin of the streaming sessionizer in
+    streaming/windows.py (which uses applyInPandasWithState for
+    *dynamic* per-key gaps).  Unlike w_sessionize's lag+cumsum
+    formulation, session_window is a first-class Catalyst operator:
+    in streaming mode it carries mergeable state, in batch it
+    compiles to sort-within-partition + linear merge — one shuffle
+    on user_id, no window-function pass.
+
+    Boundary semantics (oracle parity): a session spans [first_ts,
+    last_ts + gap), end exclusive — an event exactly ``gap`` after
+    the previous one starts a NEW session, hence the oracle's
+    ``>= {_SESSION_GAP_US}`` µs island flag.
+    """
+    _utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            int_sum(F.col("value"), 100).alias("_sv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            as_money(F.col("_sv"), 100).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: asymmetric-distance (ADC) top-k over PQ codes
 # ---------------------------------------------------------------------------
 
