@@ -35,7 +35,15 @@ def distributed_cumsum(
     """Add ``out_col`` = inclusive cumulative sum of ``value_col`` in
     ``key_col`` order.  Keys must be unique (the scan order must be
     total for the result to be well-defined across engines).
+
+    The input is scoped-persisted: it fans out to three consumers
+    (min/max stats, the in-bucket window, the bucket totals), and the
+    caller's upstream is typically an expensive projection (e.g. a
+    tokenize) that must not re-run per consumer.
     """
+    from kcidb_spark.cache import scoped_persist
+
+    df = scoped_persist(df)
     stats = df.agg(
         F.min(key_col).alias("_kmin"),
         F.max(key_col).alias("_kmax"),

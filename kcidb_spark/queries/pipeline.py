@@ -486,7 +486,9 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import simhash_bits, simhash_hamming_pairs
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = simhash_bits(docs, n_bits=32)
+    # Both sides of the banded pair join read sig — persist so the
+    # md5-heavy fingerprint projection runs once, not per side.
+    sig = scoped_persist(simhash_bits(docs, n_bits=32))
     return simhash_hamming_pairs(sig, n_bits=32, n_bands=4, max_hamming=3)
 
 

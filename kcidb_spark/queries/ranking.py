@@ -74,11 +74,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive the final exchange.  N arrives via a broadcast 1-row
     aggregate — no driver-side count() action.
     """
+    from kcidb_spark.cache import scoped_persist
+
     docs = table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
     )
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf fans out to THREE consumers (df, N, join) — persist or the
+    # tokenize+count subtree recomputes per consumer.
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_docs"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")) / F.col("df_docs").cast("double")
@@ -131,9 +137,16 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe + one groupBy(doc_id) shuffle.  OOV rate is one exact
     integer division.
     """
+    from kcidb_spark.cache import scoped_persist
+
     docs = table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select(
-        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    # The exploded token frame feeds both the vocab top-k and the
+    # per-doc probe — persist so the explode runs once.
+    toks = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+        )
     )
     vocab = (
         toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
