@@ -1,0 +1,107 @@
+"""Registry queries that execute the REAL Structured Streaming engine
+(not batch plans that merely share code with streaming ones).
+
+t11_stream_tumbling runs ``readStream → window agg → memory sink``
+under ``Trigger.AvailableNow`` and returns the sink table — so the
+driver's DuckDB-oracle gate certifies that the *streaming* execution
+path (micro-batch planner, stateful window store, sink commit) yields
+bit-identical results to an ANSI-SQL batch oracle.  The streaming
+module's pytest suite proves batch/stream parity internally
+(test_streaming_windows.py); this makes the same claim under the
+external gate of record.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcidb_spark.queries._exact import as_money, int_sum, oracle_int_sum
+from kcidb_spark.queries.registry import register
+from kcidb_spark.queries.relational import _utc
+
+_WIN_US = 900_000_000  # 15-minute tumbling windows
+
+
+@register(
+    "t11_stream_tumbling",
+    oracle=dedent(f"""
+        SELECT make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US})
+                   AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {oracle_int_sum('value', 100)} / 100.0 AS sum_value
+        FROM events
+        GROUP BY window_start, event_type
+    """),
+    tags=("T1", "T2", "streaming"),
+)
+def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling windows computed BY THE STREAMING ENGINE:
+    file source → micro-batches (maxFilesPerTrigger caps each batch,
+    T1) → stateful window aggregation → memory sink in complete mode,
+    drained with Trigger.AvailableNow, then the committed sink table
+    is returned for the oracle compare.
+
+    Scale/semantics notes: the micro-batch boundary cannot change the
+    answer — window partial-aggs merge associatively in the state
+    store exactly as batch partials merge in an exchange (the
+    integer-scaled sum keeps that associative).  In production the
+    same query runs continuously with a watermark bounding state
+    (streaming/windows.py); AvailableNow is the batch-drain mode used
+    for backfills, giving one deterministic final state.  The nanos
+    timestamp column is read as raw int64 exactly like tables.table
+    (streaming scans push predicates the same way).
+    """
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # The file source wants a DIRECTORY (it watches for new files —
+    # that is the point of a stream); scope it to the events file via
+    # a glob filter.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            int_sum(F.col("value"), 100).alias("_sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            as_money(F.col("_sv"), 100).alias("sum_value"),
+        )
+    )
+    qname = f"t11_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="t11_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The sink rows live in memory; the checkpoint is only needed by
+    # the (now finished) run — don't leak tempdirs across a long
+    # session.
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)
