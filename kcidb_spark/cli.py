@@ -13,6 +13,15 @@ kcidb/db/__init__.py db tools).
     python -m kcidb_spark.cli query    -d DIR [-c ID]... [--parents] [--children]
     python -m kcidb_spark.cli oo-query -d DIR -p PATTERN
     python -m kcidb_spark.cli ingest   -d DIR --spool DIR < reports.jsonl
+    python -m kcidb_spark.cli schema
+    python -m kcidb_spark.cli db-schemas
+    python -m kcidb_spark.cli db-init    -d DIR [--ignore-initialized]
+    python -m kcidb_spark.cli db-cleanup -d DIR [--ignore-not-initialized]
+    python -m kcidb_spark.cli db-upgrade -d DIR
+    python -m kcidb_spark.cli db-time    -d DIR
+    python -m kcidb_spark.cli notify     -d DIR
+    python -m kcidb_spark.cli submit     --queue DIR < reports.jsonl
+    python -m kcidb_spark.cli monitor-spool-wipe --spool DIR [--before ISO]
 
 Stream tools (validate/upgrade/count/merge) are pure Python — no
 SparkSession is started for them (CLI latency parity with the
@@ -74,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kcidb-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    for name in ("validate", "upgrade", "count", "merge", "url-stats"):
+    for name in ("validate", "upgrade", "count", "merge", "url-stats",
+                 "schema", "db-schemas"):
         sub.add_parser(name)
 
     def add_db(name):
@@ -113,6 +123,22 @@ def main(argv: list[str] | None = None) -> int:
     p = add_db("ingest")
     p.add_argument("--spool", required=True, help="notification spool dir")
 
+    p = add_db("db-init")
+    p.add_argument("--ignore-initialized", action="store_true")
+    p = add_db("db-cleanup")
+    p.add_argument("--ignore-not-initialized", action="store_true")
+    add_db("db-upgrade")
+    add_db("db-time")
+    add_db("notify")
+
+    p = sub.add_parser("submit")
+    p.add_argument("--queue", required=True,
+                   help="ingest queue directory (file-source inbox)")
+
+    p = sub.add_parser("monitor-spool-wipe")
+    p.add_argument("--spool", required=True)
+    p.add_argument("--before", type=_parse_ts, default=None)
+
     args = ap.parse_args(argv)
 
     # -- sparkless stream tools ----------------------------------------
@@ -135,6 +161,55 @@ def main(argv: list[str] | None = None) -> int:
                 "by_host": dict(sorted(hosts.items())),
             }
         )
+        return 0
+
+    if args.cmd == "schema":
+        # Reference kcidb-schema: print the I/O JSON schema document.
+        from kcidb_spark.schema.validation import io_json_schema
+
+        _emit(io_json_schema())
+        return 0
+
+    if args.cmd == "db-schemas":
+        # Reference kcidb-db-schemas: the store versions this engine
+        # can open (and migrate between).
+        from kcidb_spark.store.versioning import STORE_VERSION
+
+        _emit(
+            {
+                "4.0": "legacy store (valid columns, no issue versions)"
+                       " — openable via db-upgrade",
+                f"{STORE_VERSION[0]}.{STORE_VERSION[1]}": "current",
+            }
+        )
+        return 0
+
+    if args.cmd == "submit":
+        # Reference kcidb-submit publishes reports to the ingest queue
+        # (Pub/Sub there; the streaming file-source inbox here — the
+        # ingest pipeline's readStream watches this directory).
+        import os
+        import uuid
+
+        os.makedirs(args.queue, exist_ok=True)
+        n = 0
+        for r in _read_reports(sys.stdin):
+            from kcidb_spark.schema.io import validate
+
+            validate(r)
+            name = os.path.join(args.queue, f"report-{uuid.uuid4().hex}.json")
+            with open(name + ".tmp", "w", encoding="utf-8") as f:
+                json.dump(r, f)
+            os.rename(name + ".tmp", name)  # atomic appearance
+            n += 1
+        _emit({"submitted": n})
+        return 0
+
+    if args.cmd == "monitor-spool-wipe":
+        from kcidb_spark.streaming.notify import NotificationSpool
+
+        spool = NotificationSpool(_spark(), args.spool)
+        _emit({"wiped": spool.wipe(before=args.before)})
         return 0
 
     if args.cmd in ("validate", "upgrade", "count", "merge"):
@@ -161,6 +236,76 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # -- store tools ----------------------------------------------------
+    if args.cmd == "db-init":
+        import os
+
+        from kcidb_spark.store.versioning import (
+            read_version,
+            write_version,
+        )
+
+        if read_version(args.database) is not None:
+            if not args.ignore_initialized:
+                print(f"store {args.database} is already initialized",
+                      file=sys.stderr)
+                return 1
+            return 0
+        os.makedirs(args.database, exist_ok=True)
+        write_version(args.database)
+        return 0
+
+    if args.cmd == "db-cleanup":
+        import shutil
+
+        from kcidb_spark.store.versioning import read_version
+
+        if read_version(args.database) is None:
+            if not args.ignore_not_initialized:
+                print(f"store {args.database} is not initialized",
+                      file=sys.stderr)
+                return 1
+            return 0
+        shutil.rmtree(args.database)
+        return 0
+
+    if args.cmd == "db-upgrade":
+        from kcidb_spark.store.versioning import ensure_current
+
+        ensure_current(_spark(), args.database)
+        return 0
+
+    if args.cmd == "db-time":
+        # Reference kcidb-db-time: the database's own notion of "now"
+        # (used as a consistent --until bound for dumps).
+        spark = _spark()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        row = spark.sql(
+            "SELECT date_format(current_timestamp(),"
+            " \"yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx\") AS now"
+        ).collect()[0]
+        print(row["now"])
+        return 0
+
+    if args.cmd == "notify":
+        # Reference kcidb-notify: evaluate subscriptions over the data
+        # and emit one notification JSON per line.
+        from kcidb_spark.orm.types import type_views
+        from kcidb_spark.schema.graph import TABLES
+        from kcidb_spark.streaming.notify import (
+            default_subscriptions,
+            match_subscriptions,
+        )
+
+        store = _store(args)
+        views = type_views(
+            {t: store.table(t, with_metadata=True) for t in TABLES}
+        )
+        notifications = match_subscriptions(views, default_subscriptions())
+        if notifications is not None:
+            for row in notifications.collect():
+                _emit_line(row.asDict())
+        return 0
+
     if args.cmd == "db-load":
         store = _store(args)
         for r in _read_reports(sys.stdin):

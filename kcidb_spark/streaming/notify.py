@@ -206,3 +206,55 @@ class NotificationSpool:
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)
         return len(rows)
+
+    def wipe(self, before: "datetime.datetime | None" = None) -> int:
+        """Delete spooled notifications created before ``before`` (all
+        of them when None) — the reference's kcidb-monitor-spool-wipe
+        (kcidb/monitor/spool/__init__.py wipe).  Returns rows removed.
+        Local-parquet rewrite; on a lake this is a partition drop when
+        the spool is date-partitioned on created_at."""
+        total = self.all().count()
+        if not total:
+            return 0
+        if before is None:
+            kept = self.spark.createDataFrame([], _SPOOL_SCHEMA)
+            n_kept = 0
+        else:
+            kept = self.all().filter(F.col("created_at") >= F.lit(before))
+            n_kept = kept.count()
+        import shutil
+
+        tmp = self.path + ".updating"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        return total - n_kept
+
+
+def default_subscriptions() -> "list[Subscription]":
+    """The built-in subscription set — the analog of the reference's
+    kcidb/monitor/subscriptions/ package: the always-on "test"-origin
+    subscription over every object type (subscriptions/test.py) plus a
+    mainline-style failed-build alert (subscriptions/mainline.py's
+    build-status rule, minus the tree filter which is deployment
+    config)."""
+    subs = [
+        Subscription.from_templates(
+            name="test",
+            obj_type=t,
+            predicate=F.col("origin") == "test",
+            subject=f"Test {t}: {{id}}",
+            body=f"Test {t} detected!\n\nid: {{id}}\norigin: {{origin}}",
+        )
+        for t in ("checkout", "build", "test", "issue", "incident")
+    ]
+    subs.append(
+        Subscription.from_templates(
+            name="build_failures",
+            obj_type="build",
+            predicate=F.col("status") == "FAIL",
+            subject="Build failed: {id}",
+            body="Build {id} (origin {origin}) has status FAIL.",
+        )
+    )
+    return subs

@@ -116,3 +116,102 @@ def test_url_stats(monkeypatch, capsys):
     stats = json.loads(out)
     assert stats["total_urls"] == stats["distinct_urls"] > 5
     assert "example.org" in stats["by_host"]
+
+
+def test_schema_and_db_schemas(monkeypatch, capsys):
+    rc, out = run_cli(monkeypatch, capsys, ["schema"])
+    assert rc == 0
+    doc = json.loads(out)
+    assert doc.get("type") == "object" and "properties" in doc
+
+    rc, out = run_cli(monkeypatch, capsys, ["db-schemas"])
+    assert rc == 0
+    assert json.loads(out)["5.3"] == "current"
+
+
+def test_db_init_cleanup(monkeypatch, capsys, tmp_path, spark):
+    d = str(tmp_path / "fresh")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-init", "-d", d])
+    assert rc == 0
+    # Second init fails without the flag, succeeds with it.
+    rc, _ = run_cli(monkeypatch, capsys, ["db-init", "-d", d])
+    assert rc == 1
+    rc, _ = run_cli(
+        monkeypatch, capsys, ["db-init", "-d", d, "--ignore-initialized"]
+    )
+    assert rc == 0
+    rc, _ = run_cli(monkeypatch, capsys, ["db-cleanup", "-d", d])
+    assert rc == 0
+    rc, _ = run_cli(monkeypatch, capsys, ["db-cleanup", "-d", d])
+    assert rc == 1
+    rc, _ = run_cli(
+        monkeypatch, capsys,
+        ["db-cleanup", "-d", d, "--ignore-not-initialized"],
+    )
+    assert rc == 0
+
+
+def test_db_time(monkeypatch, capsys, tmp_path, spark):
+    import datetime
+
+    rc, out = run_cli(
+        monkeypatch, capsys, ["db-time", "-d", str(tmp_path / "db")]
+    )
+    assert rc == 0
+    now = datetime.datetime.fromisoformat(out.strip())
+    assert now.tzinfo is not None
+    delta = abs(
+        datetime.datetime.now(datetime.timezone.utc) - now
+    )
+    assert delta.total_seconds() < 300
+
+
+def test_submit_then_notify(monkeypatch, capsys, tmp_path, spark):
+    import os
+
+    q = str(tmp_path / "queue")
+    rep = graph_fixture()
+    rc, out = run_cli(
+        monkeypatch, capsys, ["submit", "--queue", q], json.dumps(rep)
+    )
+    assert rc == 0 and json.loads(out)["submitted"] == 1
+    files = os.listdir(q)
+    assert len(files) == 1 and files[0].endswith(".json")
+
+    # Load the submitted report, then notify over the store: the
+    # fixture's "test"-origin objects match the default subscription.
+    d = str(tmp_path / "db")
+    with open(os.path.join(q, files[0]), encoding="utf-8") as f:
+        rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", d], f.read())
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys, ["notify", "-d", d])
+    assert rc == 0
+    lines = [json.loads(x) for x in out.splitlines() if x.strip()]
+    origins = {
+        o.get("origin")
+        for objs in rep.values() if isinstance(objs, list)
+        for o in objs
+    }
+    if "test" in origins:
+        assert any(n["subscription"] == "test" for n in lines)
+    # Every notification is capped and well-formed.
+    for n in lines:
+        assert len(n["subject"]) <= 256 and len(n["body"]) <= 65536
+
+
+def test_monitor_spool_wipe(monkeypatch, capsys, tmp_path, spark):
+    from kcidb_spark.streaming.notify import NotificationSpool
+
+    spool_dir = str(tmp_path / "spool")
+    spool = NotificationSpool(spark, spool_dir)
+    df = spark.createDataFrame(
+        [("n1", "s", "build", "b1", "subj", "body")],
+        "id string, subscription string, obj_type string,"
+        " obj_id string, subject string, body string",
+    )
+    assert spool.spool(df) == 1
+    rc, out = run_cli(
+        monkeypatch, capsys, ["monitor-spool-wipe", "--spool", spool_dir]
+    )
+    assert rc == 0 and json.loads(out)["wiped"] == 1
+    assert spool.all().count() == 0
