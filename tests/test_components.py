@@ -30,3 +30,35 @@ def test_long_chain_converges(spark):
     comp = connected_components(pairs).collect()
     assert {r["cluster"] for r in comp} == {100}
     assert len(comp) == 13
+
+
+def test_star_matches_minlabel_random(spark):
+    import random
+
+    from kcidb_spark.operators.components import connected_components_star
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = {(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(45))}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "a long, b long"
+    )
+    ml = {r["node"]: r["cluster"]
+          for r in connected_components(pairs).collect()}
+    st = {r["node"]: r["cluster"]
+          for r in connected_components_star(pairs).collect()}
+    assert st == ml
+
+
+def test_star_long_chain_few_rounds(spark):
+    """A 200-node chain (diameter 199) must close in O(log n) rounds —
+    min-label would need 199."""
+    from kcidb_spark.operators.components import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    comp = connected_components_star(pairs, max_iter=12).collect()
+    assert len(comp) == 200
+    assert {r["cluster"] for r in comp} == {0}
