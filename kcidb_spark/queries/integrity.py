@@ -12,11 +12,12 @@ from __future__ import annotations
 
 from textwrap import dedent
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
+import os
 
 # ---------------------------------------------------------------------------
 # Declarative constraint audit
@@ -179,3 +180,73 @@ def a16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'max_chars', max_chars)"
         ).alias("metric", "value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W — ntile bucketing (balanced quantile assignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_ntile_quartiles",
+    oracle=dedent("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS BIGINT) AS tile
+        FROM orders
+    """),
+    tags=("W",),
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced quartile assignment per priority class via ntile(4) —
+    the window primitive behind equal-size curriculum/price banding
+    (both engines define ntile identically: ⌈n/4⌉-or-⌊n/4⌋ balanced
+    buckets in frame order, integer output, no float quantile edge).
+    One shuffle on the partition key; the per-key sort feeds the same
+    exchange any same-key rollup reuses."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("tile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17 — GROUPING SETS (disjoint rollup axes in one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a17_grouping_sets",
+    oracle=dedent("""
+        SELECT lang, source,
+               CAST(2 * grouping(lang) + grouping(source) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """),
+    tags=("A", "rollup"),
+)
+def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-language totals, per-source
+    totals, and the grand total in ONE scan (cube/rollup's general
+    form, a11's complement: disjoint axes instead of the full
+    lattice).  ``gid`` disambiguates which axis produced a row from
+    the NULLs grouping introduces (2·grouping(lang)+grouping(source),
+    spelled identically in both engines).  Spark expands the sets
+    into one Expand + single partial-agg exchange — never N scans
+    UNION ALLed.
+    """
+    path = os.path.join(sf_dir, "documents.parquet")
+    return spark.sql(f"""
+        SELECT lang, source,
+               CAST(2 * grouping(lang) + grouping(source) AS BIGINT) AS gid,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """)

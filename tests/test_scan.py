@@ -39,3 +39,28 @@ def test_cumsum_window_is_bucket_partitioned(spark):
     )
     # The in-bucket scan window carries _bkt in its partition spec.
     assert "windowspecdefinition(_bkt" in plan
+
+
+def test_cumsum_property(spark):
+    """Hypothesis-style randomized check (fixed seeds for CI
+    determinism): arbitrary unique keys incl. negatives and gaps,
+    arbitrary values incl. zeros/negatives, several bucket counts."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 300)
+        keys = rng.sample(range(-10_000, 10_000), n)
+        rows = [(k, rng.randrange(-50, 50)) for k in keys]
+        df = spark.createDataFrame(rows, "k long, v long")
+        nb = rng.choice([1, 7, 64])
+        got = {
+            r["k"]: r["c"]
+            for r in distributed_cumsum(
+                df, "k", "v", out_col="c", n_buckets=nb
+            ).collect()
+        }
+        run = 0
+        for k, v in sorted(rows):
+            run += v
+            assert got[k] == run, (seed, nb, k)
