@@ -250,3 +250,104 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM parquet.`{path}`
         GROUP BY GROUPING SETS ((lang), (source), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# A18 — robust statistics: trimmed mean + median + MAD per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a18_robust_stats",
+    oracle=dedent("""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        ),
+        trimmed AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_sum
+            FROM ranked
+            WHERE rk > cnt // 10 AND rk <= cnt - cnt // 10
+            GROUP BY lang
+        ),
+        med AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5) AS med
+            FROM documents GROUP BY lang
+        ),
+        mad AS (
+            SELECT d.lang,
+                   quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad
+            FROM documents d JOIN med ON d.lang = med.lang
+            GROUP BY d.lang
+        )
+        SELECT t.lang, t.n_kept, t.kept_sum,
+               t.kept_sum / CAST(t.n_kept AS DOUBLE) AS trimmed_mean,
+               med.med AS median, mad.mad AS mad
+        FROM trimmed t
+        JOIN med ON t.lang = med.lang
+        JOIN mad ON t.lang = mad.lang
+    """),
+    tags=("A", "robust"),
+)
+def a18_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant per-group statistics — the robust triple a
+    quality pipeline prefers over mean/stddev on heavy-tailed length
+    distributions: 10%-trimmed mean (drop ⌊n/10⌋ from each tail —
+    integer rank boundaries, exact integer sum, ONE final IEEE
+    division), median, and median-absolute-deviation (both via
+    ``percentile``, which interpolates bit-identically to DuckDB's
+    ``quantile_cont`` — probed in round 1).
+
+    Plan: rank+count windows share one lang-keyed exchange with the
+    trimmed rollup; the MAD pass joins the broadcast per-lang medians
+    back and re-aggregates — two scans total, both partial-agg
+    shuffles on the same low-cardinality key.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w_rank = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_all = W.partitionBy("lang")
+    ranked = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    trimmed = (
+        ranked.filter(
+            (F.col("rk") > F.floor(F.col("cnt") / 10))
+            & (F.col("rk") <= F.col("cnt") - F.floor(F.col("cnt") / 10))
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_sum"),
+        )
+    )
+    med = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("med")
+    )
+    mad = (
+        docs.join(F.broadcast(med), on="lang")
+        .groupBy("lang")
+        .agg(
+            F.percentile(
+                F.abs(F.col("n_chars") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    return (
+        trimmed.join(F.broadcast(med), on="lang")
+        .join(F.broadcast(mad), on="lang")
+        .select(
+            "lang", "n_kept", "kept_sum",
+            (F.col("kept_sum") / F.col("n_kept").cast("double"))
+            .alias("trimmed_mean"),
+            F.col("med").alias("median"),
+            "mad",
+        )
+    )

@@ -56,6 +56,8 @@ def _formatted(spark, name: str) -> str:
         ("ivf_pq_adc_topk", ["WindowGroupLimit", "BroadcastHashJoin"]),
         # Incremental dedup is an anti-join on fingerprints.
         ("dedup_incremental", ["LeftAnti"]),
+        # GROUPING SETS is one Expand + one agg, not N unioned scans.
+        ("a17_grouping_sets", ["Expand"]),
         # BPE pair top-k never global-sorts.
         ("bpe_adjacent_pairs", ["TakeOrderedAndProject"]),
     ],
