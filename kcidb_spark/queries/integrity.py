@@ -253,6 +253,71 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O7 — null semantics: ordering, grouping, null-safe equality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o7_null_semantics",
+    oracle=dedent("""
+        WITH d AS (
+            SELECT doc_id, source, NULLIF(lang, 'zh') AS lang_n
+            FROM documents
+        ),
+        grp AS (
+            SELECT lang_n AS lang_g, CAST(count(*) AS BIGINT) AS grp_n
+            FROM d GROUP BY lang_n
+        )
+        SELECT d.doc_id, d.lang_n,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY d.lang_n ASC NULLS FIRST, d.doc_id
+               ) AS BIGINT) AS rk_nf,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY d.lang_n DESC NULLS LAST, d.doc_id
+               ) AS BIGINT) AS rk_nl,
+               grp.grp_n
+        FROM d JOIN grp ON d.lang_n IS NOT DISTINCT FROM grp.lang_g
+    """),
+    tags=("O", "nulls"),
+)
+def o7_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-semantics minefield, pinned down cross-engine: window
+    ordering with EXPLICIT null placement (Spark defaults NULLS FIRST
+    on ASC, DuckDB defaults NULLS LAST — relying on either default is
+    a silent cross-engine divergence), NULL as a first-class GROUP BY
+    key, and a null-safe equi-join (``eqNullSafe`` / IS NOT DISTINCT
+    FROM — a plain ``=`` join silently DROPS the null group).  Nulls
+    are synthesized via NULLIF since the synthetic corpus has none.
+
+    Plan: both rank windows share the source-partitioned exchange;
+    the group-count side is a broadcast; null-safe equality still
+    hash-partitions correctly (null hashes like any key) so nothing
+    degenerates to a nested loop.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.expr("nullif(lang, 'zh')").alias("lang_n")
+    )
+    grp = d.groupBy(F.col("lang_n").alias("lang_g")).agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    w_nf = W.partitionBy("source").orderBy(
+        F.asc_nulls_first("lang_n"), F.asc("doc_id")
+    )
+    w_nl = W.partitionBy("source").orderBy(
+        F.desc_nulls_last("lang_n"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rk_nf", F.row_number().over(w_nf).cast("long"))
+        .withColumn("rk_nl", F.row_number().over(w_nl).cast("long"))
+        .join(F.broadcast(grp), d["lang_n"].eqNullSafe(grp["lang_g"]))
+        .select("doc_id", "lang_n", "rk_nf", "rk_nl", "grp_n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A18 — robust statistics: trimmed mean + median + MAD per group
 # ---------------------------------------------------------------------------
 
