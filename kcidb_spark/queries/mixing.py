@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from kcidb_spark.operators.similarity import dot_expr
 from kcidb_spark.queries._exact import as_money, int_sum, oracle_int_sum
 from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
+from kcidb_spark.queries.ranking import _PACK_WINDOW as _PACK_WINDOW_REF
 from kcidb_spark.queries.registry import register
 from kcidb_spark.queries.relational import _utc
 from kcidb_spark.tables import table
@@ -616,6 +617,120 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") > F.floor(F.col("cnt") / 4))
         .select("doc_id", "lang", "n_chars", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus assembly: quality → dedup → mix → pack in one DAG
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_assemble_corpus",
+    oracle=dedent(f"""
+        WITH normed AS (
+            SELECT doc_id, lang, n_chars, {_NORM_SQL} AS norm
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, norm,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM normed
+        ),
+        q AS (
+            SELECT doc_id, lang, norm, md5(norm) AS th
+            FROM ranked WHERE rk > cnt // 4
+        ),
+        keepers AS (
+            SELECT th, min(doc_id) AS keep_id FROM q GROUP BY th
+        ),
+        dd AS (
+            SELECT q.doc_id, q.lang, q.norm
+            FROM q JOIN keepers
+              ON q.th = keepers.th AND q.doc_id = keepers.keep_id
+        ),
+        s AS (
+            SELECT doc_id, lang, norm FROM dd
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  < CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+        ),
+        toks AS (
+            SELECT doc_id, lang,
+                   CAST(length(string_split(norm, ' ')) AS BIGINT) AS n
+            FROM s
+        ),
+        cum AS (
+            SELECT doc_id, lang, n,
+                   SUM(n) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+            FROM toks
+        )
+        SELECT doc_id, lang, n AS n_tokens,
+               CAST(c - n AS BIGINT) AS start_offset,
+               CAST(floor((c - n) / {_PACK_WINDOW_REF}) AS BIGINT)
+                   AS window_id
+        FROM cum
+    """),
+    tags=("pipeline", "composed"),
+)
+def pipeline_assemble_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus assembly line as ONE lazy DAG —
+    per-language bottom-quartile quality gate → exact dedup (keep the
+    smallest id per normalized-text fingerprint) → temperature-mix
+    stratified sampling (en downweighted) → sequence packing into
+    {_PACK_WINDOW_REF}-token windows via the distributed prefix scan.
+    This is the composed form of quality_percentile_filter +
+    dedup_exact + sample_stratified + seq_pack_windows, proving the
+    stages fuse without materialization barriers between them.
+
+    Scale shape: the quality windows share one lang exchange; dedup is
+    a fingerprint-keyed partial-agg + keeper join (the q frame is
+    scoped-persisted — it feeds both); the sample gate is a map-side
+    filter; packing adds one bucket shuffle + a ≤64-row broadcast.
+    Four logical stages, four shuffles total, every intermediate
+    column pruned as soon as its stage no longer needs it.
+    """
+    from kcidb_spark.cache import scoped_persist
+    from kcidb_spark.operators.scan import distributed_cumsum
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    normed = docs.select(
+        "doc_id", "lang", "n_chars", _norm_text(F.col("text")).alias("norm")
+    )
+    w_rank = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_all = W.partitionBy("lang")
+    q = scoped_persist(
+        normed.select(
+            "doc_id", "lang", "norm",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("cnt"),
+        )
+        .filter(F.col("rk") > F.floor(F.col("cnt") / 4))
+        .select("doc_id", "lang", "norm", F.md5("norm").alias("th"))
+    )
+    keepers = q.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    dd = q.join(
+        keepers,
+        (q["th"] == keepers["th"]) & (q["doc_id"] == keepers["keep_id"]),
+    ).select(q["doc_id"], q["lang"], q["norm"])
+    s = dd.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.when(F.col("lang") == "en", "8").otherwise("4")
+    )
+    toks = s.select(
+        "doc_id", "lang",
+        F.size(F.split("norm", " ")).cast("long").alias("n"),
+    )
+    cum = distributed_cumsum(toks, "doc_id", "n", out_col="c")
+    start = F.col("c") - F.col("n")
+    return cum.select(
+        "doc_id", "lang",
+        F.col("n").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / _PACK_WINDOW_REF).cast("long").alias("window_id"),
     )
 
 
