@@ -253,6 +253,67 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q14 — promo revenue share (conditional-aggregate ratio + broadcast dim)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=dedent("""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)
+                   ELSE 0 END) AS BIGINT)
+               / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)) AS BIGINT)
+                   AS promo_revenue_pct,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """),
+    tags=("A", "J1"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one-month shipdate slice (pushed to the scan)
+    joined to the part dimension, then a conditional-aggregate ratio —
+    promo revenue as a percentage of total.  Both sums are
+    scaled-integer exact; the percentage is
+    ``100.0 · promo / total`` — int-to-double conversions are exact,
+    the multiply and divide are single correctly-rounded IEEE ops in
+    the same order on both engines.  The part side joins broadcast
+    (dimension-sized), so the plan is scan → BHJ → partial agg →
+    1-row exchange.
+    """
+    from kcidb_spark.queries.relational import _utc as _utc_rel
+
+    _utc_rel(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0)
+            ).cast("long")
+            / F.sum(rev).cast("long")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O7 — null semantics: ordering, grouping, null-safe equality
 # ---------------------------------------------------------------------------
 
