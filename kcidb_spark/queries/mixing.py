@@ -688,10 +688,12 @@ def pipeline_assemble_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the quality windows share one lang exchange; dedup is
     a fingerprint-keyed partial-agg + keeper join (the q frame is
-    scoped-persisted — it feeds both); the sample gate is a map-side
-    filter; packing adds one bucket shuffle + a ≤64-row broadcast.
-    Four logical stages, four shuffles total, every intermediate
-    column pruned as soon as its stage no longer needs it.
+    scoped-persisted — it feeds both sides without recomputing the
+    tokenize); the sample gate is a map-side filter costing nothing;
+    packing adds one bucket shuffle + a ≤64-row broadcast.  One
+    parquet scan feeds everything (plan-audited: every later stage
+    reads the cached frames, never the file), and each stage's
+    columns are pruned as soon as the next no longer needs them.
     """
     from kcidb_spark.cache import scoped_persist
     from kcidb_spark.operators.scan import distributed_cumsum
