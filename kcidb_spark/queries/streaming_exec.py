@@ -105,3 +105,55 @@ def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
+
+
+@register(
+    "t12_stream_dedup",
+    oracle=dedent("""
+        SELECT event_type,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events
+        GROUP BY event_type
+    """),
+    tags=("T6", "streaming"),
+)
+def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming engine's STATEFUL DEDUP operator under the
+    oracle gate: ``dropDuplicates`` on a stream keeps per-key state
+    across micro-batches (the T6 notification-dedup primitive — the
+    spool's insert-if-absent is this operator with a parquet-backed
+    state store), then a per-type rollup.  Batch oracle: COUNT
+    DISTINCT.  In production the dedup carries
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` so state
+    ages out; the bounded AvailableNow drain needs no watermark and
+    yields one deterministic final state.
+    """
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    qname = f"t12_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="t12_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)
