@@ -253,6 +253,111 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch aggregations — the 100 TB approximate-rollup family
+# ---------------------------------------------------------------------------
+#
+# HLL++/quantile sketches are mergeable partial aggregates — THE
+# mechanism for distinct-counts and quantiles at 100 TB (exact
+# count-distinct shuffles every key; a sketch ships ~1.5 KB per
+# partition).  Sketch internals differ between engines, so these two
+# register WITHOUT a DuckDB oracle (the driver records a rows-only
+# check); their accuracy contract is property-tested against exact
+# answers in test_sketches.py instead.
+
+
+@register("sketch_distinct_users", oracle=None, tags=("A", "sketch"))
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HyperLogLog++
+    (``approx_count_distinct``, rsd=2%) next to the exact count —
+    at scale the sketch column replaces the exact one and the rollup
+    becomes re-aggregable across days/partitions (HLL union is the
+    merge).  test_sketches.py pins the relative error ≤ 5·rsd."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            ),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err_pct",
+            F.round(
+                100.0
+                * F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                2,
+            ),
+        )
+    )
+
+
+@register("sketch_value_quantiles", oracle=None, tags=("A", "sketch"))
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles via the Greenwald-Khanna sketch
+    (``percentile_approx``, accuracy 1/ε=10000) — the re-aggregable
+    alternative to a15's exact per-group sort at extreme group
+    cardinality.  Each output row carries the approx p50/p95 and the
+    exact ones; test_sketches.py pins the rank error."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_q"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("exact_p50"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("exact_p95"),
+    ).select(
+        "event_type",
+        F.col("approx_q")[0].alias("approx_p50"),
+        F.col("approx_q")[1].alias("approx_p95"),
+        "exact_p50",
+        "exact_p95",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — RANGE frame window (interval-bounded running aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_range_frame_sum",
+    oracle=dedent("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                   AND CURRENT ROW
+               ) AS BIGINT) / 100.0 AS rolling_30m
+        FROM events
+        WHERE user_id <= 20
+    """),
+    tags=("W",),
+)
+def w_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute rolling sum per user — a RANGE frame bounded by
+    event-time distance, not row count (ROWS frames count neighbors;
+    RANGE frames look back an interval, the correct semantics for
+    irregular event streams).  Spark expresses interval RANGE frames
+    over the epoch-seconds ordering column; DuckDB writes the same
+    frame natively over the timestamp — identical row sets, and the
+    scaled-integer sum keeps the frame aggregation order-proof.  Ties
+    (equal ts) are IN the frame together on both engines — RANGE
+    includes peers, which is exactly why no ROWS formulation can
+    mimic it."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1800, 0)
+    )
+    rolling = F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+    return ev.select(
+        "event_id", "user_id",
+        (rolling.cast("long") / 100.0).alias("rolling_30m"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q14 — promo revenue share (conditional-aggregate ratio + broadcast dim)
 # ---------------------------------------------------------------------------
 
