@@ -253,6 +253,76 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W — rank-ratio window functions (percent_rank / cume_dist / dense_rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_rank_ratios",
+    oracle=dedent("""
+        SELECT doc_id, lang,
+               CAST(rank() OVER w AS BIGINT) AS rk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """),
+    tags=("W",),
+)
+def w_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window: rank,
+    dense_rank, percent_rank, cume_dist.  The two ratio functions ARE
+    cross-engine hashable despite being doubles: percent_rank is
+    (rank−1)/(n−1) and cume_dist is peers≤current/n — single IEEE
+    divisions of identical integers, bit-stable everywhere (contrast
+    a *sum* of doubles, which is not).  All four share one
+    lang-partitioned exchange and sort."""
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — predicate aggregates (count_if / bool_and / bool_or)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_agg_predicates",
+    oracle=dedent("""
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE value > 50) AS BIGINT)
+                   AS n_high,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 99) AS any_gt99
+        FROM events
+        GROUP BY event_type
+    """),
+    tags=("F", "A"),
+)
+def f_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates — conditional count and boolean
+    conjunction/disjunction rollups (count_if / bool_and / bool_or,
+    spelled COUNT(*) FILTER / bool_and / bool_or in ANSI), the
+    assertion-rollup primitives constraints_check builds on.  All
+    three partial-aggregate: booleans merge with AND/OR map-side, so
+    the exchange carries one row per (partition, type)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_gt99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregations — the 100 TB approximate-rollup family
 # ---------------------------------------------------------------------------
 #
