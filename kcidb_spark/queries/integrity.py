@@ -253,6 +253,140 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U4/U5 — multiset set-ops and union-by-name
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u4_multiset_ops",
+    oracle=dedent("""
+        WITH a AS (SELECT lang FROM documents WHERE n_chars >= 200),
+             b AS (SELECT lang FROM documents WHERE source = 'src1')
+        SELECT 'intersect_all' AS op, lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang FROM a INTERSECT ALL SELECT lang FROM b)
+        GROUP BY lang
+        UNION ALL
+        SELECT 'except_all', lang, CAST(count(*) AS BIGINT)
+        FROM (SELECT lang FROM a EXCEPT ALL SELECT lang FROM b)
+        GROUP BY lang
+    """),
+    tags=("U",),
+)
+def u4_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the *multiset* set operations
+    (u2/u3 cover the distinct forms): duplicates carry multiplicity,
+    so ``a EXCEPT ALL b`` keeps max(count_a − count_b, 0) copies per
+    value.  Spark lowers both to a single count-aggregate + generate
+    (one shuffle each), never a join per duplicate."""
+    docs = table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("n_chars") >= 200).select("lang")
+    b = docs.filter(F.col("source") == "src1").select("lang")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "lang", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "lang", "n")
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "u5_union_by_name",
+    oracle=dedent("""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(n_chars) AS BIGINT) AS with_chars,
+               CAST(count(src) AS BIGINT) AS with_src
+        FROM (
+            SELECT lang, n_chars, NULL AS src FROM documents
+            WHERE doc_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT source AS src, lang FROM documents
+            WHERE doc_id % 2 = 1
+        )
+        GROUP BY lang
+    """),
+    tags=("U",),
+)
+def u5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by NAME with missing columns — schema-evolution-tolerant
+    concatenation (two report generations with different column sets
+    align by name, absent columns become NULL) — Spark's
+    ``unionByName(allowMissingColumns=True)`` ≡ DuckDB's
+    ``UNION ALL BY NAME``.  Positional UNION here would silently pair
+    lang with src — by-name is the only safe form once schemas
+    drift."""
+    docs = table(spark, sf_dir, "documents")
+    old_gen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", "n_chars"
+    )
+    new_gen = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("source").alias("src"), "lang"
+    )
+    both = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return both.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("n_chars").alias("with_chars"),
+        F.count("src").alias("with_src"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — value-picking window functions (first/last/nth, IGNORE NULLS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_value_picks",
+    oracle=dedent("""
+        SELECT doc_id, lang,
+               first_value(doc_id) OVER w AS shortest_doc,
+               last_value(doc_id) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING
+               ) AS longest_doc,
+               nth_value(doc_id, 2) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING
+               ) AS second_shortest
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+    """),
+    tags=("W",),
+)
+def w_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with EXPLICIT full-frame
+    bounds — the classic trap is the default frame (RANGE UNBOUNDED
+    PRECEDING → CURRENT ROW), under which last_value degenerates to
+    the current row on every engine; spelling ROWS UNBOUNDED
+    PRECEDING/FOLLOWING is the only portable form.  One partition
+    exchange serves all three picks."""
+    docs = table(spark, sf_dir, "documents")
+    full = (
+        W.partitionBy("lang")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        F.first("doc_id").over(full).alias("shortest_doc"),
+        F.last("doc_id").over(full).alias("longest_doc"),
+        F.nth_value("doc_id", 2).over(full).alias("second_shortest"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W — rank-ratio window functions (percent_rank / cume_dist / dense_rank)
 # ---------------------------------------------------------------------------
 
