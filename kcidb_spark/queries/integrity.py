@@ -253,6 +253,108 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q17/Q22 — correlated subqueries (scalar and anti-join + global agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity",
+    oracle=dedent("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) / 700.0 AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """),
+    tags=("A", "J"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED SCALAR SUBQUERY (per-part 20%%
+    of average quantity) filtering the outer join — Catalyst
+    decorrelates it into an aggregate + equi-join, never a per-row
+    re-execution (the naive reading would rescan lineitem once per
+    outer row; the decorrelated plan scans it exactly twice).
+    ``avg(l_quantity)`` is portable here because quantities are
+    integral — double addition of integers is exact (no rounding
+    until 2^53), so the sum is order-independent and the avg one
+    division.  The revenue sum stays scaled-integer.
+    """
+    from kcidb_spark.queries.relational import _utc as _utc_rel
+
+    _utc_rel(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    pt = os.path.join(sf_dir, "part.parquet")
+    return spark.sql(f"""
+        -- 700.0D: Spark SQL parses a bare decimal literal as DECIMAL
+        -- (DataFrame lit()s are doubles) — the D suffix keeps the
+        -- division an IEEE double op matching the oracle.
+        SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 700.0D
+                   AS avg_yearly,
+               count(*) AS n_items
+        FROM parquet.`{li}` JOIN parquet.`{pt}` ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM parquet.`{li}` l2 WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@register(
+    "q22_idle_customers",
+    oracle=dedent("""
+        WITH thresh AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT)
+                   / (100.0 * count(*)) AS t
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS total_acctbal
+        FROM customer CROSS JOIN thresh
+        WHERE c_acctbal > thresh.t
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """),
+    tags=("A", "J2"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-idle customers — balance above the
+    positive-balance average (an uncorrelated scalar broadcast as a
+    1-row frame, NEVER a driver-side collect) who have placed no
+    orders (anti-join), rolled up per nation.  The threshold average
+    is spelled as an exact integer sum over 100·count so both
+    engines divide identical operands — a bare ``avg(double)`` would
+    hash-mismatch on aggregation order.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(cents) / (F.lit(100.0) * F.count(F.lit(1)))).alias("t")
+        )
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+    )
+    idle = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        (F.sum(cents).cast("long") / 100.0).alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # U4/U5 — multiset set-ops and union-by-name
 # ---------------------------------------------------------------------------
 
