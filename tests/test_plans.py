@@ -58,6 +58,8 @@ def _formatted(spark, name: str) -> str:
         ("dedup_incremental", ["LeftAnti"]),
         # GROUPING SETS is one Expand + one agg, not N unioned scans.
         ("a17_grouping_sets", ["Expand"]),
+        # Q22: scalar threshold broadcasts; no-order check is anti-join.
+        ("q22_idle_customers", ["LeftAnti", "BroadcastNestedLoopJoin"]),
         # BPE pair top-k never global-sorts.
         ("bpe_adjacent_pairs", ["TakeOrderedAndProject"]),
     ],
