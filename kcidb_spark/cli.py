@@ -22,6 +22,7 @@ kcidb/db/__init__.py db tools).
     python -m kcidb_spark.cli notify     -d DIR
     python -m kcidb_spark.cli submit     --queue DIR < reports.jsonl
     python -m kcidb_spark.cli monitor-spool-wipe --spool DIR [--before ISO]
+    python -m kcidb_spark.cli tests-validate [-u]       < catalog.yaml
 
 Stream tools (validate/upgrade/count/merge) are pure Python — no
 SparkSession is started for them (CLI latency parity with the
@@ -139,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--spool", required=True)
     p.add_argument("--before", type=_parse_ts, default=None)
 
+    p = sub.add_parser("tests-validate")
+    p.add_argument("-u", "--urls", action="store_true",
+                   help="also verify catalog home URLs (syntactic "
+                        "check — no network in this environment)")
+
     args = ap.parse_args(argv)
 
     # -- sparkless stream tools ----------------------------------------
@@ -203,6 +209,22 @@ def main(argv: list[str] | None = None) -> int:
             os.rename(name + ".tmp", name)  # atomic appearance
             n += 1
         _emit({"submitted": n})
+        return 0
+
+    if args.cmd == "tests-validate":
+        # Reference kcidb-tests-validate (kcidb/tests/__init__.py).
+        import yaml
+
+        from kcidb_spark.tests_catalog import check_urls, validate_catalog
+
+        catalog = yaml.safe_load(sys.stdin) or {}
+        validate_catalog(catalog)
+        if args.urls:
+            bad = check_urls(catalog)
+            for url in bad:
+                print(f"bad home URL: {url}", file=sys.stderr)
+            if bad:
+                return 1
         return 0
 
     if args.cmd == "monitor-spool-wipe":

@@ -215,3 +215,37 @@ def test_monitor_spool_wipe(monkeypatch, capsys, tmp_path, spark):
     )
     assert rc == 0 and json.loads(out)["wiped"] == 1
     assert spool.all().count() == 0
+
+
+def test_tests_validate(monkeypatch, capsys):
+    good = "\n".join(
+        [
+            "boot:",
+            "  title: Boot test",
+            "  home: https://kernelci.org/boot",
+            "ltp-syscalls:",
+            "  title: LTP syscall suite",
+            "  description: longer text",
+            "  home: https://linux-test-project.github.io/",
+        ]
+    )
+    rc, _ = run_cli(monkeypatch, capsys, ["tests-validate"], good)
+    assert rc == 0
+    rc, _ = run_cli(monkeypatch, capsys, ["tests-validate", "-u"], good)
+    assert rc == 0
+
+    import jsonschema
+    import pytest as _pytest
+
+    # Missing required "home".
+    with _pytest.raises(jsonschema.ValidationError):
+        run_cli(monkeypatch, capsys, ["tests-validate"],
+                "boot:\n  title: only a title\n")
+    # Invalid test name (patternProperties + additionalProperties).
+    with _pytest.raises(jsonschema.ValidationError):
+        run_cli(monkeypatch, capsys, ["tests-validate"],
+                "bad name!:\n  title: t\n  home: https://x.example/\n")
+    # Structurally-broken home URL fails the -u check.
+    rc, _ = run_cli(monkeypatch, capsys, ["tests-validate", "-u"],
+                    "boot:\n  title: t\n  home: not-a-url\n")
+    assert rc == 1
