@@ -253,6 +253,69 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F — higher-order array functions (SQL-text lambdas, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_array_hof",
+    oracle=dedent("""
+        WITH base AS (
+            SELECT doc_id,
+                   generate_series(1, CAST(doc_id % 7 AS BIGINT) + 1)
+                       AS arr
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(arr) AS BIGINT) AS n,
+               CAST(list_reduce(arr, (a, x) -> a + x) AS BIGINT)
+                   AS sum_x,
+               CAST(list_reduce(list_transform(arr, x -> x * 2),
+                                (a, x) -> a + x) AS BIGINT)
+                   AS sum_doubled,
+               CAST(length(list_filter(arr, x -> x % 2 = 0)) AS BIGINT)
+                   AS n_even,
+               CAST(list_max(list_transform(
+                        generate_series(1, length(arr)),
+                        i -> arr[i] * arr[length(arr) + 1 - i]))
+                    AS BIGINT) AS max_zip
+        FROM base
+    """),
+    tags=("F", "hof"),
+)
+def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function family as first-class driver-checked
+    operators: transform / filter / aggregate / zip_with over a
+    per-row integer array, all via SQL-TEXT lambdas — compiled JVM
+    expressions inside whole-stage codegen.  (A Python
+    ``lambda`` passed to ``F.transform`` runs interpreted, measured
+    ~50× slower — the single most common HOF performance mistake;
+    every HOF in this package is SQL-text for that reason.)  Pure
+    integer arithmetic → hash-exact against DuckDB's list_* twins.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("sequence(1, (doc_id % 7) + 1)").alias("arr"),
+    ).select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n"),
+        F.expr(
+            "aggregate(arr, 0L, (a, x) -> a + x)"
+        ).cast("long").alias("sum_x"),
+        F.expr(
+            "aggregate(transform(arr, x -> x * 2), 0L, (a, x) -> a + x)"
+        ).cast("long").alias("sum_doubled"),
+        F.expr(
+            "size(filter(arr, x -> x % 2 = 0))"
+        ).cast("long").alias("n_even"),
+        F.expr(
+            "array_max(zip_with(arr, reverse(arr), (a, b) -> a * b))"
+        ).cast("long").alias("max_zip"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q17/Q22 — correlated subqueries (scalar and anti-join + global agg)
 # ---------------------------------------------------------------------------
 
