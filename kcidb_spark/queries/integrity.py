@@ -253,6 +253,41 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P8 — MapType: JSON → map column → member explode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p8_map_explode",
+    oracle=dedent("""
+        SELECT event_id, k,
+               CAST(json_extract(props, '$.' || k) AS BIGINT) AS v
+        FROM (
+            SELECT event_id, props, unnest(json_keys(props)) AS k
+            FROM events WHERE user_id <= 20
+        )
+    """),
+    tags=("P7", "map"),
+)
+def p8_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON object → MapType column → one row per member — the
+    schema-on-read path for property bags whose keys are NOT known at
+    query-author time (p7 extracts a named field; this enumerates
+    whatever keys the data carries).  ``from_json`` to
+    map<string,bigint> parses once per row; the map generator
+    explodes in-task (no shuffle) — at 100 TB the parse cost is the
+    scan cost, and key-cardinality skew lands in the downstream agg,
+    not here."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return ev.select(
+        "event_id",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("k", "v"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F — higher-order array functions (SQL-text lambdas, JVM-side)
 # ---------------------------------------------------------------------------
 
