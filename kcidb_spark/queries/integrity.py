@@ -253,6 +253,65 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J6 — FULL OUTER reconciliation of two snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_full_outer_reconcile",
+    oracle=dedent("""
+        WITH a AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_a
+            FROM documents
+            WHERE CAST(substring(source, 4) AS BIGINT) < 10
+            GROUP BY lang, source
+        ),
+        b AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_b
+            FROM documents
+            WHERE CAST(substring(source, 4) AS BIGINT) >= 5
+            GROUP BY lang, source
+        )
+        SELECT lang, source, n_a, n_b,
+               CASE WHEN n_a IS NULL THEN 'right_only'
+                    WHEN n_b IS NULL THEN 'left_only'
+                    ELSE 'both' END AS status
+        FROM a FULL JOIN b USING (lang, source)
+    """),
+    tags=("J", "U3"),
+)
+def j6_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the diff-report
+    shape (report merge U3's verification twin): two overlapping
+    source slices aggregated per (lang, source), full-outer joined so
+    rows present in only one side survive with NULLs, classified
+    both / left_only / right_only.  Join keys passed as a name list
+    coalesce automatically (≡ SQL USING).  Full-outer cannot
+    broadcast (both sides must be complete) — it hash-partitions both
+    on the key, which is exactly right: at scale the reconcile key
+    is the partition key and the join is co-located."""
+    docs = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    a = (
+        docs.filter(src_num < 10)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        docs.filter(src_num >= 5)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, on=["lang", "source"], how="full_outer").select(
+        "lang", "source", "n_a", "n_b",
+        F.when(F.col("n_a").isNull(), "right_only")
+        .when(F.col("n_b").isNull(), "left_only")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P8 — MapType: JSON → map column → member explode
 # ---------------------------------------------------------------------------
 
