@@ -253,6 +253,126 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q7/Q18 — nation-pair volume and large-volume customers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    oracle=dedent("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                   / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, yr
+    """),
+    tags=("A", "J"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, per
+    direction per year — the five-way join chain with a symmetric
+    pair predicate.  Both nation sides broadcast (bounded dimension,
+    tables.BROADCAST_TABLES); customer/supplier join hash-keyed; the
+    pair disjunction prunes AFTER the nation joins resolve names —
+    Catalyst pushes each branch's equality into the respective
+    broadcast hash probe.  Revenue stays scaled-integer."""
+    from kcidb_spark.queries.relational import _utc as _utc_rel
+
+    _utc_rel(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg((F.sum(rev).cast("long") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle=dedent("""
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        GROUP BY c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """),
+    tags=("A", "J1", "O3"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING + IN-subquery
+    (Catalyst rewrites the IN to a LEFT SEMI against the pre-filtered
+    aggregate — the subquery's own groupBy shuffle is the only extra
+    exchange, reused nowhere), then the customer/order rollup and a
+    TakeOrdered top-k.  Quantities are integral so their sum is exact
+    under any order."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            big.withColumnRenamed("l_orderkey", "big_key"),
+            F.col("o_orderkey") == F.col("big_key"),
+            "left_semi",
+        )
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # J6 — FULL OUTER reconciliation of two snapshots
 # ---------------------------------------------------------------------------
 
