@@ -157,3 +157,87 @@ def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
+
+
+_SSJOIN_WINDOW = "6 hours"
+
+
+@register(
+    "t13_stream_stream_join",
+    oracle=dedent("""
+        SELECT a.event_id AS view_id, b.event_id AS click_id,
+               a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.user_id <= 50
+    """),
+    tags=("T4", "streaming"),
+)
+def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join under the oracle gate: per-user
+    view→click attribution within a {w} window, both sides streaming
+    with event-time watermarks bounding the buffered state.  An
+    INNER stream-stream join emits each pair the moment both sides
+    arrive (append mode) — the watermark + time-range constraint only
+    decide when buffered rows can be DROPPED — so the drained result
+    equals the batch inequality join exactly (an outer stream-stream
+    join would NOT be batch-equivalent at end-of-stream: its
+    null-padded rows wait on watermark advance).  This is the
+    change-fanout join (T4) a streaming CI feed runs between
+    checkouts and their late-arriving builds.
+    """.format(w=_SSJOIN_WINDOW)
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(
+                (F.col("event_type") == event_type)
+                & (F.col("user_id") <= 50)
+            )
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    views = side("view", "view")
+    clicks = side("click", "click")
+    joined = views.join(
+        clicks,
+        F.expr(
+            "view_user = click_user"
+            " AND click_ts >= view_ts"
+            f" AND click_ts <= view_ts + INTERVAL {_SSJOIN_WINDOW}"
+        ),
+    ).select(
+        "view_id",
+        F.col("click_id"),
+        F.col("view_user").alias("user_id"),
+    )
+    qname = f"t13_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="t13_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)
