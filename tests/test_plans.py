@@ -105,3 +105,48 @@ def test_no_cartesian_products(spark):
     for name in REGISTRY:
         plan = _formatted(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+# Queries where an UNPARTITIONED window is deliberate and bounded:
+# the two-phase prefix scan's offsets window runs over <= n_buckets
+# rows (operators/scan.py step 3) — the corpus-sized scan window is
+# bucket-partitioned and separately asserted in test_scan.py.
+_GLOBAL_WINDOW_OK = {
+    "seq_pack_windows",
+    "pipeline_assemble_corpus",
+}
+
+
+def test_no_unpartitioned_corpus_windows(spark):
+    """No registry query may run a window over the whole input in one
+    task ("No Partition Defined for Window" — the worst scale trap).
+    Every windowspecdefinition in every optimized plan must open with
+    a partition column, except the whitelisted tiny-domain windows."""
+    import re
+
+    bad = []
+    for name, q in REGISTRY.items():
+        if name in _GLOBAL_WINDOW_OK:
+            continue
+        if "stream" in name:
+            continue  # streaming plans can't be built statically here
+        plan = (
+            q.spark(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # windowspecdefinition(part..., order... ) — unpartitioned
+        # specs start directly with the ORDER BY expr + frame, i.e.
+        # there is no comma-separated partition list before the
+        # ordering spec's ASC/DESC marker appears.
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            args = m.group(1)
+            head = args.split(",")[0].strip()
+            if " ASC" in head or " DESC" in head:
+                bad.append((name, args[:80]))
+                break
+        from kcidb_spark.cache import release_persisted
+
+        release_persisted()
+    assert not bad, bad
