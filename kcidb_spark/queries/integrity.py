@@ -253,6 +253,102 @@ def a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q13/Q15 — order-count distribution and top supplier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_order_distribution",
+    oracle=dedent("""
+        SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (
+            SELECT c_custkey,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+    """),
+    tags=("A", "J"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count distribution —
+    LEFT join so zero-order customers keep their 0 bucket
+    (count(o_orderkey) counts non-NULLs; an inner join would silently
+    drop the most interesting bucket), then a second tiny groupBy
+    over the per-customer counts.  First agg shuffles on custkey
+    (AQE-coalesced), second on ≤ max-orders distinct values."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, orders["o_custkey"] == cust["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=dedent("""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev / 10000.0 AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """),
+    tags=("A", "J", "O3"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    maximum (ALL ties, not top-1 — the reason this is a max-equality
+    filter against a 1-row broadcast aggregate, not row_number()=1
+    which would break ties arbitrarily and non-portably).  The
+    revenue view computes once and feeds both the max and the filter
+    via scoped persist; supplier joins broadcast-side."""
+    from kcidb_spark.cache import scoped_persist
+    from kcidb_spark.queries.relational import _utc as _utc_rel
+
+    _utc_rel(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    rev = scoped_persist(
+        li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(supp, supp["s_suppkey"] == rev["l_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_rev").cast("long") / 10000.0)
+            .alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q7/Q18 — nation-pair volume and large-volume customers
 # ---------------------------------------------------------------------------
 
