@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from kcidb_spark.queries._exact import as_money, int_sum, oracle_int_sum
 from kcidb_spark.queries.registry import register
 from kcidb_spark.queries.relational import _utc
+from kcidb_spark.tables import _normalize_ts
 
 _WIN_US = 900_000_000  # 15-minute tumbling windows
 
@@ -70,8 +71,8 @@ def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = _normalize_ts(stream)
     agg = (
         stream.groupBy(
             F.window("ts", "15 minutes").alias("w"), "event_type"
@@ -199,7 +200,7 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(_normalize_ts)
             .filter(
                 (F.col("event_type") == event_type)
                 & (F.col("user_id") <= 50)

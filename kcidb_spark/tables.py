@@ -55,11 +55,7 @@ def table(spark: SparkSession, sf_dir: str, name: str,
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_ts(_events_raw(spark, path))
     else:
         df = spark.read.parquet(path)
     if spread:
@@ -68,6 +64,38 @@ def table(spark: SparkSession, sf_dir: str, name: str,
         if est_splits < target:
             df = df.repartition(target)
     return df
+
+
+def _events_raw(spark: SparkSession, path: str):
+    """Raw events scan, tolerant of either on-disk ``ts`` encoding.
+
+    Testdata generations have shipped ``ts`` as parquet TIMESTAMP(NANOS)
+    (unreadable by the vectorized reader → read as long via
+    ``nanosAsLong``) and as TIMESTAMP(MICROS) (reads directly as
+    TIMESTAMP_NTZ).  Dispatch on the footer type so both work.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def _normalize_ts(raw: DataFrame) -> DataFrame:
+    """``ts`` → TimestampType, whatever the on-disk encoding was.
+
+    Long (nanos-as-long) → microsecond timestamp with floor semantics
+    (matching DuckDB's nanos→micros truncation); TIMESTAMP_NTZ →
+    cast to session-TZ (UTC) timestamp so downstream schemas stay
+    TimestampType either way.  The cast is exact: session TZ is pinned
+    to UTC in `get_spark`, so NTZ wall-clock == UTC instant.
+    """
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def events_in_window(
@@ -90,21 +118,27 @@ def events_in_window(
     """
     import datetime as _dt
 
+    import pyspark.sql.types as T
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = _events_raw(spark, os.path.join(sf_dir, "events.parquet"))
+    ts_is_long = isinstance(raw.schema["ts"].dataType, T.LongType)
 
-    def ns(dt: _dt.datetime) -> int:
+    def bound(dt: _dt.datetime):
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=_dt.timezone.utc)
-        return int(dt.timestamp() * 1_000_000) * 1000
+        if ts_is_long:  # raw nanos-as-long column
+            return F.lit(int(dt.timestamp() * 1_000_000) * 1000)
+        # TIMESTAMP_NTZ column: compare against an NTZ literal of the
+        # same UTC wall clock — stays a plain pushdown-able comparison.
+        naive = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return F.lit(naive).cast("timestamp_ntz")
 
     if after is not None:
-        df = df.filter(F.col("ts") > F.lit(ns(after)))
+        raw = raw.filter(F.col("ts") > bound(after))
     if until is not None:
-        df = df.filter(F.col("ts") <= F.lit(ns(until)))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = raw.filter(F.col("ts") <= bound(until))
+    return _normalize_ts(raw)
 
 
 _SIZE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
