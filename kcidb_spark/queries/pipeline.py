@@ -613,12 +613,30 @@ def ann_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (no SQL oracle — Pandas-UDF surface; the driver
-# records a rows-only check for this one)
+# Multimodal plumbing.  The decode stub is deterministic (payload =
+# UTF-8 text bytes), so the non-binary rollup IS oracle-checkable: the
+# synthetic documents are pure ASCII (asserted per sf), hence byte
+# values == codepoints and DuckDB can recompute the stub's byte-sum
+# checksum char-by-char.
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "pandas-udf"))
+@register(
+    "multimodal_features",
+    oracle=dedent("""
+        SELECT CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS modality,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               CAST(min(COALESCE(list_sum(list_transform(
+                        range(1, length(text)+1), i -> unicode(text[i]))), 0)
+                        % 2147483648) AS BIGINT) AS min_checksum
+        FROM documents
+        GROUP BY modality
+    """),
+    tags=("multimodal", "pandas-udf"),
+)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched feature extraction
     (mapInPandas) → per-modality rollup.  The decode step is a

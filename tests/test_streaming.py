@@ -58,6 +58,57 @@ def test_streaming_ingest(pipeline, spark, tmp_path):
     assert all(r["sent_at"] is None for r in spooled)
 
 
+def test_streaming_ingest_is_executor_side(pipeline, spark, tmp_path, monkeypatch):
+    """The foreachBatch stage must parse reports ENGINE-side
+    (Store.load_json_df), never via the driver-collect ingest_batch /
+    Store.load path."""
+    from kcidb_spark.store import Store
+    from kcidb_spark.streaming.ingest import IngestPipeline
+
+    def boom(*a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver-side path used in streaming ingest")
+
+    monkeypatch.setattr(IngestPipeline, "ingest_batch", boom)
+    monkeypatch.setattr(Store, "load", boom)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for n in range(3):
+        (indir / f"r{n}.json").write_text(json.dumps(_report(n)))
+    (indir / "blank.json").write_text("   \n")
+    q = pipeline.start(str(indir), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert pipeline.loaded_reports == 3
+    dump = pipeline.store.dump()
+    assert {c["id"] for c in dump["checkouts"]} == {f"s:co{n}" for n in range(3)}
+    assert {r["obj_id"] for r in pipeline.spool.all().collect()} == {"s:b1"}
+
+
+def test_load_json_df(spark, tmp_path):
+    """Engine-side string-batch load: parses, appends, returns the
+    parsed frame; blank rows skipped; corrupt JSON raises."""
+    from kcidb_spark.store import Store
+
+    store = Store(spark, str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [(json.dumps(_report(1)),), ("  ",), (json.dumps(_report(2)),)],
+        "value string",
+    )
+    parsed = store.load_json_df(batch)
+    assert parsed.count() == 2
+    assert store.table("checkouts").count() == 2
+
+    empty = spark.createDataFrame([("",)], "value string")
+    assert store.load_json_df(empty) is None
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("{not json",)], "value string")
+    with _pytest.raises(ValueError, match="unparseable"):
+        store.load_json_df(bad)
+
+
 def test_redelivery_no_double_notify(pipeline):
     raw = json.dumps(_report(1))
     pipeline.ingest_batch([raw])
