@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kcidb_spark.ship import ensure_package_shipped
+
 #: Reference trial-period sampling: cache every 256th URL only
 #: (object_name.endswith("00"), kcidb/cache/__init__.py:63-65).
 SAMPLE_SUFFIX = "00"
@@ -176,6 +178,7 @@ class ArtifactCache:
                     ],
                 )
 
+        ensure_package_shipped(plan.sparkSession)
         fetched = plan.mapInPandas(fetch_batches, _FETCH_RESULT_SCHEMA)
         ok = (
             fetched.filter(F.col("ok"))

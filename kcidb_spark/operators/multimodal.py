@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kcidb_spark.ship import ensure_package_shipped
+
 #: Canonical media-table schema: payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -116,6 +118,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
+    ensure_package_shipped(media.sparkSession)
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
 
 
@@ -162,6 +165,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             )
 
     images = media.filter(F.col("meta.modality") == "image")
+    ensure_package_shipped(images.sparkSession)
     return images.mapInPandas(do_resize, schema=_RESIZED_SCHEMA)
 
 
@@ -202,4 +206,5 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     videos = media.filter(F.col("meta.modality") == "video")
+    ensure_package_shipped(videos.sparkSession)
     return videos.mapInPandas(do_sample, schema=_FRAME_SCHEMA)

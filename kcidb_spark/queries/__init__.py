@@ -56,36 +56,52 @@ _GATE_PRIORITY = (
 )
 
 
-def _certified_names() -> set[str]:
-    """Names already hash-certified by any prior driver correctness run.
+def _certified_names() -> tuple[set[str], int]:
+    """(names hash-certified by any prior driver run, #correctness files).
 
     The driver's gate caps at 50 rows per round; sorting uncertified
     queries first makes the window rotate so every registry entry
-    eventually gets a gate-of-record row.
+    eventually gets a gate-of-record row.  The file count doubles as a
+    deterministic per-round rotation index for re-checking certified
+    queries (see ``_gate_order``).
     """
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
     seen: set[str] = set()
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    for path in paths:
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 seen.add(name)
-    return seen
+    return seen, len(paths)
 
 
 def _gate_order() -> list[str]:
-    """Registry names: uncertified first (priority set leading), then the rest."""
-    certified = _certified_names()
+    """Registry names: uncertified first (priority set leading), then
+    the already-certified queries ROTATED by round so the tail of the
+    50-row gate window re-verifies a different certified slice each
+    round (a certified query is not immune to regression — e.g. a
+    shared-helper change can silently break a query last checked
+    rounds ago)."""
+    certified, n_rounds = _certified_names()
     names = list(REGISTRY)
     prio = [n for n in _GATE_PRIORITY if n in REGISTRY and n not in certified]
     rest_new = [n for n in names if n not in certified and n not in prio]
     done = [n for n in names if n in certified]
+    if done:
+        # ~37 certified re-checks fit per 50-row window; stepping by 37
+        # per correctness file cycles the whole certified set in ~3
+        # rounds.  Deterministic: depends only on committed artifacts.
+        off = (n_rounds * 37) % len(done)
+        done = done[off:] + done[:off]
     return prio + rest_new + done
 
 

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kcidb_spark.ship import ensure_package_shipped
+
 
 def windowed_counts(
     events: DataFrame,
@@ -148,6 +150,7 @@ def sessionize_stateful(
     more than ``gap_minutes`` after the last one, or when the key goes
     idle for ``timeout_ms`` of processing time.
     """
+    ensure_package_shipped(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _make_session_fn(gap_minutes * 60 * 1_000_000, timeout_ms),
         outputStructType=SESSION_SCHEMA,

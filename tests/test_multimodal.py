@@ -62,3 +62,23 @@ def test_sample_frames(spark, media):
             range(len(frames))
         )
         assert all(isinstance(f["frame"], (bytes, bytearray)) for f in frames)
+
+
+def test_documents_text_is_ascii_nonnull(spark):
+    """The multimodal_features oracle equates UTF-8 byte sums with
+    codepoint sums (queries/pipeline.py) — valid ONLY while documents
+    .text is pure non-null ASCII.  Assert that invariant over every
+    testdata sf so a non-ASCII regeneration fails loudly here instead
+    of silently diverging Spark (bytes) from DuckDB (codepoints)."""
+    import os
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        bad = docs.filter(
+            F.col("text").isNull()
+            | (F.octet_length("text") != F.length("text"))
+        ).count()
+        assert bad == 0, f"non-ASCII or NULL documents.text in {sf_dir}"
