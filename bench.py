@@ -25,6 +25,36 @@ from kcidb_spark.session import get_spark  # noqa: E402
 from kcidb_spark.queries import REGISTRY  # noqa: E402
 
 
+def _regressions(
+    timings: dict[str, float], sf: float | None, threshold: float = 1.5
+) -> dict[str, list[float]]:
+    """Per-query regression guard: compare against the BEST recorded
+    time for the same query in any committed driver bench at the same
+    sf (BENCH_r*.json ``parsed.queries``).  A query >``threshold``× its
+    best-ever time is flagged in the output, so a plan regression (like
+    round 4's j_asof_last_click 2.3×) is visible in the very artifact
+    the next round reads — it cannot recur silently.
+    """
+    best: dict[str, float] = {}
+    for path in sorted(REPO.glob("BENCH_r*.json")):
+        try:
+            rec = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if not isinstance(parsed, dict) or rec.get("sf") != sf:
+            continue
+        for name, secs in (parsed.get("queries") or {}).items():
+            if isinstance(secs, (int, float)) and secs > 0:
+                best[name] = min(best.get(name, secs), secs)
+    flagged = {
+        name: [now, best[name], round(now / best[name], 2)]
+        for name, now in timings.items()
+        if name in best and now / best[name] > threshold
+    }
+    return dict(sorted(flagged.items(), key=lambda kv: kv[1][2], reverse=True))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -59,11 +89,13 @@ def main() -> None:
         release_persisted()
 
     total = round(sum(timings.values()), 3)
+    regressions = _regressions(timings, sf)
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "regressions": regressions,
         "sf": sf,
     }
     # Full per-query detail goes to a side file; stdout gets ONE short
@@ -82,6 +114,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "n_regressions": len(regressions),
+                "regressions": dict(list(regressions.items())[:5]),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

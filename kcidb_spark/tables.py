@@ -66,15 +66,41 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+#: path → "nanos" | "other"; the footer type of a generated table never
+#: changes within a run, so sniff once per path (a pure pyarrow
+#: footer read, no JVM round-trip) instead of per query.
+_TS_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_layout(path: str) -> str:
+    """On-disk layout of ``events.ts``: "nanos" needs the
+    ``nanosAsLong`` legacy conf (Spark's vectorized reader rejects
+    parquet TIMESTAMP(NANOS)); anything else reads directly."""
+    layout = _TS_LAYOUT_CACHE.get(path)
+    if layout is None:
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):  # multi-file dataset: footer of any part
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            f = os.path.join(path, parts[0]) if parts else path
+        ts_type = pq.ParquetFile(f).schema_arrow.field("ts").type
+        layout = "nanos" if getattr(ts_type, "unit", None) == "ns" else "other"
+        _TS_LAYOUT_CACHE[path] = layout
+    return layout
+
+
 def _events_raw(spark: SparkSession, path: str):
     """Raw events scan, tolerant of either on-disk ``ts`` encoding.
 
     Testdata generations have shipped ``ts`` as parquet TIMESTAMP(NANOS)
     (unreadable by the vectorized reader → read as long via
     ``nanosAsLong``) and as TIMESTAMP(MICROS) (reads directly as
-    TIMESTAMP_NTZ).  Dispatch on the footer type so both work.
+    TIMESTAMP_NTZ).  Dispatch on the cached footer type so both work;
+    the legacy conf is only touched when the nanos layout demands it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _events_ts_layout(path) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path)
 
 
@@ -131,8 +157,12 @@ def events_in_window(
             return F.lit(int(dt.timestamp() * 1_000_000) * 1000)
         # TIMESTAMP_NTZ column: compare against an NTZ literal of the
         # same UTC wall clock — stays a plain pushdown-able comparison.
+        # Built from the ISO string, NOT F.lit(naive): a naive datetime
+        # literal round-trips through the driver OS local timezone
+        # (TimestampType.toInternal uses time.mktime), shifting the
+        # bound by the OS offset on any non-UTC driver.
         naive = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return F.lit(naive).cast("timestamp_ntz")
+        return F.lit(naive.isoformat(sep=" ")).cast("timestamp_ntz")
 
     if after is not None:
         raw = raw.filter(F.col("ts") > bound(after))
