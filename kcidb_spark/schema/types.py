@@ -176,3 +176,82 @@ def schema_for(table: str, with_metadata: bool = False) -> T.StructType:
     if not with_metadata:
         return base
     return T.StructType(list(base.fields) + list(METADATA_FIELDS))
+
+
+#: v4 compatibility fields accepted on the ingest wire so the engine
+#: can upgrade v4 reports in-plan (reference v4→v5 migration,
+#: postgresql/v05_00.py:178-231): builds carried tri-state ``valid``
+#: (→ status), tests carried ``waived`` (→ synthetic "_:waived"
+#: issue + incidents).  Unknown JSON keys are simply ignored by a
+#: static from_json schema, so dropped v4 fields (checkouts.contacts)
+#: need no wire slot.
+_V4_WIRE_EXTRAS: dict[str, list[T.StructField]] = {
+    "builds": [T.StructField("valid", T.BooleanType(), True)],
+    "tests": [T.StructField("waived", T.BooleanType(), True)],
+}
+
+
+def _wire_type(dtype: T.DataType, path: tuple) -> T.DataType:
+    """Target column type → ingest wire type for a static from_json
+    parse: free-form JSON members parse as VARIANT (canonical re-encode
+    via to_json, sorted keys), timestamps arrive as ISO strings
+    (converted engine-side with to_timestamp — from_json's own
+    timestamp parsing is format-pinned and session-TZ-coupled), and
+    containers recurse."""
+    from kcidb_spark.schema.validation import JSON_FIELDS
+
+    if any(path in paths for paths in JSON_FIELDS.values()):
+        return T.VariantType()
+    if isinstance(dtype, T.TimestampType):
+        return T.StringType()
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _wire_type(f.dataType, path + (f.name,)), True)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_wire_type(dtype.elementType, path))
+    return dtype
+
+
+def wire_element_schema(table: str) -> T.StructType:
+    """Static parse schema for one object of ``table`` on the ingest
+    wire: the v5 target schema in wire types, the ``_timestamp``
+    metadata string (dump round-trips), and v4 compat fields."""
+    fields = [
+        T.StructField(f.name, _wire_type(f.dataType, (f.name,)), True)
+        for f in SCHEMAS[table].fields
+    ]
+    fields.append(T.StructField("_timestamp", T.StringType(), True))
+    fields.extend(_V4_WIRE_EXTRAS.get(table, []))
+    return T.StructType(fields)
+
+
+def report_wire_schema() -> T.StructType:
+    """Static schema of one full I/O report for ``from_json``: version
+    struct + the five object arrays + a corrupt-record capture slot.
+    A STATIC schema keeps ingest parse JVM-only and single-pass —
+    schema inference (``spark.read.json``) costs an extra full pass
+    over every micro-batch, and an RDD round-trip pickles every report
+    through Python; both are a serialization tax at 100 TB ingest."""
+    return T.StructType(
+        [
+            T.StructField(
+                "version",
+                T.StructType(
+                    [
+                        T.StructField("major", T.LongType(), True),
+                        T.StructField("minor", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+            *[
+                T.StructField(t, T.ArrayType(wire_element_schema(t)), True)
+                for t in SCHEMAS
+            ],
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )

@@ -88,7 +88,10 @@ def _bulk_convert(col, src, dst, path, json_paths):
     from pyspark.sql import types as T
 
     if path in json_paths:
-        if isinstance(src, (T.StructType, T.ArrayType, T.MapType)):
+        if isinstance(src, (T.StructType, T.ArrayType, T.MapType, T.VariantType)):
+            # to_json canonicalizes (sorted keys) — VARIANT from the
+            # static-schema wire parse and inferred structs from
+            # load_bulk both land in the same stored form.
             return F.to_json(col)
         return col.cast("string")
     if isinstance(dst, T.TimestampType):
@@ -113,6 +116,162 @@ def _bulk_convert(col, src, dst, path, json_paths):
     if isinstance(dst, T.ArrayType) and not isinstance(src, T.ArrayType):
         return F.lit(None).cast(dst)
     return col.cast(dst)
+
+
+def _synth_struct(fields, values: dict) -> F.Column:
+    """A struct literal aligned to ``fields`` (exact order and types —
+    required for array concat), members from ``values`` or NULL."""
+    return F.struct(
+        *[
+            (
+                values[f.name].cast(f.dataType)
+                if f.name in values
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in fields
+        ]
+    )
+
+
+def _upgrade_v4_df(raw: DataFrame) -> DataFrame:
+    """Engine-side v4→v5 report upgrade, mirroring ``schema.io.upgrade``
+    (reference migration: postgresql/v05_00.py:178-231) as pure column
+    expressions — per-row, zero shuffle, no Python boundary, so a
+    mixed-version 100 TB backfill upgrades in the same single pass that
+    loads it:
+
+    * ``builds.valid`` → ``status`` (TRUE→PASS, FALSE→FAIL) where a v4
+      report carries no status;
+    * ``tests.waived=TRUE`` → one synthetic "_:waived" issue per report
+      plus an incident per waived test;
+    * dropped v4 fields (``checkouts.contacts``) are simply never
+      selected into the target schema.
+
+    Reports already at major 5 pass through untouched (every rewrite is
+    gated on ``version.major = 4``).
+    """
+    from pyspark.sql import types as T
+
+    major = F.col("version.major")
+
+    def elem(col_name):
+        if col_name not in raw.columns:
+            return None
+        dt = raw.schema[col_name].dataType
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            return dt.elementType
+        return None
+
+    out = raw
+    bt = elem("builds")
+    if bt is not None and "valid" in bt.fieldNames():
+        has_status = "status" in bt.fieldNames()
+
+        def rebuild(b):
+            cols = [
+                b[f.name].alias(f.name) for f in bt.fields if f.name != "status"
+            ]
+            status_src = b["status"] if has_status else F.lit(None).cast("string")
+            cols.append(
+                F.when(
+                    (major == 4) & status_src.isNull() & b["valid"].isNotNull(),
+                    F.when(b["valid"], "PASS").otherwise("FAIL"),
+                )
+                .otherwise(status_src)
+                .alias("status")
+            )
+            return F.struct(*cols)
+
+        out = out.withColumn("builds", F.transform("builds", rebuild))
+
+    tt = elem("tests")
+    if tt is not None and "waived" in tt.fieldNames():
+        empty_ids = F.array().cast(T.ArrayType(T.StringType()))
+        out = out.withColumn(
+            "__waived_ids",
+            F.when(
+                (major == 4) & F.col("tests").isNotNull(),
+                F.transform(
+                    F.filter(
+                        "tests", lambda t: F.coalesce(t["waived"], F.lit(False))
+                    ),
+                    lambda t: t["id"],
+                ),
+            ).otherwise(empty_ids),
+        )
+        it = elem("issues") or T.StructType(
+            [
+                T.StructField("id", T.StringType()),
+                T.StructField("version", T.LongType()),
+                T.StructField("origin", T.StringType()),
+                T.StructField("comment", T.StringType()),
+            ]
+        )
+        issues_col = (
+            F.col("issues")
+            if "issues" in out.columns
+            else F.lit(None).cast(T.ArrayType(it))
+        )
+        synth_issue = _synth_struct(
+            it.fields,
+            {
+                "id": F.lit("_:waived"),
+                "version": F.lit(1),
+                "origin": F.lit("_"),
+                "comment": F.lit("Test waived as unreliable"),
+            },
+        )
+        has_waived = F.size("__waived_ids") > 0
+        out = out.withColumn(
+            "issues",
+            F.when(
+                has_waived,
+                F.concat(
+                    F.coalesce(issues_col, F.array().cast(T.ArrayType(it))),
+                    F.array(synth_issue),
+                ),
+            ).otherwise(issues_col),
+        )
+        ct = elem("incidents") or T.StructType(
+            [
+                T.StructField("id", T.StringType()),
+                T.StructField("origin", T.StringType()),
+                T.StructField("issue_id", T.StringType()),
+                T.StructField("issue_version", T.LongType()),
+                T.StructField("test_id", T.StringType()),
+                T.StructField("present", T.BooleanType()),
+            ]
+        )
+        incidents_col = (
+            F.col("incidents")
+            if "incidents" in out.columns
+            else F.lit(None).cast(T.ArrayType(ct))
+        )
+        synth_incidents = F.transform(
+            "__waived_ids",
+            lambda tid: _synth_struct(
+                ct.fields,
+                {
+                    "id": F.concat(F.lit("_:waived:1:"), tid),
+                    "origin": F.lit("_"),
+                    "issue_id": F.lit("_:waived"),
+                    "issue_version": F.lit(1),
+                    "test_id": tid,
+                    "present": F.lit(True),
+                },
+            ),
+        )
+        out = out.withColumn(
+            "incidents",
+            F.when(
+                has_waived,
+                F.concat(
+                    F.coalesce(incidents_col, F.array().cast(T.ArrayType(ct))),
+                    synth_incidents,
+                ),
+            ).otherwise(incidents_col),
+        ).drop("__waived_ids")
+    return out
 
 
 class Store:
@@ -222,19 +381,31 @@ class Store:
         lists) for downstream change fan-out, or None if the batch had
         no non-blank rows.
         """
+        from kcidb_spark.schema.types import report_wire_schema
+
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
+        # Keep rows with any non-whitespace char (SQL TRIM strips only
+        # spaces — a "  \n" row would otherwise reach the parser).
         strings = json_df.select(F.col(column).alias("value")).filter(
-            F.trim("value") != ""
+            F.col("value").rlike(r"\S")
         )
-        # DataFrame[str] → parsed reports without touching the driver:
-        # spark.read.json over the partitioned strings (each element one
-        # complete — possibly multi-line — JSON document).
-        raw = self.spark.read.json(strings.rdd.map(lambda r: r[0]))
-        if not raw.columns or raw.columns == ["_corrupt_record"]:
-            if raw.isEmpty():
-                return None
-            bad = raw.limit(3).collect()
-            raise ValueError(f"unparseable report JSON: {bad!r:.500}")
+        if strings.isEmpty():
+            return None
+        # DataFrame[str] → parsed reports entirely JVM-side: from_json
+        # against the STATIC report schema — one projection, no RDD
+        # pickling round-trip, no schema-inference extra pass over the
+        # batch.  Unparseable rows land in _corrupt_record (checked in
+        # _load_parsed); free-form misc members parse as VARIANT.
+        raw = strings.select(
+            F.from_json(
+                "value",
+                report_wire_schema(),
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt_record",
+                },
+            ).alias("r")
+        ).select("r.*")
         self._load_parsed(raw, ts)
         return raw
 
@@ -257,13 +428,15 @@ class Store:
             raise ValueError("no version field in any report")
         bad = (
             raw.filter(
-                F.col("version.major").isNull() | (F.col("version.major") != 5)
+                F.col("version.major").isNull()
+                | ~F.col("version.major").isin(4, 5)
             )
             .limit(1)
             .count()
         )
         if bad:
-            raise ValueError("bulk load requires major version 5 reports")
+            raise ValueError("bulk load requires major version 4 or 5 reports")
+        raw = _upgrade_v4_df(raw)
         for table in TABLES:
             if table not in raw.columns:
                 continue

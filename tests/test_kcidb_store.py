@@ -314,8 +314,8 @@ def test_load_bulk_rejects_bad_version_and_missing_required(store, tmp_path):
 
     p1 = tmp_path / "bad1"
     p1.mkdir()
-    (p1 / "r.json").write_text(_json.dumps({"version": {"major": 4}}))
-    with pytest.raises(ValueError, match="major version 5"):
+    (p1 / "r.json").write_text(_json.dumps({"version": {"major": 3}}))
+    with pytest.raises(ValueError, match="major version 4 or 5"):
         store.load_bulk(str(p1))
     p2 = tmp_path / "bad2"
     p2.mkdir()
