@@ -1,0 +1,748 @@
+"""Reference-fidelity revision notification rendering, engine-side.
+
+The reference renders notification subjects/bodies through Jinja2
+templates over lazy OO object trees — one Python render per object
+(kcidb/monitor/output.py:175-241, kcidb/templates/revision*.j2,
+build.j2, test.j2, misc.j2).  That is a driver-side loop at scale.
+
+Spark-first redesign: the revision "object tree" is three aggregations
+(checkouts / builds / tests rolled up to the revision key), and the
+template logic — status emoji badges, aligned emoji×count tables,
+capped failure lists, the legend — compiles to pure Column
+expressions (``transform``/``filter``/``aggregate`` HOFs, concat,
+conditional sections).  Rendering happens inside whole-stage codegen
+for every revision in parallel; the output text is byte-identical to
+the reference templates for the golden fixture
+(tests/golden/revision_description.txt, rendered from the reference's
+own .j2 files — see tests/test_render.py).
+
+Deliberate divergences (all documented, all deterministic): where the
+reference iterates Python dicts in *load* order (repo URLs, branch
+lists, tie-broken architecture rows, failure lists), this module
+sorts lexicographically — load order is not reproducible in a
+distributed engine, and a notification body must not depend on shuffle
+arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Status values in reference priority order (kcidb/oo/__init__.py:119,
+#: STATUS_PRIORITY); index 7 stands for NULL/unknown.
+_STATUSES = ("FAIL", "ERROR", "MISS", "PASS", "DONE", "SKIP")
+_EMOJIS = ("❌", "💥", "🟩", "✅", "🆗", "⏩")
+_NULL_EMOJI = "❓"
+_BLANK_EMOJI = "➖"
+
+#: kcidb/templates/misc.j2 legend() macro output (data the engine must
+#: emit, byte-for-byte).
+LEGEND = (
+    "\nLEGEND\n\n"
+    "    ❌ FAIL     - Failed. Tested code is likely faulty.\n"
+    "    💥 ERROR    - Aborted. Test, tested code, or both might be faulty.\n"
+    "    🟩 MISS     - Missing. Planned, but failed to execute.\n"
+    "    ✅ PASS     - Passed. Tested code is likely correct.\n"
+    "    🆗 DONE     - Finished. Status of tested code is unknown.\n"
+    "    ⏩ SKIP     - Skipped. Planned, but didn't apply.\n"
+    "    ❓ UNKNOWN  - In progress, or status unknown.\n\n"
+    "    🚧 WAIVED   - Waived result. Test is too new or shows known failures.\n\n"
+    "    ➖ BLANK    - No data, zero."
+)
+
+#: revision_description.txt.j2 caps lists at 5 entries.
+MAX_LIST_LEN = 5
+
+_DASH = (
+    "https://kcidb.kernelci.org/d/revision/revision?orgId=1"
+    "&var-git_commit_hash="
+)
+
+REV_KEYS = ["git_commit_hash", "patchset_hash"]
+
+
+def _status_emoji(status: Column) -> Column:
+    """misc.j2 status_emoji macro."""
+    e = F.when(F.lit(False), F.lit(""))
+    for s, emoji in zip(_STATUSES, _EMOJIS):
+        e = e.when(status == s, emoji)
+    return e.otherwise(_NULL_EMOJI)
+
+
+def _status_badge(status: Column) -> Column:
+    """misc.j2 status_badge: emoji + status name (NULL → UNKNOWN)."""
+    return F.concat(
+        _status_emoji(status), F.lit(" "), F.coalesce(status, F.lit("UNKNOWN"))
+    )
+
+
+def _valid_badge(valid: Column) -> Column:
+    """misc.j2 valid_badge: ❓ UNKNOWN / ✅ PASS / ❌ FAIL."""
+    return (
+        F.when(valid.isNull(), "❓ UNKNOWN")
+        .when(valid, "✅ PASS")
+        .otherwise("❌ FAIL")
+    )
+
+
+def _status_prio(status: Column) -> Column:
+    p = F.when(F.lit(False), F.lit(0))
+    for i, s in enumerate(_STATUSES):
+        p = p.when(status == s, i + 1)
+    return p.otherwise(7)
+
+
+def _prio_status(prio: Column) -> Column:
+    # prio 7 (or NULL) is the NULL status; never index out of range —
+    # ANSI mode (Spark 4 default) makes that an error, not a NULL.
+    return F.when(
+        prio <= 6,
+        F.element_at(
+            F.array(*[F.lit(s) for s in _STATUSES]), prio.cast("int")
+        ),
+    )
+
+
+def _lpad(col: Column, width: Column) -> Column:
+    """Right-align ``col`` in ``width`` chars (dynamic width — the
+    reference computes %Ns widths from the data)."""
+    pad = F.lit(" " * 64).substr(
+        F.lit(1), F.greatest(width - F.length(col), F.lit(0))
+    )
+    return F.concat(pad, col)
+
+
+def _quote(comment: Column) -> Column:
+    return F.when(
+        comment.isNotNull(), F.concat(F.lit('"'), comment, F.lit('"'))
+    )
+
+
+def _nullif_empty(col: Column) -> Column:
+    return F.nullif(col, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Revision aggregation (the OO tree as three rollups)
+# ---------------------------------------------------------------------------
+
+
+def _counts_struct(prefix: str = "") -> list[Column]:
+    cols = [
+        F.count_if(F.col("status") == s).alias(f"n{i}")
+        for i, s in enumerate(_STATUSES)
+    ]
+    cols.append(F.count_if(F.col("status").isNull()).alias("n6"))
+    return cols
+
+
+_N = [f"n{i}" for i in range(7)]  # FAIL..SKIP + NULL
+
+
+def revision_frame(
+    checkouts: DataFrame, builds: DataFrame, tests: DataFrame
+) -> DataFrame:
+    """One row per revision (git_commit_hash, patchset_hash) carrying
+    everything the reference templates consume: summary line, full
+    description body, rollup statuses, and the repo URL list for
+    subscription filters.
+
+    Scale shape: three shuffles (builds→checkout join reuses the
+    checkout id partitioning; each rollup is a partial-agg groupBy on
+    the revision key), no collects, no Python.
+    """
+    co = checkouts.select(
+        "id",
+        "git_commit_hash",
+        "patchset_hash",
+        "git_commit_name",
+        "git_repository_url",
+        "git_repository_branch",
+        "comment",
+        "origin",
+        "valid",
+        "patchset_files",
+    )
+    rev_of_checkout = co.select(
+        F.col("id").alias("checkout_id"), *REV_KEYS
+    )
+
+    co_agg = co.groupBy(*REV_KEYS).agg(
+        F.array_sort(F.collect_set("origin")).alias("co_origins"),
+        F.min(
+            F.when(F.col("valid") == False, 1)  # noqa: E712
+            .when(F.col("valid") == True, 2)  # noqa: E712
+            .otherwise(3)
+        ).alias("vprio"),
+        F.min("git_commit_name").alias("commit_name"),
+        F.expr("min_by(patchset_files, id)").alias("patchset_files"),
+        F.collect_list(
+            F.struct(
+                F.col("git_repository_url").alias("url"),
+                F.col("git_repository_branch").alias("branch"),
+                F.col("comment").alias("comment"),
+            )
+        ).alias("cos"),
+    )
+
+    b = builds.join(
+        rev_of_checkout, on="checkout_id", how="inner"
+    ).select(
+        *REV_KEYS,
+        "id",
+        "origin",
+        "status",
+        "architecture",
+        "config_name",
+        "comment",
+    )
+    barch = b.groupBy(*REV_KEYS, "architecture").agg(
+        *_counts_struct(), F.collect_set("origin").alias("origs")
+    )
+    brev = barch.groupBy(*REV_KEYS).agg(
+        *[F.sum(n).alias(f"b_{n}") for n in _N],
+        # Negated counts → ascending sort == reference's count-desc
+        # ordering, with arch ASC as the deterministic tie-break.
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[(-F.col(n)).alias(f"k{i}") for i, n in enumerate(_N)],
+                    F.coalesce(F.col("architecture"), F.lit("?")).alias(
+                        "arch"
+                    ),
+                    *[F.col(n).alias(n) for n in _N],
+                )
+            )
+        ).alias("arch_rows"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("origs")))
+        ).alias("b_origins"),
+    )
+    # build.j2 summary(build): arch + config + quoted comment, default id
+    bsummary = _nullif_empty(
+        F.concat_ws(
+            " ",
+            F.col("architecture"),
+            F.col("config_name"),
+            _quote(F.col("comment")),
+        )
+    )
+    bfail = (
+        b.filter(F.col("status") == "FAIL")
+        .select(*REV_KEYS, F.coalesce(bsummary, F.col("id")).alias("bsum"))
+        .groupBy(*REV_KEYS, "bsum")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(*REV_KEYS)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("k"),
+                        F.col("bsum").alias("bsum"),
+                        F.col("cnt").alias("cnt"),
+                    )
+                )
+            ).alias("fail_rows")
+        )
+    )
+
+    rev_of_build = b.select(F.col("id").alias("build_id"), *REV_KEYS)
+    t = tests.join(rev_of_build, on="build_id", how="inner").select(
+        *REV_KEYS, "origin", "status", "path"
+    )
+    # tests_root.nodes: group test runs by TOP-LEVEL path component
+    # (kcidb/oo/__init__.py:335-360); empty paths are skipped, NULL
+    # paths form the NULL-named node (rendered "?").
+    tnode = (
+        t.filter(F.col("path").isNull() | (F.col("path") != ""))
+        .withColumn(
+            "node",
+            F.when(
+                F.col("path").isNotNull(),
+                F.substring_index("path", ".", 1),
+            ),
+        )
+        .groupBy(*REV_KEYS, "node")
+        .agg(F.min(_status_prio(F.col("status"))).alias("nprio"))
+    )
+    trev = tnode.groupBy(*REV_KEYS).agg(
+        *[
+            F.count_if(F.col("nprio") == i + 1).alias(f"t_n{i}")
+            for i in range(6)
+        ],
+        F.count_if(F.col("nprio") == 7).alias("t_n6"),
+        F.min("nprio").alias("t_prio"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("nprio") == 2, F.coalesce("node", F.lit("?")))
+            )
+        ).alias("err_nodes"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("nprio") == 1, F.coalesce("node", F.lit("?")))
+            )
+        ).alias("fail_nodes"),
+    )
+    torig = t.groupBy(*REV_KEYS).agg(
+        F.array_sort(F.collect_set("origin")).alias("t_origins"),
+        F.max(
+            F.when(
+                (F.col("status") == "FAIL") & (F.col("origin") != "syzbot"),
+                1,
+            ).otherwise(0)
+        ).alias("t_fail_nonsyzbot"),
+    )
+
+    out = (
+        co_agg.join(brev, on=REV_KEYS, how="left")
+        .join(bfail, on=REV_KEYS, how="left")
+        .join(trev, on=REV_KEYS, how="left")
+        .join(torig, on=REV_KEYS, how="left")
+    )
+    return _with_rendering(out)
+
+
+# ---------------------------------------------------------------------------
+# Rendering columns
+# ---------------------------------------------------------------------------
+
+
+def _repo_lines(cos: Column) -> tuple[Column, Column, Column, Column]:
+    """(urls asc, checked-out lines, first branch, first comment)."""
+    urls = F.array_sort(F.array_distinct(F.transform(cos, lambda c: c.url)))
+
+    def branches_of(u):
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter(cos, lambda c: c.url.eqNullSafe(u)),
+                    lambda c: c.branch,
+                )
+            )
+        )
+
+    lines = F.transform(
+        urls,
+        lambda u: F.concat_ws(
+            " ",
+            u,
+            F.array_join(
+                F.filter(branches_of(u), lambda b: b.isNotNull()), " "
+            ),
+        ),
+    )
+    first_url = F.element_at(urls, 1)
+    first_branch = F.element_at(branches_of(first_url), 1)
+    # Lexicographically-first non-null comment: collect_list order is
+    # shuffle-dependent, and a notification body must be deterministic
+    # (the reference's "first" is load order, unavailable here).
+    first_comment = F.element_at(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.filter(
+                        cos,
+                        lambda c: c.url.eqNullSafe(first_url)
+                        & c.branch.eqNullSafe(first_branch),
+                    ),
+                    lambda c: c.comment,
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        1,
+    )
+    return urls, lines, first_branch, first_comment
+
+
+def _summary_col(df_cols: dict[str, Column]) -> Column:
+    """revision.j2 summary macro: location@commit+NP "comment"."""
+    urls, _, first_branch, first_comment = df_cols["repo"]
+    first_url = F.element_at(urls, 1)
+    last_seg = F.element_at(F.split(first_url, "/"), -1)
+    location = F.when(
+        first_url.isNotNull(),
+        F.concat_ws(":", last_seg, first_branch),
+    )
+    commit = F.coalesce(
+        df_cols["commit_name"], F.col("git_commit_hash").substr(1, 12)
+    )
+    location_commit = _nullif_empty(F.concat_ws("@", location, commit))
+    patches = F.when(
+        F.size(F.coalesce(df_cols["patchset_files"], F.array())) > 0,
+        F.concat(
+            F.lit("+"),
+            F.size(df_cols["patchset_files"]).cast("string"),
+            F.lit("P"),
+        ),
+    )
+    location_commit_patches = F.when(
+        location_commit.isNotNull(),
+        F.concat(location_commit, F.coalesce(patches, F.lit(""))),
+    )
+    return F.concat_ws(
+        " ", location_commit_patches, _quote(first_comment)
+    )
+
+
+def _emoji_arr() -> Column:
+    return F.array(*[F.lit(e) for e in _EMOJIS], F.lit(_NULL_EMOJI))
+
+
+def _builds_section() -> Column:
+    """build.j2 container_summary as one Column (empty string when the
+    revision has no builds)."""
+    totals = [F.coalesce(F.col(f"b_{n}"), F.lit(0)) for n in _N]
+    any_builds = sum(totals) > 0
+    arch_w = F.lit(8) + F.array_max(
+        F.transform(F.col("arch_rows"), lambda r: F.length(r.arch))
+    )
+    widths = [F.length(t.cast("string")) for t in totals]
+    emojis = _emoji_arr()
+
+    status_row = F.concat(
+        *[
+            F.when(
+                totals[i] > 0,
+                F.concat(
+                    F.lit("  "),
+                    F.element_at(emojis, i + 1),
+                    F.lit(" "),
+                    totals[i].cast("string"),
+                ),
+            ).otherwise("")
+            for i in range(7)
+        ]
+    )
+
+    def arch_row(r):
+        segs = [_lpad(r.arch, arch_w)]
+        for i, n in enumerate(_N):
+            segs.append(
+                F.when(
+                    totals[i] > 0,
+                    F.concat(
+                        F.lit("  "),
+                        F.when(r[n] > 0, F.element_at(emojis, i + 1)).otherwise(
+                            _BLANK_EMOJI
+                        ),
+                        F.lit(" "),
+                        _lpad(r[n].cast("string"), widths[i]),
+                    ),
+                ).otherwise("")
+            )
+        return F.concat(*segs)
+
+    arch_table = F.array_join(
+        F.transform(F.col("arch_rows"), arch_row), "\n"
+    )
+
+    fail_rows = F.coalesce(
+        F.col("fail_rows"),
+        F.array().cast("array<struct<k:bigint,bsum:string,cnt:bigint>>"),
+    )
+    fail_lines = F.array_join(
+        F.transform(
+            F.slice(fail_rows, 1, MAX_LIST_LEN),
+            lambda r: F.concat(
+                F.lit("        ❌ "), r.cnt.cast("string"), F.lit("  "), r.bsum
+            ),
+        ),
+        "\n",
+    )
+    failures = F.when(
+        F.size(fail_rows) > 0,
+        F.concat(
+            F.lit("    Failures\n"),
+            fail_lines,
+            F.when(
+                F.size(fail_rows) > MAX_LIST_LEN, F.lit("\n        ...")
+            ).otherwise(""),
+            F.lit("\n"),
+        ),
+    ).otherwise("")
+
+    return F.when(
+        any_builds,
+        F.concat(
+            F.lit("\nBUILDS\n\n    Status\n"),
+            _lpad(F.lit(""), arch_w),
+            status_row,
+            F.lit("\n    Architectures\n"),
+            arch_table,
+            F.lit("\n"),
+            failures,
+            F.lit("    By\n        "),
+            F.array_join(F.col("b_origins"), ", "),
+            F.lit("\n"),
+        ),
+    ).otherwise("")
+
+
+def _tests_section() -> Column:
+    """test.j2 container_summary as one Column."""
+    totals = [F.coalesce(F.col(f"t_n{i}"), F.lit(0)) for i in range(7)]
+    any_tests = sum(totals) > 0
+    emojis = _emoji_arr()
+    status_row = F.concat(
+        *[
+            F.when(
+                totals[i] > 0,
+                F.concat(
+                    F.lit("  "),
+                    F.element_at(emojis, i + 1),
+                    F.lit(" "),
+                    totals[i].cast("string"),
+                ),
+            ).otherwise("")
+            for i in range(7)
+        ]
+    )
+
+    def node_list(title: str, arr: Column, emoji: str) -> Column:
+        clean = F.filter(
+            F.coalesce(arr, F.array().cast("array<string>")),
+            lambda x: x.isNotNull(),
+        )
+        return F.when(
+            F.size(clean) > 0,
+            F.concat(
+                F.lit(f"    {title}\n"),
+                F.array_join(
+                    F.transform(
+                        F.slice(clean, 1, MAX_LIST_LEN),
+                        lambda p: F.concat(F.lit(f"        {emoji} "), p),
+                    ),
+                    "\n",
+                ),
+                F.when(
+                    F.size(clean) > MAX_LIST_LEN, F.lit("\n        ...")
+                ).otherwise(""),
+                F.lit("\n"),
+            ),
+        ).otherwise("")
+
+    return F.when(
+        any_tests,
+        F.concat(
+            F.lit("\nTESTS\n\n    Status\n      "),
+            status_row,
+            F.lit("\n"),
+            node_list("Errors", F.col("err_nodes"), "💥"),
+            node_list("Failures", F.col("fail_nodes"), "❌"),
+            F.lit("    By\n        "),
+            F.array_join(F.coalesce("t_origins", F.array()), ", "),
+            F.lit("\n"),
+        ),
+    ).otherwise("")
+
+
+def _with_rendering(df: DataFrame) -> DataFrame:
+    from kcidb_spark.functions import encode_uri_component
+
+    urls, lines, first_branch, first_comment = _repo_lines(F.col("cos"))
+    cols = {
+        "repo": (urls, lines, first_branch, first_comment),
+        "commit_name": F.col("commit_name"),
+        "patchset_files": F.col("patchset_files"),
+    }
+    summary = _summary_col(cols)
+    checkouts_valid = F.element_at(
+        F.array(F.lit(False), F.lit(True), F.lit(None).cast("boolean")),
+        F.col("vprio").cast("int"),
+    )
+    b_prio = F.when(
+        sum(F.coalesce(F.col(f"b_{n}"), F.lit(0)) for n in _N) == 0, None
+    ).otherwise(
+        F.least(
+            *[
+                F.when(F.coalesce(F.col(f"b_{n}"), F.lit(0)) > 0, i + 1)
+                for i, n in enumerate(_N[:6])
+            ],
+            F.when(F.coalesce(F.col("b_n6"), F.lit(0)) > 0, 7),
+        )
+    )
+    builds_status = _prio_status(b_prio)
+    tests_status = _prio_status(F.col("t_prio"))
+    has_tests = F.col("t_prio").isNotNull()
+    has_builds = sum(F.coalesce(F.col(f"b_{n}"), F.lit(0)) for n in _N) > 0
+
+    dash_url = F.concat(
+        F.lit(_DASH),
+        encode_uri_component("coalesce(git_commit_hash, '')"),
+        F.lit("&var-patchset_hash="),
+        encode_uri_component("coalesce(patchset_hash, '')"),
+    )
+
+    pfiles = F.coalesce(
+        F.col("patchset_files"),
+        F.array().cast("array<struct<name:string,url:string>>"),
+    )
+    n_patches = F.size(pfiles)
+    patches_block = F.when(
+        n_patches > 0,
+        F.concat(
+            F.lit("    With "),
+            n_patches.cast("string"),
+            F.when(n_patches > 1, F.lit(" patches")).otherwise(F.lit("patch")),
+            F.lit(" applied\n"),
+            F.array_join(
+                F.transform(
+                    F.slice(pfiles, 1, MAX_LIST_LEN),
+                    lambda p: F.concat(F.lit("        "), p.url),
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+            F.when(
+                n_patches > MAX_LIST_LEN, F.lit("        ...\n")
+            ).otherwise(""),
+        ),
+    ).otherwise("")
+
+    overview = F.concat(
+        F.when(
+            n_patches > 0,
+            F.concat(
+                F.lit("       Patches: "), _valid_badge(checkouts_valid),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        F.when(
+            has_builds,
+            F.concat(
+                F.lit("        Builds: "), _status_badge(builds_status),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        F.when(
+            has_tests,
+            F.concat(
+                F.lit("         Tests: "), _status_badge(tests_status),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+    )
+
+    commit_block = F.concat(
+        F.when(
+            F.col("commit_name").isNotNull(),
+            F.concat(F.lit("        name: "), F.col("commit_name"), F.lit("\n")),
+        ).otherwise(""),
+        F.when(
+            F.col("git_commit_hash").isNotNull(),
+            F.concat(
+                F.lit("        hash: "), F.col("git_commit_hash"), F.lit("\n")
+            ),
+        ).otherwise(""),
+    )
+
+    description = F.concat(
+        F.lit(
+            "Below is the summary of results Kernel CI database has"
+            " recorded\nfor this revision so far. See complete and"
+            " up-to-date report at:\n\n    "
+        ),
+        dash_url,
+        F.lit("\n\nOVERVIEW\n\n"),
+        overview,
+        F.lit("\nREVISION\n\n    Status\n        "),
+        _valid_badge(checkouts_valid),
+        F.lit("\n    Commit\n"),
+        commit_block,
+        F.lit("    Checked out from\n"),
+        F.array_join(
+            F.transform(lines, lambda ln: F.concat(F.lit("        "), ln)),
+            "\n",
+        ),
+        F.lit("\n"),
+        patches_block,
+        F.lit("    By\n        "),
+        F.array_join(F.col("co_origins"), ", "),
+        F.lit("\n"),
+        _builds_section(),
+        _tests_section(),
+        F.lit(
+            "\nSee complete and up-to-date report at:\n\n    "
+        ),
+        dash_url,
+        F.lit("\n"),
+        F.lit(LEGEND),
+        # keep_trailing_newline + the statement line's own newline.
+        F.lit("\n\n"),
+    )
+
+    return df.select(
+        *REV_KEYS,
+        urls.alias("repo_urls"),
+        summary.alias("summary"),
+        builds_status.alias("builds_status"),
+        tests_status.alias("tests_status"),
+        F.coalesce("t_fail_nonsyzbot", F.lit(0)).alias("t_fail_nonsyzbot"),
+        description.alias("description"),
+    )
+
+
+def mainline_messages(
+    checkouts: DataFrame,
+    builds: DataFrame,
+    tests: DataFrame,
+    repo_url: str = (
+        "https://git.kernel.org/pub/scm/linux/kernel/git/torvalds/linux.git"
+    ),
+) -> DataFrame:
+    """The reference's mainline subscription
+    (kcidb/monitor/subscriptions/mainline.py) as one distributed
+    filter + projection over the revision frame: revisions of
+    ``repo_url`` whose builds failed get a "Builds failed for …"
+    message; otherwise a non-syzbot FAIL test yields "Tests failed
+    for …".  Body is the full reference-fidelity description.
+    """
+    rev = revision_frame(checkouts, builds, tests)
+    matched = rev.filter(
+        F.array_contains("repo_urls", repo_url)
+        & F.col("builds_status").isNotNull()
+    )
+    subject_prefix = F.when(
+        F.col("builds_status") == "FAIL", "Builds"
+    ).when(F.col("t_fail_nonsyzbot") == 1, "Tests")
+    return (
+        matched.withColumn("__pfx", subject_prefix)
+        .filter(F.col("__pfx").isNotNull())
+        .select(
+            *REV_KEYS,
+            F.concat(
+                F.col("__pfx"), F.lit(" failed for "), F.col("summary")
+            ).alias("subject"),
+            F.col("description").alias("body"),
+        )
+    )
+
+
+def as_notifications(
+    messages: DataFrame, subscription: str = "mainline"
+) -> DataFrame:
+    """Rich revision messages → spool rows (same deterministic id
+    scheme as notify.match_subscriptions, reference
+    monitor/output.py:162-174: subscription:type:b64(obj_id):
+    b64(subject)), so NotificationSpool.spool dedups redelivered
+    micro-batches identically for rich and flat notifications."""
+    from kcidb_spark.streaming.notify import Subscription, _b64
+
+    obj_id = F.concat_ws("+", "git_commit_hash", "patchset_hash")
+    subject = F.substring("subject", 1, Subscription.SUBJECT_MAX)
+    return messages.select(
+        F.concat_ws(
+            ":",
+            F.lit(subscription),
+            F.lit("revision"),
+            _b64(obj_id),
+            _b64(subject),
+        ).alias("id"),
+        F.lit(subscription).alias("subscription"),
+        F.lit("revision").alias("obj_type"),
+        obj_id.alias("obj_id"),
+        subject.alias("subject"),
+        F.substring("body", 1, Subscription.BODY_MAX).alias("body"),
+    )

@@ -1,0 +1,301 @@
+"""Reference-fidelity notification rendering.
+
+The golden files under tests/golden/ were produced by rendering the
+REFERENCE's own Jinja2 templates (kcidb/templates/revision*.j2 with
+the reference ENV settings: trim_blocks, lstrip_blocks,
+keep_trailing_newline) over this exact fixture revision — so a passing
+test means the engine-side Column rendering is byte-identical to what
+the reference monitor would email for this revision.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from kcidb_spark.store import Store
+from kcidb_spark.streaming.render import mainline_messages, revision_frame
+
+GOLDEN = Path(__file__).parent / "golden"
+
+MAINLINE_URL = (
+    "https://git.kernel.org/pub/scm/linux/kernel/git/torvalds/linux.git"
+)
+HASH = "1a2b3c4d5e6f7a8b9c0d1e2f3a4b5c6d7e8f9a0b"
+
+FIXTURE = {
+    "version": {"major": 5, "minor": 3},
+    "checkouts": [
+        {
+            "id": "redhat:c1",
+            "origin": "redhat",
+            "git_repository_url": MAINLINE_URL,
+            "git_repository_branch": "master",
+            "git_commit_hash": HASH,
+            "git_commit_name": "v6.7-rc3",
+            "patchset_hash": "",
+            "comment": "mainline tip",
+            "valid": True,
+        }
+    ],
+    "builds": [
+        {
+            "id": "redhat:b1",
+            "origin": "redhat",
+            "checkout_id": "redhat:c1",
+            "architecture": "x86_64",
+            "config_name": "defconfig",
+            "status": "PASS",
+        },
+        {
+            "id": "google:b2",
+            "origin": "google",
+            "checkout_id": "redhat:c1",
+            "architecture": "arm64",
+            "config_name": "defconfig",
+            "status": "FAIL",
+        },
+    ],
+    "tests": [
+        {
+            "id": "redhat:t1",
+            "origin": "redhat",
+            "build_id": "redhat:b1",
+            "path": "ltp.sem01",
+            "status": "PASS",
+        },
+        {
+            "id": "redhat:t2",
+            "origin": "redhat",
+            "build_id": "redhat:b1",
+            "path": "ltp.sem02",
+            "status": "FAIL",
+        },
+        {
+            "id": "google:t3",
+            "origin": "google",
+            "build_id": "google:b2",
+            "path": "boot",
+            "status": "ERROR",
+        },
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def views(spark, tmp_path_factory):
+    store = Store(spark, str(tmp_path_factory.mktemp("render") / "store"))
+    store.load(FIXTURE)
+    return {t: store.table(t) for t in ("checkouts", "builds", "tests")}
+
+
+def test_revision_frame_summary(spark, views):
+    rows = revision_frame(
+        views["checkouts"], views["builds"], views["tests"]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["summary"] == 'linux.git:master@v6.7-rc3 "mainline tip"'
+    assert r["builds_status"] == "FAIL"
+    assert r["tests_status"] == "FAIL"
+    assert r["repo_urls"] == [MAINLINE_URL]
+
+
+def test_mainline_subject_golden(spark, views):
+    msgs = mainline_messages(
+        views["checkouts"], views["builds"], views["tests"]
+    ).collect()
+    assert len(msgs) == 1
+    expected = (GOLDEN / "revision_subject.txt").read_text()
+    assert msgs[0]["subject"] == expected
+
+
+def test_mainline_body_golden(spark, views):
+    msgs = mainline_messages(
+        views["checkouts"], views["builds"], views["tests"]
+    ).collect()
+    expected = (GOLDEN / "revision_description.txt").read_text()
+    got = msgs[0]["body"]
+    if got != expected:  # line-diff for a readable failure
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                expected.splitlines(), got.splitlines(),
+                "reference-jinja", "engine", lineterm="",
+            )
+        )
+        raise AssertionError(f"body differs from reference render:\n{diff}")
+
+
+def test_tests_failed_subject(spark, views):
+    """builds all PASS + one non-syzbot FAIL test → the Tests subject
+    (mainline.py's second branch)."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    fx = copy.deepcopy(FIXTURE)
+    for b in fx["builds"]:
+        b["status"] = "PASS"
+    chk = views["checkouts"]
+    spark_ = chk.sparkSession
+    store = None
+    # lightweight: rebuild views from the modified fixture in-memory
+    from kcidb_spark.store import Store as _Store
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        store = _Store(spark_, d + "/s")
+        store.load(fx)
+        msgs = mainline_messages(
+            store.table("checkouts"),
+            store.table("builds"),
+            store.table("tests"),
+        ).collect()
+        assert len(msgs) == 1
+        assert msgs[0]["subject"].startswith("Tests failed for ")
+
+    # syzbot-only FAIL tests must NOT notify
+    fx2 = copy.deepcopy(fx)
+    for t in fx2["tests"]:
+        if t["status"] == "FAIL":
+            t["origin"] = "syzbot"
+            t["id"] = "syzbot:" + t["id"].split(":", 1)[1]
+    with tempfile.TemporaryDirectory() as d:
+        store = _Store(spark_, d + "/s")
+        store.load(fx2)
+        msgs = mainline_messages(
+            store.table("checkouts"),
+            store.table("builds"),
+            store.table("tests"),
+        ).collect()
+        assert msgs == []
+
+
+FIXTURE_RICH = {
+    "version": {"major": 5, "minor": 3},
+    "checkouts": [
+        {
+            "id": "cki:c1", "origin": "cki",
+            "git_repository_url": MAINLINE_URL,
+            "git_repository_branch": "master",
+            "git_commit_hash": "ffee1a2b3c4d5e6f7a8b9c0d1e2f3a4b5c6d7e8f",
+            "patchset_hash": "abcdef0123",
+            "patchset_files": [
+                {"name": f"p{i}.patch", "url": f"https://lore.example/p{i}.patch"}
+                for i in range(7)
+            ],
+            "comment": "tip with patches",
+            "valid": False,
+        },
+        {
+            "id": "redhat:c2", "origin": "redhat",
+            "git_repository_url": MAINLINE_URL,
+            "git_repository_branch": "master",
+            "git_commit_hash": "ffee1a2b3c4d5e6f7a8b9c0d1e2f3a4b5c6d7e8f",
+            "patchset_hash": "abcdef0123",
+            "valid": True,
+        },
+    ],
+    "builds": (
+        [
+            {"id": f"o{i % 3}:b{i}", "origin": f"o{i % 3}",
+             "checkout_id": "cki:c1", "architecture": "arm64",
+             "config_name": "defconfig", "status": "FAIL"}
+            for i in range(8)
+        ]
+        + [
+            {"id": "o2:b8", "origin": "o2", "checkout_id": "cki:c1",
+             "architecture": "arm64", "config_name": "defconfig",
+             "status": "ERROR"},
+            {"id": "o0:b9", "origin": "o0", "checkout_id": "cki:c1",
+             "architecture": "riscv", "comment": "broken toolchain",
+             "status": "FAIL"},
+            {"id": "o1:b10", "origin": "o1", "checkout_id": "cki:c1",
+             "architecture": "riscv", "config_name": "allmod",
+             "status": "FAIL"},
+            {"id": "o2:b11", "origin": "o2", "checkout_id": "cki:c1",
+             "architecture": "s390", "config_name": "a0", "status": "FAIL"},
+            {"id": "o0:b12", "origin": "o0", "checkout_id": "cki:c1",
+             "architecture": "s390", "config_name": "a1", "status": "FAIL"},
+            {"id": "o1:b13", "origin": "o1", "checkout_id": "cki:c1",
+             "architecture": "s390", "config_name": "a2", "status": "FAIL"},
+            {"id": "o2:b14", "origin": "o2", "checkout_id": "cki:c1",
+             "architecture": "x86_64", "config_name": "defconfig",
+             "status": "PASS"},
+            {"id": "o0:b15", "origin": "o0", "checkout_id": "cki:c1",
+             "architecture": "x86_64", "config_name": "defconfig"},
+            {"id": "o1:b16", "origin": "o1", "checkout_id": "cki:c1",
+             "config_name": "defconfig", "status": "DONE"},
+        ]
+    ),
+    "tests": [
+        {"id": "cki:t0", "origin": "cki", "build_id": "o0:b0",
+         "status": "FAIL"},  # no path → "?" node
+        {"id": "cki:t1", "origin": "cki", "build_id": "o0:b0",
+         "path": "aoot.one", "status": "FAIL"},
+        {"id": "syzbot:t2", "origin": "syzbot", "build_id": "o0:b0",
+         "path": "boot", "status": "ERROR"},
+        {"id": "cki:t3", "origin": "cki", "build_id": "o0:b0",
+         "path": "cpu.hotplug", "status": "MISS"},
+        {"id": "cki:t4", "origin": "cki", "build_id": "o0:b0",
+         "path": "dtp.x", "status": "PASS"},
+        {"id": "cki:t5", "origin": "cki", "build_id": "o0:b0",
+         "path": "etp.y", "status": "DONE"},
+        {"id": "cki:t6", "origin": "cki", "build_id": "o0:b0",
+         "path": "ftp.z", "status": "SKIP"},
+        {"id": "cki:t7", "origin": "cki", "build_id": "o0:b0",
+         "path": "gtp.a", "status": "FAIL"},
+        {"id": "cki:t8", "origin": "cki", "build_id": "o0:b0",
+         "path": "htp.b", "status": "FAIL"},
+        {"id": "cki:t9", "origin": "cki", "build_id": "o0:b0",
+         "path": "", "status": "PASS"},  # empty path: not a node
+    ],
+}
+
+
+def test_rich_golden(spark, tmp_path):
+    """The rich fixture pins dynamic column widths (❌ 13 → 2-char
+    count alignment), list caps with '...', count-desc failure sort,
+    the patches block, '?' architecture and '?' test node, and a
+    NULL build status column."""
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(FIXTURE_RICH)
+    msgs = mainline_messages(
+        store.table("checkouts"), store.table("builds"), store.table("tests")
+    ).collect()
+    assert len(msgs) == 1
+    assert msgs[0]["subject"] == (
+        GOLDEN / "revision_subject_rich.txt"
+    ).read_text()
+    expected = (GOLDEN / "revision_description_rich.txt").read_text()
+    got = msgs[0]["body"]
+    if got != expected:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                expected.splitlines(), got.splitlines(),
+                "reference-jinja", "engine", lineterm="",
+            )
+        )
+        raise AssertionError(f"rich body differs:\n{diff}")
+
+
+def test_rich_messages_spool_dedup(spark, tmp_path, views):
+    """Rich messages flow through the standard spool with idempotent
+    redelivery (same id scheme as flat subscriptions)."""
+    from kcidb_spark.streaming import NotificationSpool
+    from kcidb_spark.streaming.render import as_notifications
+
+    msgs = mainline_messages(
+        views["checkouts"], views["builds"], views["tests"]
+    )
+    spool = NotificationSpool(spark, str(tmp_path / "spool"))
+    assert spool.spool(as_notifications(msgs)) == 1
+    assert spool.spool(as_notifications(msgs)) == 0  # redelivery
+    row = spool.all().collect()[0]
+    assert row["obj_type"] == "revision"
+    assert row["subject"].startswith("Builds failed for ")
