@@ -23,6 +23,15 @@ kcidb/db/__init__.py db tools).
     python -m kcidb_spark.cli submit     --queue DIR < reports.jsonl
     python -m kcidb_spark.cli monitor-spool-wipe --spool DIR [--before ISO]
     python -m kcidb_spark.cli tests-validate [-u]       < catalog.yaml
+    python -m kcidb_spark.cli mq-{io,pattern,email}-publisher --queue DIR \
+        {init,cleanup,publish}                          < payload
+    python -m kcidb_spark.cli mq-{io,pattern,email}-subscriber --queue DIR \
+        [-s NAME] [--messages N] {init,cleanup,pull}
+    python -m kcidb_spark.cli issue-edit    [-d DIR | --queue DIR | --dry-run]
+        --subject S --culprit {code,tool,harness} --name N --email E
+        [--id ISSUE_ID]   (edit: version auto-increments past the latest)
+    python -m kcidb_spark.cli incident-edit [-d DIR | --queue DIR | --dry-run]
+        --issue-id I --issue-version V --type {build,test} --ids ID...
 
 Stream tools (validate/upgrade/count/merge) are pure Python — no
 SparkSession is started for them (CLI latency parity with the
@@ -78,6 +87,140 @@ def _parse_ts(s: str) -> datetime.datetime:
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=datetime.timezone.utc)
     return dt
+
+
+def _mq_main(args) -> int:
+    """kcidb-mq-* analogs (reference kcidb/mq/__init__.py:871-1009)
+    over the file-transport queue."""
+    from kcidb_spark.mq import EmailQueue, IOQueue, PatternQueue
+
+    flavor = args.cmd.split("-")[1]
+    role = args.cmd.rsplit("-", 1)[1]
+    queue = {"io": IOQueue, "pattern": PatternQueue, "email": EmailQueue}[
+        flavor
+    ](args.queue)
+
+    if role == "publisher":
+        if args.command == "init":
+            queue.init()
+        elif args.command == "cleanup":
+            queue.cleanup()
+        else:  # publish — print one message id per publish, like the
+            # reference prints publishing ids
+            if flavor == "io":
+                for report in _read_reports(sys.stdin):
+                    print(queue.publish_report(report))
+            elif flavor == "pattern":
+                print(queue.publish_patterns(sys.stdin.readlines()))
+            else:
+                print(queue.publish_email(sys.stdin.read()))
+        return 0
+
+    # subscriber
+    if args.command == "init":
+        queue.init_subscription(args.subscription)
+    elif args.command == "cleanup":
+        queue.cleanup_subscription(args.subscription)
+    else:  # pull: emit each payload, then ack (at-least-once)
+        for ack_id, payload in queue.pull(args.subscription, args.messages):
+            sys.stdout.write(payload)
+            if not payload.endswith("\n"):
+                sys.stdout.write("\n")
+            sys.stdout.flush()
+            queue.ack(args.subscription, ack_id)
+    return 0
+
+
+def _issue_editor_main(args) -> int:
+    """Issue/incident editor (reference kcidb/issue_editor/__init__.py:
+    28-194 — a Flask form publishing to the new-data topic; same
+    report construction here, minus the HTTP frame): sha1-derived ids,
+    author stamped into misc, culprit booleans, validate, then publish
+    to the queue or load into the store.  Editing an existing issue
+    auto-increments issue_version past the store's latest
+    (latest_issue_version — the a12 rollup)."""
+    import hashlib
+
+    from kcidb_spark.schema.io import IO_VERSION, validate
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+    stamp = now.strftime("%Y%m%d%H%M%S")
+    misc_obj = json.loads(args.misc) if args.misc else {}
+    misc_obj["author"] = {"name": args.name, "email": args.email}
+
+    if args.cmd == "issue-edit":
+        if args.issue_id:
+            issue_id = args.issue_id
+            if not args.database:
+                print("--id requires -d to look up the latest version",
+                      file=sys.stderr)
+                return 1
+            store = _store(args)
+            from pyspark.sql import functions as F
+
+            latest = (
+                store.table("issues")
+                .filter(F.col("id") == issue_id)
+                .agg(F.max("version"))
+                .collect()[0][0]
+            )
+            version = 0 if latest is None else int(latest) + 1
+        else:
+            digest = hashlib.sha1(
+                f"{args.report_subject}_{stamp}".encode()
+            ).hexdigest()
+            issue_id = f"{args.origin}:{digest}"
+            version = 0
+        issue = {
+            "id": issue_id,
+            "version": version,
+            "origin": args.origin,
+            "report_subject": args.report_subject,
+            "culprit": {
+                "code": args.culprit == "code",
+                "tool": args.culprit == "tool",
+                "harness": args.culprit == "harness",
+            },
+            "misc": misc_obj,
+        }
+        if args.comment:
+            issue["comment"] = args.comment
+        if args.report_url:
+            issue["report_url"] = args.report_url
+        report = {"version": dict(IO_VERSION), "issues": [issue]}
+    else:  # incident-edit
+        incidents = []
+        for item_id in args.ids:
+            digest = hashlib.sha1(f"{item_id}_{stamp}".encode()).hexdigest()
+            incident = {
+                "id": f"{args.origin}:{digest}",
+                "origin": args.origin,
+                "issue_id": args.issue_id,
+                "issue_version": args.issue_version,
+                "present": True,
+                "misc": dict(misc_obj),
+            }
+            if args.comment:
+                incident["comment"] = args.comment
+            incident[f"{args.incident_type}_id"] = item_id
+            incidents.append(incident)
+        report = {"version": dict(IO_VERSION), "incidents": incidents}
+
+    validate(report)
+    if args.dry_run:
+        _emit(report)
+        return 0
+    if args.queue:
+        from kcidb_spark.mq import IOQueue
+
+        print(IOQueue(args.queue).publish_report(report))
+        return 0
+    if args.database:
+        _store(args).load(report)
+        _emit(report)
+        return 0
+    print("need -d, --queue, or --dry-run", file=sys.stderr)
+    return 1
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -144,6 +287,58 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-u", "--urls", action="store_true",
                    help="also verify catalog home URLs (syntactic "
                         "check — no network in this environment)")
+
+    # kcidb-mq-{io,pattern,email}-{publisher,subscriber} analogs over
+    # the file-transport queue (kcidb_spark.mq).
+    for flavor in ("io", "pattern", "email"):
+        p = sub.add_parser(f"mq-{flavor}-publisher")
+        p.add_argument("--queue", required=True, help="queue directory")
+        p.add_argument("command", choices=["init", "cleanup", "publish"])
+        p = sub.add_parser(f"mq-{flavor}-subscriber")
+        p.add_argument("--queue", required=True, help="queue directory")
+        p.add_argument("-s", "--subscription", default="default")
+        p.add_argument("--messages", type=int, default=1)
+        p.add_argument("command", choices=["init", "cleanup", "pull"])
+
+    # Issue editor (reference kcidb/issue_editor/__init__.py — a Flask
+    # UI publishing to the new-data topic; here a CLI writing through
+    # the validated submit/load paths).
+    p = sub.add_parser("issue-edit")
+    p.add_argument("-d", "--database", default=None,
+                   help="store directory to load the report into")
+    p.add_argument("--queue", default=None,
+                   help="publish to this ingest queue instead of "
+                        "loading directly")
+    p.add_argument("--origin", default="maestro")
+    p.add_argument("--id", dest="issue_id", default=None,
+                   help="existing issue id to edit — the new "
+                        "issue_version auto-increments past the "
+                        "store's latest")
+    p.add_argument("--subject", required=True, dest="report_subject")
+    p.add_argument("--culprit", required=True,
+                   choices=["code", "tool", "harness"])
+    p.add_argument("--name", required=True, help="author name")
+    p.add_argument("--email", required=True, help="author e-mail")
+    p.add_argument("--report-url", default=None)
+    p.add_argument("--comment", default=None)
+    p.add_argument("--misc", default=None, help="extra misc JSON object")
+    p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser("incident-edit")
+    p.add_argument("-d", "--database", default=None)
+    p.add_argument("--queue", default=None)
+    p.add_argument("--origin", default="maestro")
+    p.add_argument("--issue-id", required=True)
+    p.add_argument("--issue-version", required=True, type=int)
+    p.add_argument("--type", required=True, choices=["build", "test"],
+                   dest="incident_type")
+    p.add_argument("--ids", required=True, nargs="+",
+                   help="build/test ids to link")
+    p.add_argument("--name", required=True)
+    p.add_argument("--email", required=True)
+    p.add_argument("--comment", default=None)
+    p.add_argument("--misc", default=None)
+    p.add_argument("--dry-run", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -256,6 +451,12 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 _emit(merge(reports[0], reports[1:]))
         return 0
+
+    if args.cmd.startswith("mq-"):
+        return _mq_main(args)
+
+    if args.cmd in ("issue-edit", "incident-edit"):
+        return _issue_editor_main(args)
 
     # -- store tools ----------------------------------------------------
     if args.cmd == "db-init":

@@ -249,3 +249,144 @@ def test_tests_validate(monkeypatch, capsys):
     rc, _ = run_cli(monkeypatch, capsys, ["tests-validate", "-u"],
                     "boot:\n  title: t\n  home: not-a-url\n")
     assert rc == 1
+
+
+def test_mq_io_roundtrip(monkeypatch, capsys, tmp_path):
+    """publish → subscribe round-trip on the file-transport queue,
+    with at-least-once redelivery until ack."""
+    q = str(tmp_path / "q")
+    rep = json.dumps(COMPREHENSIVE)
+    rc, _ = run_cli(monkeypatch, capsys,
+                    ["mq-io-publisher", "--queue", q, "init"])
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-io-publisher", "--queue", q, "publish"], rep)
+    assert rc == 0 and out.strip()
+    rc, _ = run_cli(monkeypatch, capsys,
+                    ["mq-io-subscriber", "--queue", q, "-s", "sub1", "init"])
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-io-subscriber", "--queue", q, "-s", "sub1",
+                       "--messages", "5", "pull"])
+    assert rc == 0
+    assert json.loads(out)["version"]["major"] == 5
+    # acked: second pull is empty
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-io-subscriber", "--queue", q, "-s", "sub1",
+                       "pull"])
+    assert rc == 0 and out == ""
+    # a second subscription sees the message independently
+    rc, _ = run_cli(monkeypatch, capsys,
+                    ["mq-io-subscriber", "--queue", q, "-s", "sub2", "init"])
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-io-subscriber", "--queue", q, "-s", "sub2",
+                       "pull"])
+    assert json.loads(out)["version"]["major"] == 5
+
+
+def test_mq_io_publish_rejects_invalid(monkeypatch, capsys, tmp_path):
+    q = str(tmp_path / "q")
+    with pytest.raises(Exception):
+        run_cli(monkeypatch, capsys,
+                ["mq-io-publisher", "--queue", q, "publish"],
+                json.dumps({"version": {"major": 9}}))
+
+
+def test_mq_pattern_roundtrip(monkeypatch, capsys, tmp_path):
+    q = str(tmp_path / "q")
+    run_cli(monkeypatch, capsys,
+            ["mq-pattern-publisher", "--queue", q, "init"])
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-pattern-publisher", "--queue", q, "publish"],
+                      '>checkout["o:c1"]>build#\n')
+    assert rc == 0 and out.strip()
+    run_cli(monkeypatch, capsys,
+            ["mq-pattern-subscriber", "--queue", q, "-s", "s", "init"])
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-pattern-subscriber", "--queue", q, "-s", "s",
+                       "pull"])
+    assert rc == 0 and "build" in out
+
+
+def test_mq_email_roundtrip(monkeypatch, capsys, tmp_path):
+    q = str(tmp_path / "q")
+    msg = "Subject: Build failed\nTo: a@b.c\n\nbody text\n"
+    run_cli(monkeypatch, capsys, ["mq-email-publisher", "--queue", q, "init"])
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-email-publisher", "--queue", q, "publish"], msg)
+    assert rc == 0
+    run_cli(monkeypatch, capsys,
+            ["mq-email-subscriber", "--queue", q, "-s", "s", "init"])
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["mq-email-subscriber", "--queue", q, "-s", "s",
+                       "pull"])
+    assert rc == 0 and "Subject: Build failed" in out
+
+
+def test_issue_edit_roundtrip(monkeypatch, capsys, tmp_path, spark):
+    """create issue → a12-style latest reflects it; edit →
+    auto-incremented version becomes latest; incidents link to it."""
+    d = str(tmp_path / "store")
+    common = ["--subject", "kernel NULL deref in foo",
+              "--culprit", "code", "--name", "Dev One",
+              "--email", "dev@example.org"]
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["issue-edit", "-d", d] + common)
+    assert rc == 0
+    issue = json.loads(out)["issues"][0]
+    assert issue["version"] == 0
+    assert issue["culprit"] == {"code": True, "tool": False, "harness": False}
+    assert json.loads(issue["misc"]) if isinstance(issue["misc"], str) else issue["misc"]
+
+    # edit: same id, version auto-increments
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["issue-edit", "-d", d, "--id", issue["id"],
+                       "--comment", "narrowed to commit X"] + common)
+    assert rc == 0
+    issue2 = json.loads(out)["issues"][0]
+    assert issue2["id"] == issue["id"] and issue2["version"] == 1
+
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.oo import latest_issue_version
+    from kcidb_spark.store import Store
+
+    store = Store(spark, d)
+    latest = latest_issue_version(
+        store.table("issues").withColumn("version_num", F.col("version"))
+    ).collect()
+    assert len(latest) == 1
+    assert latest[0]["version"] == 1
+    assert latest[0]["comment"] == "narrowed to commit X"
+
+    # incidents against the new version
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["incident-edit", "-d", d, "--issue-id", issue["id"],
+                       "--issue-version", "1", "--type", "test",
+                       "--ids", "o:t1", "o:t2",
+                       "--name", "Dev One", "--email", "dev@example.org"])
+    assert rc == 0
+    incs = store.table("incidents").collect()
+    assert {r["test_id"] for r in incs} == {"o:t1", "o:t2"}
+    assert all(r["issue_version"] == 1 and r["present"] for r in incs)
+
+
+def test_issue_edit_dry_run_and_queue(monkeypatch, capsys, tmp_path):
+    q = str(tmp_path / "q")
+    common = ["--subject", "s", "--culprit", "tool",
+              "--name", "n", "--email", "e@x.y"]
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["issue-edit", "--dry-run"] + common)
+    assert rc == 0
+    rep = json.loads(out)
+    assert rep["issues"][0]["culprit"]["tool"] is True
+
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["issue-edit", "--queue", q] + common)
+    assert rc == 0 and out.strip()
+    from kcidb_spark.mq import IOQueue
+
+    queue = IOQueue(q)
+    queue.init_subscription("s")
+    pulled = list(queue.pull_reports("s", 5))
+    assert len(pulled) == 1 and pulled[0][1]["issues"][0]["origin"] == "maestro"
