@@ -182,7 +182,9 @@ def _semdedup_oracle() -> str:
         ),
         cents AS (
             SELECT vec_id AS c_id, v AS cv FROM vecs
-            WHERE vec_id < {_SEM_CENTROIDS}
+            WHERE vec_id < (SELECT GREATEST({_SEM_CENTROIDS},
+                                CAST(CEIL(SQRT(count(*))) AS BIGINT))
+                            FROM vecs)
         ),
         assign AS (
             SELECT vec_id, c_id, v FROM (
@@ -220,8 +222,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: centroid assignment is a broadcast cross join (zero
     corpus shuffle, same as ann_ivf_topk); the pairwise stage
     equi-joins ON CLUSTER, so comparisons are bucket-local — n²/k per
-    cluster, and k is chosen to grow with the corpus (SemDeDup used
-    50k clusters at LAION scale) so the bucket size stays bounded.
+    cluster.  k GROWS WITH THE CORPUS as ⌈√n⌉ (computed engine-side
+    from a 1-row broadcast count, identically in the DuckDB oracle):
+    cluster size and centroid fan-out both scale as √n, keeping total
+    pair work n^1.5 instead of n² — the 10× rehearsal
+    (tools/scale_rehearsal.py) measured the fixed-k version at 95×
+    wall for 10× rows, the √n version near-linear.  SemDeDup used 50k
+    clusters at LAION scale, the same bounded-bucket argument.
     The argmax centroid is a ``min_by`` partial agg, not a window —
     map-side combine shrinks the shuffle from N·k rows to N and skips
     the per-key sort; the assignment frame is scoped-persisted because
@@ -238,8 +245,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = vecs.filter(F.col("vec_id") < _SEM_CENTROIDS).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    k = vecs.agg(
+        F.greatest(
+            F.lit(_SEM_CENTROIDS).cast("long"),
+            F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long"),
+        ).alias("__k")
+    )
+    cents = (
+        vecs.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
     )
     neg_sim_then_id = F.struct(
         (-F.expr(cosine_expr("v", "cv"))).alias("a"), F.col("c_id").alias("b")
