@@ -85,7 +85,8 @@ def minhash_signatures(
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
-              n_hashes: int = 8, n_bands: int = 2) -> DataFrame:
+              n_hashes: int = 8, n_bands: int = 2,
+              carry: tuple[str, ...] = ()) -> DataFrame:
     """Fold a signature into band keys: (id, band, key) — documents
     agreeing on ALL rows of any band share that band's key.
 
@@ -109,25 +110,44 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
         ]
     )
     return signatures.select(
-        F.col(id_col), F.posexplode(keys).alias("band", "key")
+        F.col(id_col), F.posexplode(keys).alias("band", "key"), *carry
     )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        n_hashes: int = 8, n_bands: int = 2) -> DataFrame:
+                        n_hashes: int = 8, n_bands: int = 2,
+                        carry: tuple[str, ...] = ()) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band
     bucket — the n²-avoiding core of MinHash dedup.  Shuffle volume is
     bucket-sized, never all-pairs; AQE's skew-join handles hot buckets.
+
+    ``carry`` lists signature columns to ride along through the band
+    join as ``a_<col>``/``b_<col>`` — both sides' signatures are
+    already in scope inside the join, so a consumer that needs them
+    (sketch-only Jaccard estimation) avoids re-joining the signature
+    frame twice afterwards.  Dedup then keys on (a, b) alone; carried
+    values are functionally dependent on the ids, so the kept row is
+    deterministic.
     """
-    bands = lsh_bands(signatures, id_col, n_hashes, n_bands)
-    left = bands.select(F.col("band"), F.col("key"), F.col(id_col).alias("a"))
-    right = bands.select(F.col("band"), F.col("key"), F.col(id_col).alias("b"))
-    return (
+    bands = lsh_bands(signatures, id_col, n_hashes, n_bands, carry=carry)
+    left = bands.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("a"),
+        *[F.col(c).alias(f"a_{c}") for c in carry],
+    )
+    right = bands.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("b"),
+        *[F.col(c).alias(f"b_{c}") for c in carry],
+    )
+    joined = (
         left.join(right, on=["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
     )
+    if not carry:
+        return joined.select("a", "b").distinct()
+    return joined.select(
+        "a", "b",
+        *[f"a_{c}" for c in carry], *[f"b_{c}" for c in carry],
+    ).dropDuplicates(["a", "b"])
 
 
 def jaccard_pairs(

@@ -752,24 +752,23 @@ def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = scoped_persist(minhash_signatures(docs, n_hashes=8))
-    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
-    sa = sig.select(F.col("doc_id").alias("a"),
-                    *[F.col(f"h{i}").alias(f"__a{i}") for i in range(8)])
-    sb = sig.select(F.col("doc_id").alias("b"),
-                    *[F.col(f"h{i}").alias(f"__b{i}") for i in range(8)])
+    sig = minhash_signatures(docs, n_hashes=8)
+    # Both signatures ride through the band join (carry=) — the
+    # estimate is then a pure projection: ONE band-key shuffle total,
+    # no signature persist, no re-join of the signature frame per
+    # side (the r01→r04 2× bench regression was exactly those two
+    # extra joins + the persist materialization).
+    hcols = tuple(f"h{i}" for i in range(8))
+    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2, carry=hcols)
     n_agree = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
         for i in range(8)
     )
-    return (
-        cand.join(sa, on="a").join(sb, on="b")
-        .select(
-            "a",
-            "b",
-            n_agree.cast("long").alias("n_agree"),
-            (n_agree.cast("long") / F.lit(8.0)).alias("jaccard_est"),
-        )
+    return cand.select(
+        "a",
+        "b",
+        n_agree.cast("long").alias("n_agree"),
+        (n_agree.cast("long") / F.lit(8.0)).alias("jaccard_est"),
     )
 
 
