@@ -273,7 +273,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ignore-not-initialized", action="store_true")
     add_db("db-upgrade")
     add_db("db-time")
-    add_db("notify")
+    p = add_db("notify")
+    p.add_argument("--mainline", action="store_true",
+                   help="include reference-fidelity revision messages")
+    p.add_argument("--email-queue", default=None,
+                   help="also publish rendered RFC-822 e-mails on this "
+                        "file-transport email queue")
+    p.add_argument("--to", default="kernelci-results@groups.io",
+                   help="To: header for rendered e-mails")
 
     p = sub.add_parser("submit")
     p.add_argument("--queue", required=True,
@@ -511,7 +518,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "notify":
         # Reference kcidb-notify: evaluate subscriptions over the data
-        # and emit one notification JSON per line.
+        # and emit one notification JSON per line.  With --mainline,
+        # the reference-fidelity revision messages (rich Jinja-parity
+        # bodies, streaming/render.py) are included; with
+        # --email-queue, each notification is additionally rendered to
+        # an RFC-822 e-mail (output.py semantics) and published on the
+        # file-transport email queue — the monitor→email-queue hop of
+        # the reference deployment.
         from kcidb_spark.orm.types import type_views
         from kcidb_spark.schema.graph import TABLES
         from kcidb_spark.streaming.notify import (
@@ -524,9 +537,42 @@ def main(argv: list[str] | None = None) -> int:
             {t: store.table(t, with_metadata=True) for t in TABLES}
         )
         notifications = match_subscriptions(views, default_subscriptions())
-        if notifications is not None:
-            for row in notifications.collect():
-                _emit_line(row.asDict())
+        if args.mainline:
+            from kcidb_spark.streaming.render import (
+                as_notifications,
+                mainline_messages,
+            )
+
+            rich = as_notifications(
+                mainline_messages(
+                    store.table("checkouts"),
+                    store.table("builds"),
+                    store.table("tests"),
+                )
+            )
+            notifications = (
+                rich
+                if notifications is None
+                else notifications.unionByName(rich)
+            )
+        if notifications is None:
+            return 0
+        rows = notifications.collect()
+        for row in rows:
+            _emit_line(row.asDict())
+        if args.email_queue:
+            from kcidb_spark.mq import EmailQueue
+            from kcidb_spark.streaming.email_out import render_email
+
+            queue = EmailQueue(args.email_queue)
+            for row in rows:
+                msg = render_email(
+                    subject=row["subject"],
+                    body=row["body"],
+                    to=[args.to],
+                    notification_id=row["id"],
+                )
+                queue.publish_email(msg.as_string())
         return 0
 
     if args.cmd == "db-load":

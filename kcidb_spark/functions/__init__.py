@@ -72,7 +72,14 @@ def notification_id(
     kcidb/monitor/output.py:162-174) — the spool dedup key."""
 
     def b64(c: Column | str) -> Column:
-        return F.base64(F.encode(F.col(c) if isinstance(c, str) else c, "UTF-8"))
+        # Strip the CRLF line-wrap Spark's MIME base64 inserts every
+        # 76 chars (DuckDB's to_base64 is unwrapped; ids must be
+        # single-line — they travel in e-mail headers).
+        return F.regexp_replace(
+            F.base64(F.encode(F.col(c) if isinstance(c, str) else c, "UTF-8")),
+            "[\\r\\n]",
+            "",
+        )
 
     parts = [
         F.col(subscription) if isinstance(subscription, str) else subscription,

@@ -92,7 +92,11 @@ _SPOOL_SCHEMA = T.StructType(
 
 
 def _b64(col: Column) -> Column:
-    return F.base64(F.encode(col, "UTF-8"))
+    # Spark's base64 MIME-wraps its output with CRLF every 76 chars
+    # (java.util.Base64 MIME encoder) — a >56-byte subject would embed
+    # a line break inside the notification id, corrupting e-mail
+    # headers and diverging from DuckDB's unwrapped to_base64.  Strip.
+    return F.regexp_replace(F.base64(F.encode(col, "UTF-8")), "[\\r\\n]", "")
 
 
 def match_subscriptions(

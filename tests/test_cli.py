@@ -390,3 +390,42 @@ def test_issue_edit_dry_run_and_queue(monkeypatch, capsys, tmp_path):
     queue.init_subscription("s")
     pulled = list(queue.pull_reports("s", 5))
     assert len(pulled) == 1 and pulled[0][1]["issues"][0]["origin"] == "maestro"
+
+
+def test_notify_mainline_email_queue(monkeypatch, capsys, tmp_path, spark):
+    """notify --mainline --email-queue: rich revision notifications
+    render to RFC-822 e-mails on the file-transport email queue."""
+    import email.parser
+    import email.policy
+
+    from tests.test_render import FIXTURE
+
+    d = str(tmp_path / "db")
+    q = str(tmp_path / "emailq")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", d],
+                    json.dumps(FIXTURE))
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["notify", "-d", d, "--mainline",
+                       "--email-queue", q])
+    assert rc == 0
+    lines = [json.loads(x) for x in out.splitlines() if x.strip()]
+    assert any(n["subscription"] == "mainline" for n in lines)
+
+    from kcidb_spark.mq import EmailQueue
+
+    queue = EmailQueue(q)
+    queue.init_subscription("smtp")
+    pulled = list(queue.pull("smtp", 10))
+    assert len(pulled) == len(lines)
+    parser = email.parser.Parser(policy=email.policy.SMTPUTF8)
+    msgs = [parser.parsestr(payload) for _, payload in pulled]
+    mainline = [m for m in msgs
+                if m["Subject"].startswith("Builds failed for ")]
+    assert mainline
+    m = mainline[0]
+    assert m["X-KCIDB-Notification-ID"].startswith("mainline:revision:")
+    parts = [p.get_content_type() for p in m.iter_parts()]
+    assert parts == ["text/plain", "text/html"]
+    body = list(m.iter_parts())[0].get_content()
+    assert "LEGEND" in body and "BUILDS" in body

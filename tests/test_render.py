@@ -299,3 +299,38 @@ def test_rich_messages_spool_dedup(spark, tmp_path, views):
     row = spool.all().collect()[0]
     assert row["obj_type"] == "revision"
     assert row["subject"].startswith("Builds failed for ")
+
+
+def test_render_email_semantics():
+    """output.py render() semantics: caps with scissors marker,
+    control-char replacement, headers, plain + linkified-HTML parts."""
+    from kcidb_spark.streaming.email_out import (
+        clamp_subject,
+        render_email,
+    )
+
+    long_subject = "S" * 300
+    clamped = clamp_subject(long_subject)
+    assert len(clamped) == 256 and clamped.endswith("✂️")
+    assert clamp_subject("bad\x01subject") == "bad⯑subject"
+
+    body = "See https://kcidb.kernelci.org/x?a=1&b=2 for <details>\n" + (
+        "y" * 70000
+    )
+    msg = render_email(
+        subject="Builds failed for linux.git:master",
+        body=body,
+        to=["Linux Kernel Mailing List <linux-kernel@vger.kernel.org>"],
+        notification_id="mainline:revision:QQ==:Ug==",
+    )
+    assert msg["Subject"] == "Builds failed for linux.git:master"
+    assert msg["X-KCIDB-Notification-ID"] == "mainline:revision:QQ==:Ug=="
+    parts = list(msg.iter_parts())
+    assert [p.get_content_type() for p in parts] == [
+        "text/plain", "text/html",
+    ]
+    plain = parts[0].get_content()
+    assert plain.endswith("✂️\n") or plain.endswith("✂️")
+    html_part = parts[1].get_content()
+    assert '<a href="https://kcidb.kernelci.org/x?a=1&amp;b=2">' in html_part
+    assert "&lt;details&gt;" in html_part  # escaped, not raw HTML
