@@ -116,10 +116,20 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 8, n_bands: int = 2,
-                        carry: tuple[str, ...] = ()) -> DataFrame:
+                        carry: tuple[str, ...] = (),
+                        max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band
     bucket — the n²-avoiding core of MinHash dedup.  Shuffle volume is
     bucket-sized, never all-pairs; AQE's skew-join handles hot buckets.
+
+    ``max_bucket`` is the 100 TB safety valve for pathological
+    duplication (SCALE.md rehearsal: pair count grows as
+    Σ bucket², and a spam flood can put millions of byte-similar
+    documents in ONE bucket): buckets wider than the cap are truncated
+    to their ``max_bucket`` lowest ids (deterministic, and the kept
+    lowest id is exactly the survivor exact-style dedup would pick),
+    bounding any bucket's pair contribution at cap².  None (default)
+    caps nothing.
 
     ``carry`` lists signature columns to ride along through the band
     join as ``a_<col>``/``b_<col>`` — both sides' signatures are
@@ -130,6 +140,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     deterministic.
     """
     bands = lsh_bands(signatures, id_col, n_hashes, n_bands, carry=carry)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+        bands = (
+            bands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
     left = bands.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("a"),
         *[F.col(c).alias(f"a_{c}") for c in carry],

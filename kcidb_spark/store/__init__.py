@@ -463,6 +463,7 @@ class Store:
                     f"{REQUIRED_FIELDS[table]}"
                 )
             target = schema_for(table, with_metadata=True)
+            self._check_values(table, objs, target)
             json_paths = _JSON_FIELDS[table]
             cols = []
             for f in target.fields:
@@ -489,6 +490,57 @@ class Store:
                         ).alias(f.name)
                     )
             self._append(objs.select(*cols), table)
+
+    def _check_values(self, table: str, objs: DataFrame, target) -> None:
+        """Engine-side value validation for the bulk/streaming paths —
+        the JSON-Schema subset whose violation would otherwise corrupt
+        data SILENTLY: status outside the enum would poison the
+        priority rollups, and a malformed timestamp string would
+        to_timestamp to NULL (dropping the value) or throw mid-write
+        under ANSI.  One validation scan per table, all checks fused
+        into a single array-of-violation-labels projection.  Full
+        JSON-Schema validation remains the per-report ``load`` path
+        for untrusted trickle provenance.
+        """
+        from pyspark.sql import types as T
+
+        from kcidb_spark.schema.types import STATUS_VALUES
+
+        viol: list = []
+        if "status" in objs.columns and any(
+            f.name == "status" for f in target.fields
+        ):
+            viol.append(
+                F.when(
+                    F.col("status").isNotNull()
+                    & ~F.col("status").isin(*STATUS_VALUES),
+                    F.lit("status not in enum"),
+                )
+            )
+        for f in target.fields:
+            if (
+                isinstance(f.dataType, T.TimestampType)
+                and f.name in objs.columns
+                and not f.name.startswith("_")
+                and isinstance(objs.schema[f.name].dataType, T.StringType)
+            ):
+                viol.append(
+                    F.when(
+                        F.col(f.name).isNotNull()
+                        & F.try_to_timestamp(F.col(f.name)).isNull(),
+                        F.lit(f"unparseable timestamp {f.name}"),
+                    )
+                )
+        if not viol:
+            return
+        bad = (
+            objs.select(F.array_compact(F.array(*viol)).alias("v"))
+            .filter(F.size("v") > 0)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(f"{table}: invalid value(s): {bad[0]['v']}")
 
     def _append(self, df: DataFrame, table: str) -> None:
         """Append rows to a raw table in the store's layout."""

@@ -84,3 +84,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_facts")
         spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_lsh_bucket_cap_bounds_pairs(spark):
+    """max_bucket truncates pathological buckets to the B lowest ids:
+    pair volume per bucket is bounded at B^2 regardless of how many
+    duplicates land in it (the SCALE.md spam-flood safety valve)."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 50 byte-identical docs -> one LSH bucket per band.
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact spam document body repeated").alias("text"),
+    )
+    sig = minhash_signatures(docs, n_hashes=8)
+    uncapped = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).count()
+    assert uncapped == 50 * 49 // 2
+    capped = lsh_candidate_pairs(
+        sig, n_hashes=8, n_bands=2, max_bucket=5
+    )
+    rows = capped.collect()
+    assert len(rows) == 5 * 4 // 2
+    # The kept ids are exactly the 5 lowest — survivor-compatible.
+    assert {r["a"] for r in rows} | {r["b"] for r in rows} == set(range(5))

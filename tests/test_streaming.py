@@ -270,3 +270,33 @@ def test_streaming_ingest_v4_report(pipeline, spark, tmp_path):
     dump = pipeline.store.dump()
     assert {c["id"] for c in dump["checkouts"]} == {"v:c1", "s:co1"}
     assert {b["id"] for b in dump["builds"]} == {"v:b1", "v:b2", "s:b1"}
+
+
+def test_load_json_df_rejects_bad_enum_and_timestamp(spark, tmp_path):
+    """Engine-side value validation on the streaming path: a status
+    outside the enum or a garbage timestamp string fails loudly
+    instead of silently poisoning rollups / nulling the value."""
+    store = Store(spark, str(tmp_path / "store"))
+    bad_status = dict(_report(1))
+    bad_status["builds"] = [dict(bad_status["builds"][0], status="GREAT")]
+    batch = spark.createDataFrame(
+        [(json.dumps(bad_status),)], "value string"
+    )
+    with pytest.raises(ValueError, match="status not in enum"):
+        store.load_json_df(batch)
+
+    bad_ts = dict(_report(2))
+    bad_ts["builds"] = [
+        dict(bad_ts["builds"][0], start_time="not-a-time")
+    ]
+    batch = spark.createDataFrame([(json.dumps(bad_ts),)], "value string")
+    with pytest.raises(ValueError, match="unparseable timestamp start_time"):
+        store.load_json_df(batch)
+
+    good = dict(_report(3))
+    good["builds"] = [
+        dict(good["builds"][0], start_time="2024-05-01T10:00:00+00:00")
+    ]
+    batch = spark.createDataFrame([(json.dumps(good),)], "value string")
+    store.load_json_df(batch)
+    assert store.table("builds").count() == 1
