@@ -746,3 +746,198 @@ def as_notifications(
         subject.alias("subject"),
         F.substring("body", 1, Subscription.BODY_MAX).alias("body"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-test description (test_description.txt.j2 / test_summary.txt.j2)
+# ---------------------------------------------------------------------------
+
+_TEST_DASH = (
+    "https://kcidb.kernelci.org/d/test/test?orgId=1&var-id="
+)
+
+
+def _checkout_summary(pfx: str) -> Column:
+    """checkout.j2 summary over joined ``{pfx}``-prefixed columns:
+    location(:branch)@commit(+NP) "comment" — commit/patches come from
+    the checkout's own revision fields."""
+    url = F.col(f"{pfx}git_repository_url")
+    last_seg = F.element_at(F.split(url, "/"), -1)
+    location = F.when(
+        url.isNotNull(),
+        F.concat_ws(":", last_seg, F.col(f"{pfx}git_repository_branch")),
+    )
+    commit = F.coalesce(
+        F.col(f"{pfx}git_commit_name"),
+        F.col(f"{pfx}git_commit_hash").substr(1, 12),
+    )
+    location_commit = _nullif_empty(F.concat_ws("@", location, commit))
+    pf = F.coalesce(
+        F.col(f"{pfx}patchset_files"),
+        F.array().cast("array<struct<name:string,url:string>>"),
+    )
+    patches = F.when(
+        F.size(pf) > 0,
+        F.concat(F.lit("+"), F.size(pf).cast("string"), F.lit("P")),
+    )
+    location_commit_patches = F.when(
+        location_commit.isNotNull(),
+        F.concat(location_commit, F.coalesce(patches, F.lit(""))),
+    )
+    return F.concat_ws(
+        " ", location_commit_patches, _quote(F.col(f"{pfx}comment"))
+    )
+
+
+def test_description_frame(
+    checkouts: DataFrame, builds: DataFrame, tests: DataFrame
+) -> DataFrame:
+    """One row per test run with reference-fidelity ``summary`` and
+    ``description`` columns (test_summary.txt.j2 /
+    test_description.txt.j2 — byte-identical for the goldens in
+    tests/golden/).  Pure per-row projection after two LEFT joins
+    (test→build→checkout), so it renders every test in parallel with
+    no aggregation at all; timestamps print as the store's canonical
+    ISO-8601 microseconds in UTC, independent of the session TZ.
+    """
+    spark = tests.sparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    co = checkouts.select(
+        F.col("id").alias("checkout_id"),
+        *[
+            F.col(c).alias(f"co_{c}")
+            for c in (
+                "git_repository_url",
+                "git_repository_branch",
+                "comment",
+                "git_commit_name",
+                "git_commit_hash",
+                "patchset_files",
+            )
+        ],
+    )
+    b = (
+        builds.select(
+            F.col("id").alias("build_id"),
+            "checkout_id",
+            F.col("architecture").alias("b_architecture"),
+            F.col("config_name").alias("b_config_name"),
+            F.col("comment").alias("b_comment"),
+        )
+        .join(co, on="checkout_id", how="left")
+        .withColumn("b_exists", F.lit(True))
+        .withColumn(
+            "co_exists", F.col("checkout_id").isNotNull()
+        )
+    )
+    t = tests.join(b, on="build_id", how="left")
+
+    summary = F.coalesce(
+        _nullif_empty(
+            F.concat_ws(" ", F.col("path"), _quote(F.col("comment")))
+        ),
+        F.col("id"),
+    )
+    b_summary = F.coalesce(
+        _nullif_empty(
+            F.concat_ws(
+                " ",
+                F.col("b_architecture"),
+                F.col("b_config_name"),
+                _quote(F.col("b_comment")),
+            )
+        ),
+        F.col("build_id"),
+    )
+    iso_ts = F.concat(
+        F.date_format("start_time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("+00:00"),
+    )
+    truthy_path = F.col("path").isNotNull() & (F.col("path") != "")
+    env_comment = F.col("environment.comment")
+
+    def section(cond: Column, *parts) -> Column:
+        return F.when(cond, F.concat(*parts)).otherwise("")
+
+    description = F.concat(
+        F.lit(
+            "Below is the summary of execution results Kernel CI"
+            " database has recorded for\nthis test. See complete"
+            " report at:\n\n    "
+        ),
+        F.lit(_TEST_DASH),
+        encode_uri_component_sql_col("id"),
+        F.lit("\n\nTEST\n\n    Status\n                "),
+        _status_badge(F.col("status")),
+        F.lit("\n"),
+        section(truthy_path, F.lit("    Path\n                "),
+                F.col("path"), F.lit("\n")),
+        section(
+            F.col("b_exists").isNotNull() & F.col("co_exists"),
+            F.lit("    Checkout\n                "),
+            _checkout_summary("co_"),
+            F.lit("\n"),
+        ),
+        section(
+            F.col("b_exists").isNotNull(),
+            F.lit("    Build\n                "),
+            b_summary,
+            F.lit("\n"),
+        ),
+        F.lit("    Executed\n            by: "),
+        F.col("origin"),
+        F.lit("\n"),
+        section(
+            env_comment.isNotNull() & (env_comment != ""),
+            F.lit("            on: "), env_comment, F.lit("\n"),
+        ),
+        section(
+            F.col("start_time").isNotNull(),
+            F.lit("            at: "), iso_ts, F.lit("\n"),
+        ),
+        section(
+            F.col("duration").isNotNull() & (F.col("duration") != 0),
+            F.lit("            in: "),
+            F.col("duration").cast("string"),
+            F.lit(" seconds\n"),
+        ),
+        section(
+            F.size(F.coalesce(
+                F.col("output_files"),
+                F.array().cast("array<struct<name:string,url:string>>"),
+            )) > 0,
+            F.lit("    Output files\n"),
+            F.array_join(
+                F.transform(
+                    F.col("output_files"),
+                    lambda f: F.concat(
+                        F.lit("                "),
+                        f["name"],  # .name is the Column method — index
+                        F.lit(": "),
+                        f["url"],
+                    ),
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+        ),
+        section(
+            F.col("comment").isNotNull() & (F.col("comment") != ""),
+            F.lit("    Comment\n                "),
+            F.col("comment"),
+            F.lit("\n"),
+        ),
+        F.lit("\n"),
+    )
+    return t.select(
+        F.col("id"),
+        summary.alias("summary"),
+        description.alias("description"),
+    )
+
+
+def encode_uri_component_sql_col(col_name: str) -> Column:
+    from kcidb_spark.functions import encode_uri_component
+
+    return encode_uri_component(f"coalesce({col_name}, '')")

@@ -334,3 +334,83 @@ def test_render_email_semantics():
     html_part = parts[1].get_content()
     assert '<a href="https://kcidb.kernelci.org/x?a=1&amp;b=2">' in html_part
     assert "&lt;details&gt;" in html_part  # escaped, not raw HTML
+
+
+def test_test_description_golden(spark, tmp_path):
+    """Single-test description/summary rendering is byte-identical to
+    the reference test_description.txt.j2 / test_summary.txt.j2 for a
+    full-featured test and a minimal one (no path/build/env/times)."""
+    from kcidb_spark.streaming.render import test_description_frame
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {
+                "id": "redhat:c1",
+                "origin": "redhat",
+                "git_repository_url": MAINLINE_URL,
+                "git_repository_branch": "master",
+                "git_commit_hash": HASH,
+                "git_commit_name": "v6.7-rc3",
+                "patchset_hash": "",
+            }
+        ],
+        "builds": [
+            {
+                "id": "redhat:b1",
+                "origin": "redhat",
+                "checkout_id": "redhat:c1",
+                "architecture": "x86_64",
+                "config_name": "defconfig",
+                "status": "PASS",
+            }
+        ],
+        "tests": [
+            {
+                "id": "redhat:t2",
+                "origin": "redhat",
+                "build_id": "redhat:b1",
+                "path": "ltp.sem02",
+                "status": "FAIL",
+                "environment": {"comment": "qemu-x86_64 8G"},
+                "start_time": "2024-05-01T10:00:00+00:00",
+                "duration": 12.5,
+                "output_files": [
+                    {"name": "log.txt",
+                     "url": "https://artifacts.example/log.txt"},
+                    {"name": "dmesg",
+                     "url": "https://artifacts.example/dmesg"},
+                ],
+                "comment": "flaky since v6.6",
+            },
+            {
+                "id": "google:t9",
+                "origin": "google",
+                "build_id": "missing:b0",  # no such build row
+            },
+        ],
+    }
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(report)
+    frame = test_description_frame(
+        store.table("checkouts"), store.table("builds"), store.table("tests")
+    )
+    rows = {r["id"]: r for r in frame.collect()}
+    assert rows["redhat:t2"]["summary"] == 'ltp.sem02 "flaky since v6.6"'
+    assert rows["google:t9"]["summary"] == "google:t9"
+    for tid, golden in (
+        ("redhat:t2", "test_description_full.txt"),
+        ("google:t9", "test_description_min.txt"),
+    ):
+        expected = (GOLDEN / golden).read_text()
+        got = rows[tid]["description"]
+        if got != expected:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(
+                    expected.splitlines(), got.splitlines(),
+                    "reference-jinja", "engine", lineterm="",
+                )
+            )
+            raise AssertionError(f"{tid} differs:\n{diff}")
