@@ -189,3 +189,85 @@ def f13_notification_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subscription", "obj_type", "obj_id", "message_id"
         ).alias("nid"),
     )
+
+
+_NOTIF_STATUSES = (("O", "✅"), ("F", "❌"), ("P", "❓"))
+
+
+@register(
+    "notif_emoji_count_table",
+    oracle=dedent(f"""
+        WITH per AS (
+            SELECT o_orderpriority AS pr,
+                   {", ".join(
+                       f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS n{i}"
+                       for i, (s, _) in enumerate(_NOTIF_STATUSES))}
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT {", ".join(
+                f"CAST(SUM(n{i}) AS BIGINT) AS t{i}"
+                for i in range(len(_NOTIF_STATUSES)))},
+                   MAX(length(pr)) AS wn
+            FROM per
+        )
+        SELECT pr AS o_orderpriority,
+               lpad(pr, CAST(wn + 8 AS INTEGER), ' ')
+               {"".join(
+                   f"|| CASE WHEN t{i} > 0 THEN '  ' ||"
+                   f" CASE WHEN n{i} > 0 THEN '{e}' ELSE '➖' END || ' ' ||"
+                   f" lpad(CAST(n{i} AS VARCHAR),"
+                   f" CAST(length(CAST(t{i} AS VARCHAR)) AS INTEGER), ' ')"
+                   f" ELSE '' END "
+                   for i, (_, e) in enumerate(_NOTIF_STATUSES))}
+               AS row_text
+        FROM per CROSS JOIN tot
+    """),
+    tags=("T5", "render"),
+)
+def notif_emoji_count_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The notification body's aligned emoji×count table primitive
+    (reference misc.j2 emoji_count_row_fmt + build.j2
+    container_summary, re-expressed in streaming/render.py) certified
+    cross-engine on testdata: per order-priority rows of per-status
+    emoji/count cells, name column right-aligned to the widest name
+    +8, counts right-aligned to their column total's width, zero cells
+    blanked with ➖, all-zero columns suppressed.  Pure string
+    building over one groupBy plus a broadcast 1-row totals frame —
+    the exact shape the revision-notification renderer runs per
+    revision."""
+    ords = table(spark, sf_dir, "orders")
+    per = ords.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        *[
+            F.count_if(F.col("o_orderstatus") == s).alias(f"n{i}")
+            for i, (s, _) in enumerate(_NOTIF_STATUSES)
+        ]
+    )
+    tot = per.agg(
+        *[F.sum(f"n{i}").cast("long").alias(f"t{i}")
+          for i in range(len(_NOTIF_STATUSES))],
+        F.max(F.length("pr")).alias("wn"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    cells = []
+    for i, (_, emoji) in enumerate(_NOTIF_STATUSES):
+        cells.append(
+            F.when(
+                F.col(f"t{i}") > 0,
+                F.concat(
+                    F.lit("  "),
+                    F.when(F.col(f"n{i}") > 0, emoji).otherwise("➖"),
+                    F.lit(" "),
+                    F.expr(
+                        f"lpad(CAST(n{i} AS STRING),"
+                        f" length(CAST(t{i} AS STRING)), ' ')"
+                    ),
+                ),
+            ).otherwise("")
+        )
+    return j.select(
+        F.col("pr").alias("o_orderpriority"),
+        F.concat(
+            F.expr("lpad(pr, wn + 8, ' ')"), *cells
+        ).alias("row_text"),
+    )

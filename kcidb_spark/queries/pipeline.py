@@ -1195,3 +1195,39 @@ def vec_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_max(transform(v, x -> abs(x)))") / norm
         ).alias("max_abs_normalized"),
     )
+
+
+@register(
+    "lsh_candidate_pairs_capped",
+    oracle=dedent(f"""
+        WITH {_SIG_SQL},
+        capped AS (
+            SELECT doc_id, band, key FROM (
+                SELECT doc_id, band, key,
+                       row_number() OVER (
+                           PARTITION BY band, key ORDER BY doc_id
+                       ) AS rn
+                FROM bands
+            ) WHERE rn <= 4
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM capped l
+        JOIN capped r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """),
+    tags=("dedup", "minhash", "lsh", "scale-valve"),
+)
+def lsh_candidate_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with the ``max_bucket`` spam-flood safety valve
+    engaged (SCALE.md rehearsal finding: pair volume grows as
+    Σ bucket², so one pathological bucket of N byte-similar documents
+    costs N² pairs): buckets truncate to their 4 lowest doc_ids before
+    the pair join, bounding any bucket's contribution at 4² while
+    keeping exactly the survivors exact-style dedup would keep.  The
+    oracle reproduces the cap with a ROW_NUMBER window, certifying the
+    truncation semantics cross-engine."""
+    from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sig = minhash_signatures(docs, n_hashes=8)
+    return lsh_candidate_pairs(sig, n_hashes=8, n_bands=2, max_bucket=4)
