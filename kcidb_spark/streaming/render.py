@@ -197,10 +197,33 @@ def revision_frame(
         "config_name",
         "comment",
     )
-    barch = b.groupBy(*REV_KEYS, "architecture").agg(
+    brev, bfail = _agg_builds(b, REV_KEYS)
+
+    rev_of_build = b.select(F.col("id").alias("build_id"), *REV_KEYS)
+    t = tests.join(rev_of_build, on="build_id", how="inner").select(
+        *REV_KEYS, "origin", "status", "path"
+    )
+    trev, torig = _agg_tests(t, REV_KEYS)
+
+    out = (
+        co_agg.join(brev, on=REV_KEYS, how="left")
+        .join(bfail, on=REV_KEYS, how="left")
+        .join(trev, on=REV_KEYS, how="left")
+        .join(torig, on=REV_KEYS, how="left")
+    )
+    return _with_rendering(out)
+
+
+def _agg_builds(b: DataFrame, keys: list[str]):
+    """Build-container rollups keyed by ``keys`` (the revision key, a
+    checkout id, …): (status/arch count frame, failure-summary frame)
+    carrying exactly the columns ``_builds_section`` renders from.
+    ``b`` needs keys + id/origin/status/architecture/config_name/
+    comment."""
+    barch = b.groupBy(*keys, "architecture").agg(
         *_counts_struct(), F.collect_set("origin").alias("origs")
     )
-    brev = barch.groupBy(*REV_KEYS).agg(
+    bagg = barch.groupBy(*keys).agg(
         *[F.sum(n).alias(f"b_{n}") for n in _N],
         # Negated counts → ascending sort == reference's count-desc
         # ordering, with arch ASC as the deterministic tie-break.
@@ -230,10 +253,10 @@ def revision_frame(
     )
     bfail = (
         b.filter(F.col("status") == "FAIL")
-        .select(*REV_KEYS, F.coalesce(bsummary, F.col("id")).alias("bsum"))
-        .groupBy(*REV_KEYS, "bsum")
+        .select(*keys, F.coalesce(bsummary, F.col("id")).alias("bsum"))
+        .groupBy(*keys, "bsum")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(*REV_KEYS)
+        .groupBy(*keys)
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -246,11 +269,13 @@ def revision_frame(
             ).alias("fail_rows")
         )
     )
+    return bagg, bfail
 
-    rev_of_build = b.select(F.col("id").alias("build_id"), *REV_KEYS)
-    t = tests.join(rev_of_build, on="build_id", how="inner").select(
-        *REV_KEYS, "origin", "status", "path"
-    )
+
+def _agg_tests(t: DataFrame, keys: list[str]):
+    """Test-container rollups keyed by ``keys``: (node-status frame,
+    origin frame) carrying the columns ``_tests_section`` renders
+    from.  ``t`` needs keys + origin/status/path."""
     # tests_root.nodes: group test runs by TOP-LEVEL path component
     # (kcidb/oo/__init__.py:335-360); empty paths are skipped, NULL
     # paths form the NULL-named node (rendered "?").
@@ -263,10 +288,10 @@ def revision_frame(
                 F.substring_index("path", ".", 1),
             ),
         )
-        .groupBy(*REV_KEYS, "node")
+        .groupBy(*keys, "node")
         .agg(F.min(_status_prio(F.col("status"))).alias("nprio"))
     )
-    trev = tnode.groupBy(*REV_KEYS).agg(
+    tagg = tnode.groupBy(*keys).agg(
         *[
             F.count_if(F.col("nprio") == i + 1).alias(f"t_n{i}")
             for i in range(6)
@@ -284,7 +309,7 @@ def revision_frame(
             )
         ).alias("fail_nodes"),
     )
-    torig = t.groupBy(*REV_KEYS).agg(
+    torig = t.groupBy(*keys).agg(
         F.array_sort(F.collect_set("origin")).alias("t_origins"),
         F.max(
             F.when(
@@ -293,14 +318,7 @@ def revision_frame(
             ).otherwise(0)
         ).alias("t_fail_nonsyzbot"),
     )
-
-    out = (
-        co_agg.join(brev, on=REV_KEYS, how="left")
-        .join(bfail, on=REV_KEYS, how="left")
-        .join(trev, on=REV_KEYS, how="left")
-        .join(torig, on=REV_KEYS, how="left")
-    )
-    return _with_rendering(out)
+    return tagg, torig
 
 
 # ---------------------------------------------------------------------------
@@ -941,3 +959,633 @@ def encode_uri_component_sql_col(col_name: str) -> Column:
     from kcidb_spark.functions import encode_uri_component
 
     return encode_uri_component(f"coalesce({col_name}, '')")
+
+
+# ---------------------------------------------------------------------------
+# Build / checkout descriptions (build_description.txt.j2 /
+# checkout_description.txt.j2) — per-object container rollups reuse
+# the same _agg_builds/_agg_tests + section renderers as revisions.
+# ---------------------------------------------------------------------------
+
+_BUILD_DASH = "https://kcidb.kernelci.org/d/build/build?orgId=1&var-id="
+_CHECKOUT_DASH = (
+    "https://kcidb.kernelci.org/d/checkout/checkout?orgId=1&var-id="
+)
+
+
+def _kv_block(title: str, col: Column, indent: str = "                ") -> Column:
+    return F.when(
+        col.isNotNull() & (col.cast("string") != ""),
+        F.concat(F.lit(f"    {title}\n{indent}"), col.cast("string"), F.lit("\n")),
+    ).otherwise("")
+
+
+def _files_block(title: str, col: Column) -> Column:
+    arr = F.coalesce(
+        col, F.array().cast("array<struct<name:string,url:string>>")
+    )
+    return F.when(
+        F.size(arr) > 0,
+        F.concat(
+            F.lit(f"    {title}\n"),
+            F.array_join(
+                F.transform(
+                    arr,
+                    lambda f: F.concat(
+                        F.lit("                "), f["name"], F.lit(": "),
+                        f["url"],
+                    ),
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+        ),
+    ).otherwise("")
+
+
+def _iso_utc(col_name: str) -> Column:
+    return F.concat(
+        F.date_format(col_name, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("+00:00"),
+    )
+
+
+def build_description_frame(
+    checkouts: DataFrame, builds: DataFrame, tests: DataFrame
+) -> DataFrame:
+    """One row per build with the reference-fidelity
+    ``description`` (build_description.txt.j2): OVERVIEW badges, the
+    BUILD facts block, and the build's own TESTS container summary —
+    byte-identical to the reference render for the golden fixture.
+    One groupBy over the build's tests plus a LEFT join to its
+    checkout; everything else is per-row projection."""
+    spark = builds.sparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    co = checkouts.select(
+        F.col("id").alias("checkout_id"),
+        *[
+            F.col(c).alias(f"co_{c}")
+            for c in (
+                "git_repository_url",
+                "git_repository_branch",
+                "comment",
+                "git_commit_name",
+                "git_commit_hash",
+                "patchset_files",
+            )
+        ],
+    ).withColumn("co_exists", F.lit(True))
+    t = tests.select(
+        F.col("build_id").alias("__bid"), "origin", "status", "path"
+    )
+    tagg, torig = _agg_tests(t, ["__bid"])
+    b = (
+        builds.join(co, on="checkout_id", how="left")
+        .join(tagg, on=builds["id"] == tagg["__bid"], how="left")
+        .drop("__bid")
+        .join(torig, on=builds["id"] == torig["__bid"], how="left")
+        .drop("__bid")
+    )
+
+    dash = F.concat(
+        F.lit(_BUILD_DASH), encode_uri_component_sql_col("id")
+    )
+    has_tests = F.col("t_origins").isNotNull()
+    tests_badge = _status_badge(_prio_status(F.col("t_prio")))
+    config_block = F.when(
+        (F.col("config_name").isNotNull() & (F.col("config_name") != ""))
+        | (F.col("config_url").isNotNull() & (F.col("config_url") != "")),
+        F.concat(
+            F.lit("    Configuration\n"),
+            F.when(
+                F.col("config_name").isNotNull()
+                & (F.col("config_name") != ""),
+                F.concat(
+                    F.lit("          name: "), F.col("config_name"),
+                    F.lit("\n"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("config_url").isNotNull()
+                & (F.col("config_url") != ""),
+                F.concat(
+                    F.lit("          file: "), F.col("config_url"),
+                    F.lit("\n"),
+                ),
+            ).otherwise(""),
+        ),
+    ).otherwise("")
+
+    def exec_line(label: str, col: Column, cond: Column | None = None) -> Column:
+        c = cond if cond is not None else (
+            col.isNotNull() & (col.cast("string") != "")
+        )
+        return F.when(
+            c, F.concat(F.lit(label), col.cast("string"), F.lit("\n"))
+        ).otherwise("")
+
+    description = F.concat(
+        F.lit(
+            "Below is the summary of testing results Kernel CI database"
+            " has recorded\nfor this build so far. See complete and"
+            " up-to-date report at:\n\n    "
+        ),
+        dash,
+        F.lit("\n\nOVERVIEW\n\n         Build: "),
+        _status_badge(F.col("status")),
+        F.lit("\n"),
+        F.when(
+            has_tests,
+            F.concat(F.lit("         Tests: "), tests_badge, F.lit("\n")),
+        ).otherwise(""),
+        F.lit("\nBUILD\n\n    Status\n                "),
+        _status_badge(F.col("status")),
+        F.lit("\n"),
+        F.when(
+            F.col("co_exists").isNotNull(),
+            F.concat(
+                F.lit("    Checkout\n                "),
+                _checkout_summary("co_"),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        _kv_block("Architecture", F.col("architecture")),
+        _kv_block("Compiler", F.col("compiler")),
+        config_block,
+        _files_block("Input files", F.col("input_files")),
+        _files_block("Output files", F.col("output_files")),
+        F.lit("    Executed\n            by: "),
+        F.col("origin"),
+        F.lit("\n"),
+        exec_line("            at: ", _iso_utc("start_time"),
+                  F.col("start_time").isNotNull()),
+        exec_line("            in: ",
+                  F.concat(F.col("duration").cast("string"),
+                           F.lit(" seconds")),
+                  F.col("duration").isNotNull() & (F.col("duration") != 0)),
+        exec_line("       command: ", F.col("command")),
+        exec_line("           log: ", F.col("log_url")),
+        F.when(
+            F.col("comment").isNotNull() & (F.col("comment") != ""),
+            F.concat(F.lit("    Comment\n                "),
+                     F.col("comment"), F.lit("\n")),
+        ).otherwise(""),
+        _tests_section(),
+        F.lit("\nSee complete and up-to-date report at:\n\n    "),
+        dash,
+        F.lit("\n"),
+        F.lit(LEGEND),
+        F.lit("\n\n"),
+    )
+    return b.select(F.col("id"), description.alias("description"))
+
+
+def checkout_description_frame(
+    checkouts: DataFrame, builds: DataFrame, tests: DataFrame
+) -> DataFrame:
+    """One row per checkout with the reference-fidelity
+    ``description`` (checkout_description.txt.j2): valid badge,
+    commit/from/patches/comment facts, and the checkout's BUILDS and
+    TESTS container summaries — the same rollups a revision renders,
+    keyed by checkout id instead."""
+    spark = checkouts.sparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    b = builds.select(
+        F.col("checkout_id").alias("__cid"),
+        "id",
+        "origin",
+        "status",
+        "architecture",
+        "config_name",
+        "comment",
+    )
+    bagg, bfail = _agg_builds(b, ["__cid"])
+    t = tests.join(
+        b.select(F.col("id").alias("build_id"), "__cid"),
+        on="build_id",
+        how="inner",
+    ).select("__cid", "origin", "status", "path")
+    tagg, torig = _agg_tests(t, ["__cid"])
+
+    c = (
+        checkouts.join(bagg, on=checkouts["id"] == bagg["__cid"], how="left")
+        .drop("__cid")
+        .join(bfail, on=checkouts["id"] == bfail["__cid"], how="left")
+        .drop("__cid")
+        .join(tagg, on=checkouts["id"] == tagg["__cid"], how="left")
+        .drop("__cid")
+        .join(torig, on=checkouts["id"] == torig["__cid"], how="left")
+        .drop("__cid")
+    )
+
+    dash = F.concat(
+        F.lit(_CHECKOUT_DASH), encode_uri_component_sql_col("id")
+    )
+    has_builds = (
+        sum(F.coalesce(F.col(f"b_{n}"), F.lit(0)) for n in _N) > 0
+    )
+    has_tests = F.col("t_origins").isNotNull()
+    b_prio = F.least(
+        *[
+            F.when(F.coalesce(F.col(f"b_{n}"), F.lit(0)) > 0, i + 1)
+            for i, n in enumerate(_N[:6])
+        ],
+        F.when(F.coalesce(F.col("b_n6"), F.lit(0)) > 0, 7),
+    )
+    pfiles = F.coalesce(
+        F.col("patchset_files"),
+        F.array().cast("array<struct<name:string,url:string>>"),
+    )
+    n_patches = F.size(pfiles)
+    patches_block = F.when(
+        n_patches > 0,
+        F.concat(
+            F.lit("    With "),
+            n_patches.cast("string"),
+            F.when(n_patches > 1, F.lit(" patches")).otherwise(F.lit("patch")),
+            F.lit(" applied\n"),
+            F.array_join(
+                F.transform(
+                    F.slice(pfiles, 1, MAX_LIST_LEN),
+                    lambda p: F.concat(F.lit("        "), p["url"]),
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+            F.when(
+                n_patches > MAX_LIST_LEN, F.lit("        ...\n")
+            ).otherwise(""),
+        ),
+    ).otherwise("")
+
+    description = F.concat(
+        F.lit(
+            "Below is the summary of testing results Kernel CI database"
+            " has recorded\nfor this checkout so far. See complete and"
+            " up-to-date report at:\n\n    "
+        ),
+        dash,
+        F.lit("\n\nOVERVIEW\n\n      Checkout: "),
+        _valid_badge(F.col("valid")),
+        F.lit("\n"),
+        F.when(
+            has_builds,
+            F.concat(
+                F.lit("        Builds: "),
+                _status_badge(_prio_status(b_prio)),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        F.when(
+            has_tests,
+            F.concat(
+                F.lit("         Tests: "),
+                _status_badge(_prio_status(F.col("t_prio"))),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        F.lit("\nCHECKOUT\n\n    Status\n        "),
+        _valid_badge(F.col("valid")),
+        F.lit("\n    Commit\n"),
+        F.when(
+            F.col("git_commit_name").isNotNull(),
+            F.concat(F.lit("        name: "), F.col("git_commit_name"),
+                     F.lit("\n")),
+        ).otherwise(""),
+        F.when(
+            F.col("git_commit_hash").isNotNull(),
+            F.concat(F.lit("        hash: "), F.col("git_commit_hash"),
+                     F.lit("\n")),
+        ).otherwise(""),
+        F.when(
+            F.col("git_repository_url").isNotNull(),
+            F.concat(
+                F.lit("    From\n        "),
+                F.concat_ws(
+                    " ",
+                    F.col("git_repository_url"),
+                    F.col("git_repository_branch"),
+                ),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        patches_block,
+        F.when(
+            F.col("comment").isNotNull() & (F.col("comment") != ""),
+            F.concat(F.lit("    Comment\n        "), F.col("comment"),
+                     F.lit("\n")),
+        ).otherwise(""),
+        F.lit("    By\n        "),
+        F.col("origin"),
+        F.lit("\n"),
+        _builds_section(),
+        _tests_section(),
+        F.lit("\nSee complete and up-to-date report at:\n\n    "),
+        dash,
+        F.lit("\n"),
+        F.lit(LEGEND),
+        F.lit("\n\n"),
+    )
+    return c.select(F.col("id"), description.alias("description"))
+
+
+# ---------------------------------------------------------------------------
+# Issue / incident descriptions (issue_description.txt.j2 /
+# incident_description.txt.j2 + issue.j2 / incident.j2 macros)
+# ---------------------------------------------------------------------------
+
+_ISSUE_DASH = "https://kcidb.kernelci.org/d/issue/issue?orgId=1&var-id="
+_INCIDENT_DASH = (
+    "https://kcidb.kernelci.org/d/incident/incident?orgId=1&var-id="
+)
+_ISSUE_KEYS = ["id", "version"]
+
+
+def issue_description_frame(
+    checkouts: DataFrame,
+    builds: DataFrame,
+    tests: DataFrame,
+    issues: DataFrame,
+    incidents: DataFrame,
+) -> DataFrame:
+    """One row per (issue id, version) with the reference-fidelity
+    ``description`` (issue.j2 overview/stats macros): report lines,
+    the culprit "Concerns …" sentence, detection counts over the
+    issue's incidents, the capped branch list, and detecting origins.
+    Counts resolve like the reference OO tree: only builds/tests that
+    actually exist in the data count, and branches come from the
+    checkouts of those builds (including the builds of detected
+    tests)."""
+    inc = incidents.select(
+        F.col("issue_id").alias("id"),
+        F.col("issue_version").alias("version"),
+        F.col("id").alias("incident_id"),
+        "origin",
+        "build_id",
+        "test_id",
+    )
+    # Resolve detected tests to their builds so branch discovery sees
+    # both directly- and test-linked builds.
+    t_build = tests.select(
+        F.col("id").alias("test_id"), F.col("build_id").alias("t_build_id")
+    )
+    inc2 = inc.join(t_build, on="test_id", how="left")
+    existing_builds = builds.select(
+        F.col("id").alias("build_id"), F.col("checkout_id").alias("b_co")
+    )
+    existing_tests = tests.select(F.col("id").alias("test_id"))
+
+    n_inc = inc.groupBy(*_ISSUE_KEYS).agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.array_sort(F.collect_set("origin")).alias("inc_origins"),
+    )
+    n_b = (
+        inc.join(existing_builds, on="build_id", how="inner")
+        .groupBy(*_ISSUE_KEYS)
+        .agg(F.countDistinct("build_id").alias("n_builds"))
+    )
+    n_t = (
+        inc.join(existing_tests, on="test_id", how="inner")
+        .groupBy(*_ISSUE_KEYS)
+        .agg(F.countDistinct("test_id").alias("n_tests"))
+    )
+    linked_builds = (
+        inc2.select(
+            *_ISSUE_KEYS,
+            F.explode(
+                F.array_compact(F.array("build_id", "t_build_id"))
+            ).alias("build_id"),
+        )
+        .join(existing_builds, on="build_id", how="inner")
+        .join(
+            checkouts.select(
+                F.col("id").alias("b_co"),
+                "git_repository_url",
+                "git_repository_branch",
+            ),
+            on="b_co",
+            how="inner",
+        )
+    )
+    branches = linked_builds.groupBy(*_ISSUE_KEYS).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.struct(
+                        F.col("git_repository_url").alias("u"),
+                        F.col("git_repository_branch").alias("b"),
+                    )
+                )
+            )
+        ).alias("branches")
+    )
+    agg = (
+        issues.join(n_inc, on=_ISSUE_KEYS, how="left")
+        .join(n_b, on=_ISSUE_KEYS, how="left")
+        .join(n_t, on=_ISSUE_KEYS, how="left")
+        .join(branches, on=_ISSUE_KEYS, how="left")
+    )
+
+    dash = F.concat(F.lit(_ISSUE_DASH), encode_uri_component_sql_col("id"))
+    has_subject = F.col("report_subject").isNotNull() & (
+        F.col("report_subject") != ""
+    )
+    has_url = F.col("report_url").isNotNull() & (F.col("report_url") != "")
+    has_comment = F.col("comment").isNotNull() & (F.col("comment") != "")
+    report_block = F.concat(
+        F.when(
+            has_subject,
+            F.concat(F.lit("    Report:  "), F.col("report_subject"),
+                     F.lit("\n")),
+        ).otherwise(""),
+        F.when(
+            has_url,
+            F.concat(
+                F.when(has_subject, F.lit("             "))
+                .otherwise(F.lit("    Report:  ")),
+                F.col("report_url"),
+                F.lit("\n"),
+            ),
+        ).otherwise(""),
+        F.when(
+            has_comment,
+            F.concat(F.lit("    Comment: "), F.col("comment"), F.lit("\n")),
+        ).otherwise(""),
+        F.when(has_subject | has_url | has_comment, F.lit("\n")).otherwise(
+            ""
+        ),
+    )
+    concerns = F.concat(
+        F.lit("    Concerns"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("culprit.code"), " the kernel code"),
+            F.when(F.col("culprit.tool"), " a test/toolchain"),
+            F.when(F.col("culprit.harness"), " a CI system"),
+        ),
+        F.when(
+            ~F.coalesce(F.col("culprit.code"), F.lit(False))
+            & ~F.coalesce(F.col("culprit.tool"), F.lit(False))
+            & ~F.coalesce(F.col("culprit.harness"), F.lit(False)),
+            F.lit(" nothing"),
+        ).otherwise(""),
+        F.lit("\n"),
+    )
+    n_builds = F.coalesce("n_builds", F.lit(0))
+    n_tests = F.coalesce("n_tests", F.lit(0))
+    br = F.coalesce(
+        F.col("branches"),
+        F.array().cast("array<struct<u:string,b:string>>"),
+    )
+    branch_lines = F.array_join(
+        F.transform(
+            F.slice(br, 1, MAX_LIST_LEN),
+            lambda x: F.concat(
+                F.lit("        "),
+                F.coalesce(x["u"], F.lit("?")),
+                F.lit(" "),
+                F.coalesce(x["b"], F.lit("?")),
+            ),
+        ),
+        "\n",
+    )
+    detected = F.when(
+        F.coalesce("n_incidents", F.lit(0)) > 0,
+        F.concat(
+            F.lit("    Detected "),
+            F.col("n_incidents").cast("string"),
+            F.lit(" times in"),
+            F.when(
+                n_builds > 0,
+                F.concat(F.lit(" "), n_builds.cast("string"),
+                         F.lit(" builds")),
+            ).otherwise(""),
+            F.when(
+                n_tests > 0,
+                F.concat(
+                    F.when(n_builds > 0, F.lit(",")).otherwise(""),
+                    F.lit(" "), n_tests.cast("string"), F.lit(" test runs"),
+                ),
+            ).otherwise(""),
+            F.lit("\n    In "),
+            F.size(br).cast("string"),
+            F.when(F.size(br) == 1, F.lit(" branch")).otherwise(
+                F.lit(" branches")
+            ),
+            F.lit(":\n"),
+            branch_lines,
+            F.when(
+                F.size(br) > MAX_LIST_LEN, F.lit("\n        ...")
+            ).otherwise(""),
+            F.lit("\n    By "),
+            F.array_join(F.coalesce("inc_origins", F.array()), ", "),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit("    Not detected anywhere yet\n"))
+
+    description = F.concat(
+        F.lit(
+            "Below is the summary of results Kernel CI database has"
+            " recorded\nfor this issue so far. See complete and"
+            " up-to-date report at:\n\n    "
+        ),
+        dash,
+        F.lit("\n\nOVERVIEW\n\n"),
+        report_block,
+        concerns,
+        F.lit("\n"),
+        detected,
+        F.lit("\nSee complete and up-to-date report at:\n\n    "),
+        dash,
+        F.lit("\n"),
+    )
+    return agg.select(
+        "id", "version", description.alias("description")
+    )
+
+
+def incident_description_frame(
+    builds: DataFrame,
+    tests: DataFrame,
+    issues: DataFrame,
+    incidents: DataFrame,
+) -> DataFrame:
+    """One row per incident with the reference-fidelity
+    ``description`` (incident_description.txt.j2): the linked issue's
+    report lines and "Detected in <build/test summary>" — all three
+    joins LEFT, so dangling links degrade exactly like the lazy OO
+    traversal (note the reference renders a missing report subject as
+    the literal "None" — Jinja's str(None) — reproduced here)."""
+    iss = issues.select(
+        F.col("id").alias("issue_id"),
+        F.col("version").alias("issue_version"),
+        F.col("report_subject").alias("i_subject"),
+        F.col("report_url").alias("i_url"),
+    )
+    b = builds.select(
+        F.col("id").alias("build_id"),
+        F.col("architecture").alias("b_architecture"),
+        F.col("config_name").alias("b_config_name"),
+        F.col("comment").alias("b_comment"),
+        F.lit(True).alias("b_exists"),
+    )
+    t = tests.select(
+        F.col("id").alias("test_id"),
+        F.col("path").alias("t_path"),
+        F.col("comment").alias("t_comment"),
+        F.lit(True).alias("t_exists"),
+    )
+    inc = (
+        incidents.join(iss, on=["issue_id", "issue_version"], how="left")
+        .join(b, on="build_id", how="left")
+        .join(t, on="test_id", how="left")
+    )
+    dash = F.concat(
+        F.lit(_INCIDENT_DASH), encode_uri_component_sql_col("id")
+    )
+    b_summary = F.coalesce(
+        _nullif_empty(
+            F.concat_ws(
+                " ",
+                F.col("b_architecture"),
+                F.col("b_config_name"),
+                _quote(F.col("b_comment")),
+            )
+        ),
+        F.col("build_id"),
+    )
+    t_summary = F.coalesce(
+        _nullif_empty(
+            F.concat_ws(" ", F.col("t_path"), _quote(F.col("t_comment")))
+        ),
+        F.col("test_id"),
+    )
+    description = F.concat(
+        F.lit(
+            "Below is the summary of results Kernel CI database has"
+            " recorded\nfor this incident so far. See complete and"
+            " up-to-date report at:\n\n    "
+        ),
+        dash,
+        F.lit("\n\nOVERVIEW\n\n    Issue\n        "),
+        F.coalesce(F.col("i_subject"), F.lit("None")),
+        F.lit("\n        "),
+        F.coalesce(F.col("i_url"), F.lit("None")),
+        F.lit("\n\n"),
+        F.when(
+            F.col("b_exists").isNotNull(),
+            F.concat(F.lit("    Detected in "), b_summary,
+                     F.lit(" build\n")),
+        ).otherwise(""),
+        F.when(
+            F.col("t_exists").isNotNull(),
+            F.concat(F.lit("    Detected in "), t_summary,
+                     F.lit(" test\n")),
+        ).otherwise(""),
+        F.lit("\nSee complete and up-to-date report at:\n\n    "),
+        dash,
+        F.lit("\n"),
+    )
+    return inc.select("id", description.alias("description"))

@@ -414,3 +414,189 @@ def test_test_description_golden(spark, tmp_path):
                 )
             )
             raise AssertionError(f"{tid} differs:\n{diff}")
+
+
+def test_build_and_checkout_description_golden(spark, tmp_path):
+    """Build and checkout descriptions byte-match the reference
+    build_description.txt.j2 / checkout_description.txt.j2 renders."""
+    from kcidb_spark.streaming.render import (
+        build_description_frame,
+        checkout_description_frame,
+    )
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {
+                "id": "redhat:c1",
+                "origin": "redhat",
+                "git_repository_url": MAINLINE_URL,
+                "git_repository_branch": "master",
+                "git_commit_hash": HASH,
+                "git_commit_name": "v6.7-rc3",
+                "patchset_hash": "",
+                "comment": "mainline tip",
+                "valid": True,
+            }
+        ],
+        "builds": [
+            {
+                "id": "redhat:b1",
+                "origin": "redhat",
+                "checkout_id": "redhat:c1",
+                "architecture": "x86_64",
+                "compiler": "gcc-12",
+                "config_name": "defconfig",
+                "config_url": "https://configs.example/defconfig",
+                "output_files": [
+                    {"name": "vmlinux",
+                     "url": "https://artifacts.example/vmlinux"}
+                ],
+                "start_time": "2024-05-01T09:00:00+00:00",
+                "duration": 600.0,
+                "command": "make defconfig all",
+                "log_url": "https://artifacts.example/build.log",
+                "status": "PASS",
+            },
+            {
+                "id": "google:b2",
+                "origin": "google",
+                "checkout_id": "redhat:c1",
+                "architecture": "arm64",
+                "config_name": "defconfig",
+                "status": "FAIL",
+            },
+        ],
+        "tests": [
+            {"id": "redhat:t1", "origin": "redhat", "build_id": "redhat:b1",
+             "path": "ltp.sem01", "status": "PASS"},
+            {"id": "redhat:t2", "origin": "redhat", "build_id": "redhat:b1",
+             "path": "ltp.sem02", "status": "FAIL"},
+            {"id": "google:t3", "origin": "google", "build_id": "redhat:b1",
+             "path": "boot", "status": "ERROR"},
+        ],
+    }
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(report)
+    views = (
+        store.table("checkouts"), store.table("builds"), store.table("tests")
+    )
+
+    def check(frame, obj_id, golden_name):
+        rows = {r["id"]: r for r in frame.collect()}
+        expected = (GOLDEN / golden_name).read_text()
+        got = rows[obj_id]["description"]
+        if got != expected:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(
+                    expected.splitlines(), got.splitlines(),
+                    "reference-jinja", "engine", lineterm="",
+                )
+            )
+            raise AssertionError(f"{obj_id} differs:\n{diff}")
+
+    check(build_description_frame(*views), "redhat:b1",
+          "build_description.txt")
+    check(checkout_description_frame(*views), "redhat:c1",
+          "checkout_description.txt")
+
+
+def test_issue_and_incident_description_golden(spark, tmp_path):
+    """Issue/incident descriptions byte-match the reference
+    issue_description.txt.j2 / incident_description.txt.j2 renders
+    (detection counts, capped branch list, culprit sentence, linked
+    build/test summaries)."""
+    from kcidb_spark.streaming.render import (
+        incident_description_frame,
+        issue_description_frame,
+    )
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {"id": "redhat:cf", "origin": "redhat",
+             "git_repository_url": MAINLINE_URL,
+             "git_repository_branch": "fixes"},
+            {"id": "redhat:cm", "origin": "redhat",
+             "git_repository_url": MAINLINE_URL,
+             "git_repository_branch": "master"},
+        ],
+        "builds": [
+            {"id": "redhat:b1", "origin": "redhat",
+             "checkout_id": "redhat:cf", "architecture": "x86_64",
+             "status": "FAIL"},
+            {"id": "google:b2", "origin": "google",
+             "checkout_id": "redhat:cm", "architecture": "arm64",
+             "config_name": "defconfig", "status": "FAIL"},
+        ],
+        "tests": [
+            {"id": "google:t3", "origin": "google",
+             "build_id": "redhat:b1", "path": "boot", "status": "FAIL"},
+        ],
+        "issues": [
+            {"id": "maestro:deadbeef", "origin": "maestro", "version": 1,
+             "report_subject": "KASAN: use-after-free in foo",
+             "report_url": "https://lore.example/report/1",
+             "comment": "seen on arm64 boots",
+             "culprit": {"code": True, "tool": False, "harness": False}},
+            {"id": "maestro:0000", "origin": "maestro", "version": 0,
+             "report_url": "https://lore.example/r2",
+             "culprit": {"code": False, "tool": False, "harness": False}},
+        ],
+        "incidents": [
+            {"id": "maestro:i1", "origin": "maestro",
+             "issue_id": "maestro:deadbeef", "issue_version": 1,
+             "build_id": "google:b2", "present": True},
+            {"id": "cki:i3", "origin": "cki",
+             "issue_id": "maestro:deadbeef", "issue_version": 1,
+             "build_id": "redhat:b1", "present": True},
+            {"id": "maestro:i2", "origin": "maestro",
+             "issue_id": "maestro:deadbeef", "issue_version": 1,
+             "test_id": "google:t3", "present": True},
+        ],
+    }
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(report)
+    views = {
+        t: store.table(t)
+        for t in ("checkouts", "builds", "tests", "issues", "incidents")
+    }
+
+    def diff_check(got, golden_name, label):
+        expected = (GOLDEN / golden_name).read_text()
+        if got != expected:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(
+                    expected.splitlines(), got.splitlines(),
+                    "reference-jinja", "engine", lineterm="",
+                )
+            )
+            raise AssertionError(f"{label} differs:\n{diff}")
+
+    issues_rows = {
+        r["id"]: r
+        for r in issue_description_frame(
+            views["checkouts"], views["builds"], views["tests"],
+            views["issues"], views["incidents"],
+        ).collect()
+    }
+    diff_check(issues_rows["maestro:deadbeef"]["description"],
+               "issue_description_full.txt", "issue full")
+    diff_check(issues_rows["maestro:0000"]["description"],
+               "issue_description_empty.txt", "issue empty")
+
+    inc_rows = {
+        r["id"]: r
+        for r in incident_description_frame(
+            views["builds"], views["tests"], views["issues"],
+            views["incidents"],
+        ).collect()
+    }
+    diff_check(inc_rows["maestro:i1"]["description"],
+               "incident_description_build.txt", "incident build")
+    diff_check(inc_rows["maestro:i2"]["description"],
+               "incident_description_test.txt", "incident test")
