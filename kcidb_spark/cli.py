@@ -32,6 +32,7 @@ kcidb/db/__init__.py db tools).
         [--id ISSUE_ID]   (edit: version auto-increments past the latest)
     python -m kcidb_spark.cli incident-edit [-d DIR | --queue DIR | --dry-run]
         --issue-id I --issue-version V --type {build,test} --ids ID...
+    python -m kcidb_spark.cli describe -d DIR --type OBJ [-i ID]
 
 Stream tools (validate/upgrade/count/merge) are pure Python — no
 SparkSession is started for them (CLI latency parity with the
@@ -273,6 +274,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ignore-not-initialized", action="store_true")
     add_db("db-upgrade")
     add_db("db-time")
+    p = add_db("describe")
+    p.add_argument("--type", required=True, dest="obj_type",
+                   choices=["revision", "checkout", "build", "test",
+                            "issue", "incident"])
+    p.add_argument("-i", "--id", dest="obj_id", default=None,
+                   help="only this object id (revisions: "
+                        "git_commit_hash)")
+
     p = add_db("notify")
     p.add_argument("--mainline", action="store_true",
                    help="include reference-fidelity revision messages")
@@ -514,6 +523,46 @@ def main(argv: list[str] | None = None) -> int:
             " \"yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx\") AS now"
         ).collect()[0]
         print(row["now"])
+        return 0
+
+    if args.cmd == "describe":
+        # Reference-fidelity description bodies (the text the monitor
+        # e-mails) for any object type — rendered engine-side, printed
+        # one JSON {id, description} per line.
+        from pyspark.sql import functions as F
+
+        from kcidb_spark.streaming import render as R
+
+        store = _store(args)
+        v = {t: store.table(t) for t in
+             ("checkouts", "builds", "tests", "issues", "incidents")}
+        if args.obj_type == "revision":
+            frame = R.revision_frame(
+                v["checkouts"], v["builds"], v["tests"]
+            ).select(
+                F.col("git_commit_hash").alias("id"), "description"
+            )
+        elif args.obj_type == "checkout":
+            frame = R.checkout_description_frame(
+                v["checkouts"], v["builds"], v["tests"])
+        elif args.obj_type == "build":
+            frame = R.build_description_frame(
+                v["checkouts"], v["builds"], v["tests"])
+        elif args.obj_type == "test":
+            frame = R.test_description_frame(
+                v["checkouts"], v["builds"], v["tests"]
+            ).select("id", "description")
+        elif args.obj_type == "issue":
+            frame = R.issue_description_frame(
+                v["checkouts"], v["builds"], v["tests"],
+                v["issues"], v["incidents"])
+        else:
+            frame = R.incident_description_frame(
+                v["builds"], v["tests"], v["issues"], v["incidents"])
+        if args.obj_id:
+            frame = frame.filter(F.col("id") == args.obj_id)
+        for row in frame.collect():
+            _emit_line({"id": row["id"], "description": row["description"]})
         return 0
 
     if args.cmd == "notify":

@@ -429,3 +429,29 @@ def test_notify_mainline_email_queue(monkeypatch, capsys, tmp_path, spark):
     assert parts == ["text/plain", "text/html"]
     body = list(m.iter_parts())[0].get_content()
     assert "LEGEND" in body and "BUILDS" in body
+
+
+def test_describe_objects(monkeypatch, capsys, tmp_path, spark):
+    """describe renders the reference-fidelity description text for
+    any object type, engine-side."""
+    from tests.test_render import FIXTURE
+
+    d = str(tmp_path / "db")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", d],
+                    json.dumps(FIXTURE))
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["describe", "-d", d, "--type", "test",
+                       "-i", "redhat:t2"])
+    assert rc == 0
+    [row] = [json.loads(x) for x in out.splitlines() if x.strip()]
+    assert row["id"] == "redhat:t2"
+    assert row["description"].startswith(
+        "Below is the summary of execution results")
+    assert "ltp.sem02" in row["description"]
+
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["describe", "-d", d, "--type", "revision"])
+    assert rc == 0
+    [row] = [json.loads(x) for x in out.splitlines() if x.strip()]
+    assert "LEGEND" in row["description"] and "BUILDS" in row["description"]
