@@ -1501,8 +1501,17 @@ def issue_description_frame(
         dash,
         F.lit("\n"),
     )
+    # issue.j2 summary macro: comment, else report_subject, else
+    # report_url (Jinja default(, true): empty strings are falsy).
+    summary = F.coalesce(
+        _nullif_empty(F.col("comment")),
+        _nullif_empty(F.col("report_subject")),
+        F.col("report_url"),
+    )
     return agg.select(
-        "id", "version", description.alias("description")
+        "id", "version",
+        summary.alias("summary"),
+        description.alias("description"),
     )
 
 
@@ -1531,12 +1540,17 @@ def incident_description_frame(
         F.col("comment").alias("b_comment"),
         F.lit(True).alias("b_exists"),
     )
+    b_arch_of = builds.select(
+        F.col("id").alias("t_build_ref"),
+        F.col("architecture").alias("tb_architecture"),
+    )
     t = tests.select(
         F.col("id").alias("test_id"),
         F.col("path").alias("t_path"),
         F.col("comment").alias("t_comment"),
+        F.col("build_id").alias("t_build_ref"),
         F.lit(True).alias("t_exists"),
-    )
+    ).join(b_arch_of, on="t_build_ref", how="left").drop("t_build_ref")
     inc = (
         incidents.join(iss, on=["issue_id", "issue_version"], how="left")
         .join(b, on="build_id", how="left")
@@ -1588,4 +1602,43 @@ def incident_description_frame(
         dash,
         F.lit("\n"),
     )
-    return inc.select("id", description.alias("description"))
+    # incident.j2 summary macro: detected-in phrasing with unknown-
+    # object fallbacks, suffixed with the issue's report subject.
+    subject_sfx = F.when(
+        F.col("i_subject").isNotNull() & (F.col("i_subject") != ""),
+        F.concat(F.lit(": "), F.col("i_subject")),
+    ).otherwise("")
+    summary = (
+        F.when(
+            F.col("t_exists").isNotNull(),
+            F.concat(
+                F.lit("Incident in "),
+                F.coalesce(F.col("t_path"), F.lit("an unknown test")),
+                F.lit(" on "),
+                F.coalesce(
+                    F.col("tb_architecture"),
+                    F.lit("an unknown architecture"),
+                ),
+                subject_sfx,
+            ),
+        )
+        .when(
+            F.col("b_exists").isNotNull(),
+            F.concat(
+                F.lit("Incident in "),
+                F.coalesce(
+                    F.col("b_architecture"), F.lit("an unknown-architecture")
+                ),
+                F.lit(" build"),
+                subject_sfx,
+            ),
+        )
+        .when(
+            F.col("i_subject").isNotNull() & (F.col("i_subject") != ""),
+            F.concat(F.lit("Incident: "), F.col("i_subject")),
+        )
+        .otherwise(F.concat(F.lit("Incident "), F.col("id")))
+    )
+    return inc.select(
+        "id", summary.alias("summary"), description.alias("description")
+    )

@@ -600,3 +600,66 @@ def test_issue_and_incident_description_golden(spark, tmp_path):
                "incident_description_build.txt", "incident build")
     diff_check(inc_rows["maestro:i2"]["description"],
                "incident_description_test.txt", "incident test")
+
+
+def test_issue_and_incident_summaries(spark, tmp_path):
+    """issue.j2/incident.j2 summary macros: coalescing subjects and
+    detected-in phrasing with unknown-object fallbacks."""
+    from kcidb_spark.streaming.render import (
+        incident_description_frame,
+        issue_description_frame,
+    )
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "builds": [
+            {"id": "o:b1", "origin": "o", "checkout_id": "o:c1",
+             "architecture": "arm64"},
+            {"id": "o:b2", "origin": "o", "checkout_id": "o:c1"},
+        ],
+        "tests": [
+            {"id": "o:t1", "origin": "o", "build_id": "o:b1",
+             "path": "boot"},
+            {"id": "o:t2", "origin": "o", "build_id": "o:b2"},
+        ],
+        "issues": [
+            {"id": "o:i1", "origin": "o", "version": 0,
+             "report_subject": "subj", "report_url": "https://u/1",
+             "comment": "the comment"},
+            {"id": "o:i2", "origin": "o", "version": 0,
+             "report_url": "https://u/2"},
+        ],
+        "incidents": [
+            {"id": "o:n1", "origin": "o", "issue_id": "o:i1",
+             "issue_version": 0, "test_id": "o:t1", "present": True},
+            {"id": "o:n2", "origin": "o", "issue_id": "o:i1",
+             "issue_version": 0, "test_id": "o:t2", "present": True},
+            {"id": "o:n3", "origin": "o", "issue_id": "o:i2",
+             "issue_version": 0, "build_id": "o:b1", "present": True},
+            {"id": "o:n4", "origin": "o", "issue_id": "o:i1",
+             "issue_version": 0, "present": True},
+            {"id": "o:n5", "origin": "o", "issue_id": "o:i2",
+             "issue_version": 0, "present": True},
+        ],
+    }
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(report)
+    v = {t: store.table(t)
+         for t in ("checkouts", "builds", "tests", "issues", "incidents")}
+
+    iss = {r["id"]: r["summary"] for r in issue_description_frame(
+        v["checkouts"], v["builds"], v["tests"], v["issues"], v["incidents"]
+    ).collect()}
+    assert iss["o:i1"] == "the comment"  # comment wins
+    assert iss["o:i2"] == "https://u/2"  # falls through to url
+
+    inc = {r["id"]: r["summary"] for r in incident_description_frame(
+        v["builds"], v["tests"], v["issues"], v["incidents"]
+    ).collect()}
+    assert inc["o:n1"] == "Incident in boot on arm64: subj"
+    assert inc["o:n2"] == (
+        "Incident in an unknown test on an unknown architecture: subj"
+    )
+    assert inc["o:n3"] == "Incident in arm64 build"
+    assert inc["o:n4"] == "Incident: subj"
+    assert inc["o:n5"] == "Incident o:n5"
