@@ -67,7 +67,10 @@ class FileQueue:
         self.init()
         msg_id = f"{time.time_ns():020d}-{uuid.uuid4().hex}.{suffix}"
         final = os.path.join(self.path, msg_id)
-        with open(final + ".tmp", "w", encoding="utf-8") as f:
+        # newline="" disables universal-newline translation so payload
+        # bytes round-trip exactly (Pub/Sub `data` is bytes-clean;
+        # without this a published "\r" would pull back as "\n").
+        with open(final + ".tmp", "w", encoding="utf-8", newline="") as f:
             f.write(payload)
         os.rename(final + ".tmp", final)
         return msg_id
@@ -94,7 +97,9 @@ class FileQueue:
             if n != _SUBS_DIR and not n.endswith(".tmp") and n not in acked
         )
         for name in names[:max_messages]:
-            with open(os.path.join(self.path, name), encoding="utf-8") as f:
+            with open(
+                os.path.join(self.path, name), encoding="utf-8", newline=""
+            ) as f:
                 yield name, f.read()
 
     def ack(self, subscription: str, ack_id: str) -> None:
