@@ -56,6 +56,14 @@ _GATE_PRIORITY = (
 )
 
 
+#: Certified queries whose implementation changed since their last
+#: gate-of-record row — force a re-check at the head of the next gate
+#: window instead of waiting for the rotation to come around.
+_GATE_RECHECK = (
+    "jaccard_estimate_minhash",  # signature packing rework (round 6)
+)
+
+
 def _certified_names() -> tuple[set[str], int]:
     """(names hash-certified by any prior driver run, #correctness files).
 
@@ -94,15 +102,20 @@ def _gate_order() -> list[str]:
     certified, n_rounds = _certified_names()
     names = list(REGISTRY)
     prio = [n for n in _GATE_PRIORITY if n in REGISTRY and n not in certified]
+    recheck = [
+        n
+        for n in _GATE_RECHECK
+        if n in REGISTRY and n in certified and n not in prio
+    ]
     rest_new = [n for n in names if n not in certified and n not in prio]
-    done = [n for n in names if n in certified]
+    done = [n for n in names if n in certified and n not in recheck]
     if done:
         # ~37 certified re-checks fit per 50-row window; stepping by 37
         # per correctness file cycles the whole certified set in ~3
         # rounds.  Deterministic: depends only on committed artifacts.
         off = (n_rounds * 37) % len(done)
         done = done[off:] + done[:off]
-    return prio + rest_new + done
+    return prio + recheck + rest_new + done
 
 
 def spark_queries():

@@ -752,16 +752,26 @@ def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(docs, n_hashes=8)
-    # Both signatures ride through the band join (carry=) — the
-    # estimate is then a pure projection: ONE band-key shuffle total,
-    # no signature persist, no re-join of the signature frame per
-    # side (the r01→r04 2× bench regression was exactly those two
-    # extra joins + the persist materialization).
-    hcols = tuple(f"h{i}" for i in range(8))
-    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2, carry=hcols)
+    # Both signatures ride through the band join (carry=) as ONE
+    # 128-byte binary column per side: unhex halves each md5 to 16
+    # bytes (injective, so slice equality == hex-string equality) and
+    # concat packs all 8, so the band-key shuffle moves one compact
+    # value instead of 16 scalar strings.  ONE shuffle total, no
+    # signature persist, no re-join of the signature frame per side
+    # (carrying the 16 raw h* columns measured 2× slower; the r01
+    # re-join form paid a persist materialization on top).
+    sig = minhash_signatures(docs, n_hashes=8).withColumn(
+        "sig", F.unhex(F.concat(*[F.col(f"h{i}") for i in range(8)]))
+    )
+    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2, carry=("sig",))
     n_agree = sum(
-        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+        F.when(
+            F.expr(
+                f"substring(a_sig, {1 + 16 * i}, 16)"
+                f" = substring(b_sig, {1 + 16 * i}, 16)"
+            ),
+            1,
+        ).otherwise(0)
         for i in range(8)
     )
     return cand.select(
