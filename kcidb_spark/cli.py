@@ -277,7 +277,7 @@ def main(argv: list[str] | None = None) -> int:
     p = add_db("describe")
     p.add_argument("--type", required=True, dest="obj_type",
                    choices=["revision", "checkout", "build", "test",
-                            "issue", "incident"])
+                            "issue", "issue_version", "incident"])
     p.add_argument("-i", "--id", dest="obj_id", default=None,
                    help="only this object id (revisions: "
                         "git_commit_hash)")
@@ -554,6 +554,10 @@ def main(argv: list[str] | None = None) -> int:
             ).select("id", "description")
         elif args.obj_type == "issue":
             frame = R.issue_description_frame(
+                v["checkouts"], v["builds"], v["tests"],
+                v["issues"], v["incidents"])
+        elif args.obj_type == "issue_version":
+            frame = R.issue_version_description_frame(
                 v["checkouts"], v["builds"], v["tests"],
                 v["issues"], v["incidents"])
         else:

@@ -1309,6 +1309,8 @@ def issue_description_frame(
     tests: DataFrame,
     issues: DataFrame,
     incidents: DataFrame,
+    *,
+    _versioned: bool = False,
 ) -> DataFrame:
     """One row per (issue id, version) with the reference-fidelity
     ``description`` (issue.j2 overview/stats macros): report lines,
@@ -1317,7 +1319,11 @@ def issue_description_frame(
     Counts resolve like the reference OO tree: only builds/tests that
     actually exist in the data count, and branches come from the
     checkouts of those builds (including the builds of detected
-    tests)."""
+    tests).
+
+    With ``_versioned=True`` the dashboard URL pins the version too
+    (``&var-version=``) — the issue_version rendering (see
+    :func:`issue_version_description_frame`)."""
     inc = incidents.select(
         F.col("issue_id").alias("id"),
         F.col("issue_version").alias("version"),
@@ -1389,6 +1395,13 @@ def issue_description_frame(
     )
 
     dash = F.concat(F.lit(_ISSUE_DASH), encode_uri_component_sql_col("id"))
+    if _versioned:
+        # issue_version_description.txt.j2 additionally pins
+        # &var-version={{version_num | urlencode}} (an int — encodes
+        # to its plain decimal digits).
+        dash = F.concat(
+            dash, F.lit("&var-version="), F.col("version").cast("string")
+        )
     has_subject = F.col("report_subject").isNotNull() & (
         F.col("report_subject") != ""
     )
@@ -1512,6 +1525,26 @@ def issue_description_frame(
         "id", "version",
         summary.alias("summary"),
         description.alias("description"),
+    )
+
+
+def issue_version_description_frame(
+    checkouts: DataFrame,
+    builds: DataFrame,
+    tests: DataFrame,
+    issues: DataFrame,
+    incidents: DataFrame,
+) -> DataFrame:
+    """One row per (issue id, version) rendered as the reference's
+    distinct ``issue_version`` object type
+    (kcidb/templates/issue_version_description.txt.j2:1,
+    issue_version_summary.txt.j2:1; ORM type at
+    kcidb/orm/data.py:437-455): identical to the issue rendering
+    except the dashboard URL also pins ``&var-version=<version_num>``.
+    The summary macro is shared (issue.j2 ``summary``), so the
+    ``summary`` column matches :func:`issue_description_frame`'s."""
+    return issue_description_frame(
+        checkouts, builds, tests, issues, incidents, _versioned=True
     )
 
 

@@ -455,3 +455,21 @@ def test_describe_objects(monkeypatch, capsys, tmp_path, spark):
     assert rc == 0
     [row] = [json.loads(x) for x in out.splitlines() if x.strip()]
     assert "LEGEND" in row["description"] and "BUILDS" in row["description"]
+
+
+def test_describe_issue_version(monkeypatch, capsys, tmp_path, spark):
+    """describe --type issue_version renders the distinct
+    issue_version object (version-pinned dashboard URL)."""
+    from tests.test_render import _ISSUE_REPORT
+
+    d = str(tmp_path / "db")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", d],
+                    json.dumps(_ISSUE_REPORT))
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys,
+                      ["describe", "-d", d, "--type", "issue_version",
+                       "-i", "maestro:deadbeef"])
+    assert rc == 0
+    [row] = [json.loads(x) for x in out.splitlines() if x.strip()]
+    assert "&var-version=1" in row["description"]
+    assert "Detected 3 times in 2 builds, 1 test runs" in row["description"]

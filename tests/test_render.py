@@ -503,17 +503,7 @@ def test_build_and_checkout_description_golden(spark, tmp_path):
           "checkout_description.txt")
 
 
-def test_issue_and_incident_description_golden(spark, tmp_path):
-    """Issue/incident descriptions byte-match the reference
-    issue_description.txt.j2 / incident_description.txt.j2 renders
-    (detection counts, capped branch list, culprit sentence, linked
-    build/test summaries)."""
-    from kcidb_spark.streaming.render import (
-        incident_description_frame,
-        issue_description_frame,
-    )
-
-    report = {
+_ISSUE_REPORT = {
         "version": {"major": 5, "minor": 3},
         "checkouts": [
             {"id": "redhat:cf", "origin": "redhat",
@@ -557,8 +547,20 @@ def test_issue_and_incident_description_golden(spark, tmp_path):
              "test_id": "google:t3", "present": True},
         ],
     }
+
+
+def test_issue_and_incident_description_golden(spark, tmp_path):
+    """Issue/incident descriptions byte-match the reference
+    issue_description.txt.j2 / incident_description.txt.j2 renders
+    (detection counts, capped branch list, culprit sentence, linked
+    build/test summaries)."""
+    from kcidb_spark.streaming.render import (
+        incident_description_frame,
+        issue_description_frame,
+    )
+
     store = Store(spark, str(tmp_path / "store"))
-    store.load(report)
+    store.load(_ISSUE_REPORT)
     views = {
         t: store.table(t)
         for t in ("checkouts", "builds", "tests", "issues", "incidents")
@@ -600,6 +602,61 @@ def test_issue_and_incident_description_golden(spark, tmp_path):
                "incident_description_build.txt", "incident build")
     diff_check(inc_rows["maestro:i2"]["description"],
                "incident_description_test.txt", "incident test")
+
+
+def test_issue_version_description_golden(spark, tmp_path):
+    """issue_version descriptions byte-match the reference
+    issue_version_description.txt.j2 renders (the distinct ORM type,
+    kcidb/orm/data.py:437-455): identical to the issue body but with
+    &var-version pinned in both dashboard URLs; summary is the shared
+    issue.j2 macro."""
+    from kcidb_spark.streaming.render import (
+        issue_description_frame,
+        issue_version_description_frame,
+    )
+
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(_ISSUE_REPORT)
+    views = {
+        t: store.table(t)
+        for t in ("checkouts", "builds", "tests", "issues", "incidents")
+    }
+    rows = {
+        r["id"]: r
+        for r in issue_version_description_frame(
+            views["checkouts"], views["builds"], views["tests"],
+            views["issues"], views["incidents"],
+        ).collect()
+    }
+    for obj_id, golden in (
+        ("maestro:deadbeef", "issue_version_description_full.txt"),
+        ("maestro:0000", "issue_version_description_empty.txt"),
+    ):
+        expected = (GOLDEN / golden).read_text()
+        got = rows[obj_id]["description"]
+        if got != expected:
+            import difflib
+
+            raise AssertionError(
+                "\n".join(
+                    difflib.unified_diff(
+                        expected.splitlines(), got.splitlines(),
+                        "reference-jinja", "engine", lineterm="",
+                    )
+                )
+            )
+    # issue_version_summary.txt.j2 delegates to the same issue.j2
+    # summary macro — identical to the issue frame's summary column.
+    iss = {
+        r["id"]: r["summary"]
+        for r in issue_description_frame(
+            views["checkouts"], views["builds"], views["tests"],
+            views["issues"], views["incidents"],
+        ).collect()
+    }
+    assert rows["maestro:deadbeef"]["summary"] == "seen on arm64 boots"
+    assert rows["maestro:0000"]["summary"] == "https://lore.example/r2"
+    assert {k: r["summary"] for k, r in rows.items()} == iss
 
 
 def test_issue_and_incident_summaries(spark, tmp_path):
