@@ -290,6 +290,10 @@ def main(argv: list[str] | None = None) -> int:
                         "file-transport email queue")
     p.add_argument("--to", default="kernelci-results@groups.io",
                    help="To: header for rendered e-mails")
+    p.add_argument("--subscriptions", default=None,
+                   help="directory of user subscription modules to load "
+                        "in addition to the built-in set (analog of the "
+                        "reference's kcidb/monitor/subscriptions/ package)")
 
     p = sub.add_parser("submit")
     p.add_argument("--queue", required=True,
@@ -582,6 +586,7 @@ def main(argv: list[str] | None = None) -> int:
         from kcidb_spark.schema.graph import TABLES
         from kcidb_spark.streaming.notify import (
             default_subscriptions,
+            load_subscriptions,
             match_subscriptions,
         )
 
@@ -589,7 +594,10 @@ def main(argv: list[str] | None = None) -> int:
         views = type_views(
             {t: store.table(t, with_metadata=True) for t in TABLES}
         )
-        notifications = match_subscriptions(views, default_subscriptions())
+        subs = default_subscriptions()
+        if args.subscriptions:
+            subs += load_subscriptions(args.subscriptions)
+        notifications = match_subscriptions(views, subs)
         if args.mainline:
             from kcidb_spark.streaming.render import (
                 as_notifications,

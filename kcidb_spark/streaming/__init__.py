@@ -26,4 +26,5 @@ from kcidb_spark.streaming.notify import (  # noqa: F401
     Notification,
     NotificationSpool,
     Subscription,
+    load_subscriptions,
 )

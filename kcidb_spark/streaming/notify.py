@@ -235,6 +235,62 @@ class NotificationSpool:
         return total - n_kept
 
 
+def load_subscriptions(directory: str) -> "list[Subscription]":
+    """Load user subscription modules from a directory — the analog of
+    the reference's pluggable subscription package, where dropping a
+    module into kcidb/monitor/subscriptions/ auto-registers its
+    ``match_<type>()`` functions under the module's name
+    (kcidb/monitor/subscriptions/__init__.py:8-46,
+    kcidb/monitor/__init__.py:36-53).
+
+    Each ``*.py`` file in ``directory`` (non-underscore-prefixed) is
+    imported and must expose either:
+
+    - ``SUBSCRIPTIONS``: a list of :class:`Subscription` objects, or
+    - ``subscriptions()``: a zero-arg callable returning such a list.
+
+    Declarative Subscription objects keep the predicate engine-side
+    (a Column evaluated in one distributed pass over each type's
+    view) instead of the reference's per-object Python callback —
+    the 100 TB-safe form of the same extension point.  A loaded
+    subscription with an empty ``name`` is renamed to its module's
+    stem, mirroring the reference's name-by-module convention.
+    Modules are loaded in sorted filename order so registration is
+    deterministic."""
+    import dataclasses
+    import importlib.util
+    from pathlib import Path
+
+    subs: list[Subscription] = []
+    for path in sorted(Path(directory).glob("*.py")):
+        if path.name.startswith("_"):
+            continue
+        spec = importlib.util.spec_from_file_location(
+            f"kcidb_spark_user_subscriptions.{path.stem}", path
+        )
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        loaded = getattr(module, "SUBSCRIPTIONS", None)
+        if loaded is None:
+            factory = getattr(module, "subscriptions", None)
+            if not callable(factory):
+                raise ValueError(
+                    f"subscription module {path} defines neither "
+                    "SUBSCRIPTIONS nor subscriptions()"
+                )
+            loaded = factory()
+        for sub in loaded:
+            if not isinstance(sub, Subscription):
+                raise TypeError(
+                    f"subscription module {path} produced "
+                    f"{type(sub).__name__}, expected Subscription"
+                )
+            if not sub.name:
+                sub = dataclasses.replace(sub, name=path.stem)
+            subs.append(sub)
+    return subs
+
+
 def default_subscriptions() -> "list[Subscription]":
     """The built-in subscription set — the analog of the reference's
     kcidb/monitor/subscriptions/ package: the always-on "test"-origin

@@ -300,3 +300,60 @@ def test_load_json_df_rejects_bad_enum_and_timestamp(spark, tmp_path):
     batch = spark.createDataFrame([(json.dumps(good),)], "value string")
     store.load_json_df(batch)
     assert store.table("builds").count() == 1
+
+
+def test_load_subscriptions_user_module(spark, tmp_path):
+    """A user module dropped into a directory registers its
+    subscriptions (reference: a module in kcidb/monitor/subscriptions/
+    auto-registers via MATCH_MAP) and its notifications spool."""
+    from kcidb_spark.streaming.notify import (
+        load_subscriptions,
+        match_subscriptions,
+    )
+
+    subdir = tmp_path / "subscriptions"
+    subdir.mkdir()
+    (subdir / "x86_watch.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "from kcidb_spark.streaming import Subscription\n"
+        "SUBSCRIPTIONS = [Subscription.from_templates(\n"
+        "    name='', obj_type='build',\n"
+        "    predicate=F.col('architecture') == 'x86_64',\n"
+        "    subject='x86 build: {id}',\n"
+        "    body='Build {id} on {architecture}',\n"
+        ")]\n"
+    )
+    (subdir / "broken_name.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "from kcidb_spark.streaming import Subscription\n"
+        "def subscriptions():\n"
+        "    return [Subscription.from_templates(\n"
+        "        name='pass-watch', obj_type='build',\n"
+        "        predicate=F.col('status') == 'PASS',\n"
+        "        subject='pass: {id}', body='ok',\n"
+        "    )]\n"
+    )
+    (subdir / "_helper.py").write_text("raise AssertionError('not loaded')\n")
+
+    subs = load_subscriptions(str(subdir))
+    # Sorted module order; empty name adopts the module stem.
+    assert [s.name for s in subs] == ["pass-watch", "x86_watch"]
+
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(_report(1))  # s:b1 FAIL x86_64
+    store.load(_report(2))  # s:b2 PASS x86_64
+    views = {"build": store.table("builds")}
+    got = match_subscriptions(views, subs)
+    rows = {(r["subscription"], r["obj_id"]) for r in got.collect()}
+    assert rows == {
+        ("pass-watch", "s:b2"),
+        ("x86_watch", "s:b1"),
+        ("x86_watch", "s:b2"),
+    }
+    spool = NotificationSpool(spark, str(tmp_path / "spool"))
+    spool.spool(got)
+    assert spool.all().count() == 3
+
+    (subdir / "empty.py").write_text("x = 1\n")
+    with pytest.raises(ValueError, match="neither SUBSCRIPTIONS"):
+        load_subscriptions(str(subdir))
