@@ -121,6 +121,97 @@ def test_parse_empty_id_list_matches_nothing():
     assert p.obj_id_set == frozenset()
 
 
+def test_parse_empty_and_markerless():
+    """Reference test_pattern_parse_misc: the empty pattern, parent
+    walks from nothing, and specs without a match marker all yield no
+    patterns (kcidb/test_orm.py:152-176)."""
+    for s in ("", "<*", "<*$", "<*#", ">revision", ">checkout",
+              ">build", ">test"):
+        assert parse_pattern(s) == frozenset(), s
+
+
+def test_parse_dollar_equals_hash_on_single_type():
+    """`$` and `#` are both match markers for a single-type spec
+    (kcidb/test_orm.py:156-176)."""
+    for t in ("revision", "checkout", "build", "test"):
+        for marker in ("$", "#"):
+            pats = parse_pattern(f">{t}{marker}")
+            assert {_leaf(p) for p in pats} == {(t, True, None)}
+
+
+def test_parse_trail_discard():
+    """Unmatched trailing specs are discarded
+    (kcidb/test_orm.py:374-391): only the marked spec produces a
+    pattern; the un-marked >test>* trail after it is dropped."""
+    for marker in ("#", "$"):
+        pats = parse_pattern(f">checkout[123]>build{marker}>test>*")
+        (p,) = pats
+        assert p.obj_type == "build"
+        assert p.base.obj_type == "checkout"
+        assert p.base.obj_id_set == frozenset({("123",)})
+
+
+def test_parse_whitespace_tolerant():
+    """Spaces between every token parse identically
+    (kcidb/test_orm.py:366-369)."""
+    pats = parse_pattern(' > revision [ "abc" , "def" ; "ghi" , "jkl" ] #')
+    (p,) = pats
+    assert p.obj_id_set == frozenset({("abc", "def"), ("ghi", "jkl")})
+
+
+def test_parse_quoted_escapes():
+    """Escaped quotes and backslashes inside quoted IDs
+    (kcidb/test_orm.py:356-362)."""
+    (p,) = parse_pattern('>checkout["1\\"2\\"3"]#')
+    assert p.obj_id_set == frozenset({('1"2"3',)})
+    (p,) = parse_pattern('>checkout["1\\\\2\\\\3"]#')
+    assert p.obj_id_set == frozenset({("1\\2\\3",)})
+    (p,) = parse_pattern('>checkout["1,2;3"]#')
+    assert p.obj_id_set == frozenset({("1,2;3",)})
+    (p,) = parse_pattern('>checkout["1 2 3"]#')
+    assert p.obj_id_set == frozenset({("1 2 3",)})
+
+
+def test_parse_multiple_placeholders():
+    """Each `%` consumes the next entry of id_set_list in spec order
+    (kcidb/test_orm.py:193-203)."""
+    pats = parse_pattern(
+        ">revision%>checkout%>build#", [{("abc", "def")}, {("123",)}]
+    )
+    (p,) = pats
+    assert p.obj_type == "build" and p.obj_id_set is None
+    assert p.base.obj_type == "checkout"
+    assert p.base.obj_id_set == frozenset({("123",)})
+    assert p.base.base.obj_type == "revision"
+    assert p.base.base.obj_id_set == frozenset({("abc", "def")})
+
+
+def test_parse_id_field_count_mismatch():
+    """Wrong ID arity for a type raises
+    (kcidb/test_orm.py:398-408: 'Invalid number of ID fields')."""
+    with pytest.raises(ValueError, match="number of ID fields"):
+        parse_pattern(">revision[abc]#")
+
+
+def test_parse_marked_prefix_and_star():
+    """A marked intermediate spec plus a star trail matches both the
+    type itself and every descendant (kcidb/test_orm.py:243-281)."""
+    pats = parse_pattern(">build#>*#")
+    types = sorted(p.obj_type for p in pats)
+    # incident appears twice: once under build directly, once under
+    # build>test — distinct patterns, same reference combinatorics.
+    assert types == ["build", "incident", "incident", "test"]
+
+
+def test_parse_parents_then_descendants():
+    """>build%<*$>*# — roots of the build's ancestry plus every
+    descendant chain below the build (kcidb/test_orm.py:283-329)."""
+    pats = parse_pattern(">build%<*$>*#", [{("abc",)}])
+    assert sorted(p.obj_type for p in pats) == [
+        "build", "checkout", "incident", "incident", "revision", "test"
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Compiled queries over the graph fixture
 # ---------------------------------------------------------------------------
