@@ -29,6 +29,47 @@ from kcidb_spark.tables import _normalize_ts
 _WIN_US = 900_000_000  # 15-minute tumbling windows
 
 
+def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Pick the state-store partition count for a streaming query over
+    the events source.
+
+    Unlike batch shuffles, stateful-operator partitioning is frozen at
+    the first checkpoint and AQE never coalesces it — every partition
+    costs per-micro-batch state-store commits (delta + snapshot files,
+    ×4 stores for a stream-stream join), so an oversized count is pure
+    overhead: at sf0.1 the same join runs 5.5 s with 32 state
+    partitions and 2.1 s with 4.  Size from input bytes the way AQE
+    sizes a coalesced batch shuffle (~64 MiB per partition), floored
+    at 4 and capped by the session's shuffle parallelism so a 100 TB
+    stream still fans out to the full cluster."""
+    path = os.path.join(sf_dir, "events.parquet")
+    size = 0
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
+            size += sum(os.path.getsize(os.path.join(root, n))
+                        for n in names)
+    elif os.path.exists(path):
+        size = os.path.getsize(path)
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(session, size // (64 << 20) + 1))
+
+
+class _scoped_shuffle_partitions:
+    """Temporarily set spark.sql.shuffle.partitions while a bounded
+    streaming query drains (the setting is read at stream start; the
+    drain is synchronous, so restoring after is race-free here)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 @register(
     "t11_stream_tumbling",
     oracle=dedent(f"""
@@ -90,15 +131,16 @@ def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = f"t11_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="t11_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # The sink rows live in memory; the checkpoint is only needed by
     # the (now finished) run — don't leak tempdirs across a long
     # session.
@@ -145,15 +187,16 @@ def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = f"t12_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="t12_ckpt_")
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -229,15 +272,16 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = f"t13_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="t13_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
