@@ -28,6 +28,21 @@ from kcidb_spark.tables import _normalize_ts
 
 _WIN_US = 900_000_000  # 15-minute tumbling windows
 
+#: Progress of the most recent drain per query name — state-store rows,
+#: memory, per-batch durations — for observability and the scale
+#: rehearsal (tools/scale_rehearsal.py).  Keyed on the registry name;
+#: each value is the list of micro-batch progress dicts.
+LAST_PROGRESS: dict[str, list[dict]] = {}
+
+
+def _record_progress(name: str, query) -> None:
+    import json as _json
+
+    LAST_PROGRESS[name] = [
+        _json.loads(p) if isinstance(p, str) else p
+        for p in (query.recentProgress or [])
+    ]
+
 
 def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
     """Pick the state-store partition count for a streaming query over
@@ -52,6 +67,24 @@ def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
         size = os.path.getsize(path)
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(4, min(session, size // (64 << 20) + 1))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table: one micro-batch per
+    file (T1's pull cap).  ``events.parquet`` may be a single file
+    (driver testdata) or a directory of part-files (multi-writer
+    layout — the production shape); the file source wants a directory
+    to watch, so scope by glob in the single-file case and watch the
+    table directory itself otherwise."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    )
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
 
 
 class _scoped_shuffle_partitions:
@@ -101,19 +134,7 @@ def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming scans push predicates the same way).
     """
     _utc(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # The file source wants a DIRECTORY (it watches for new files —
-    # that is the point of a stream); scope it to the events file via
-    # a glob filter.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = _normalize_ts(stream)
+    stream = _normalize_ts(_events_stream(spark, sf_dir))
     agg = (
         stream.groupBy(
             F.window("ts", "15 minutes").alias("w"), "event_type"
@@ -141,6 +162,7 @@ def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _record_progress("t11_stream_tumbling", q)
     # The sink rows live in memory; the checkpoint is only needed by
     # the (now finished) run — don't leak tempdirs across a long
     # session.
@@ -172,14 +194,8 @@ def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields one deterministic final state.
     """
     _utc(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        _events_stream(spark, sf_dir)
         .select("event_id", "event_type")
         .dropDuplicates(["event_id"])
         .groupBy("event_type")
@@ -197,6 +213,7 @@ def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _record_progress("t12_stream_dedup", q)
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -233,16 +250,10 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkouts and their late-arriving builds.
     """.format(w=_SSJOIN_WINDOW)
     _utc(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
 
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            _events_stream(spark, sf_dir)
             .transform(_normalize_ts)
             .filter(
                 (F.col("event_type") == event_type)
@@ -282,6 +293,7 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _record_progress("t13_stream_stream_join", q)
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -160,10 +160,225 @@ def run(sf_dir: str, label: str, spark) -> dict:
     return out
 
 
+STREAM_QUERIES = [
+    "t11_stream_tumbling",
+    "t12_stream_dedup",
+    "t13_stream_stream_join",
+]
+
+
+def synthesize_streaming(spark, k: int, out_dir: str) -> None:
+    """K× replication of sf0.1 events with offset event_ids, KEEPING
+    ts/user_id/event_type distributions — key cardinality constant,
+    volume K×, so per-key streaming state grows K× (the stress that
+    matters for the state store).  Written as k part-files so
+    maxFilesPerTrigger=1 yields k micro-batches: the 10× run
+    exercises multi-batch state retention, not just a bigger batch.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_SYNTH_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    n = ev.count()
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(n))
+        .drop("rep")
+        .repartition(k, "event_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    with open(os.path.join(out_dir, "_SYNTH_DONE"), "w") as f:
+        f.write("ok")
+
+
+def run_streaming(sf_dir: str, label: str, spark) -> dict:
+    """Drain t11/t12/t13 and record wall, shuffle volume, and the
+    state-store metrics of the drain (rows, memory, batch walls)."""
+    from kcidb_spark.queries import REGISTRY, streaming_exec
+
+    ui = "http://127.0.0.1:4040"
+    out = {}
+    for name in STREAM_QUERIES:
+        before = _stage_metrics(ui)
+        t0 = time.perf_counter()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        wall = round(time.perf_counter() - t0, 3)
+        after = _stage_metrics(ui)
+        new = {s: v for s, v in after.items() if s not in before}
+        progress = streaming_exec.LAST_PROGRESS.get(name, [])
+        state_rows = state_mem = 0
+        batch_walls = []
+        for p in progress:
+            batch_walls.append(p.get("batchDuration", 0) / 1000.0)
+            for op in p.get("stateOperators", []) or []:
+                state_rows = max(state_rows, op.get("numRowsTotal", 0))
+                state_mem = max(state_mem, op.get("memoryUsedBytes", 0))
+        out[name] = {
+            "wall_s": wall,
+            "shuffle_write_mb": round(
+                sum(v["shuffle_write"] for v in new.values()) / 2**20, 2
+            ),
+            "n_batches": len(progress),
+            "batch_wall_s": [round(b, 2) for b in batch_walls],
+            "state_rows_max": state_rows,
+            "state_mb_max": round(state_mem / 2**20, 2),
+        }
+        print(label, name, out[name], flush=True)
+    return out
+
+
+def domain_views(spark, n_checkouts: int):
+    """A kcidb-domain object graph generated engine-side at any scale:
+    n checkouts × 3 builds × 5 tests, 1 issue per 100 checkouts,
+    incidents over 10%% of tests."""
+    from pyspark.sql import functions as F
+
+    c = n_checkouts
+    checkouts = spark.range(c).select(
+        F.concat(F.lit("o:c"), "id").alias("id"),
+        F.lit("o").alias("origin"),
+        F.sha1(F.col("id").cast("string")).alias("git_commit_hash"),
+        F.lit("").alias("patchset_hash"),
+        F.concat(F.lit("https://r/"), (F.col("id") % 7).cast("string"))
+            .alias("git_repository_url"),
+        F.concat(F.lit("b"), (F.col("id") % 3).cast("string"))
+            .alias("git_repository_branch"),
+    )
+    builds = spark.range(3 * c).select(
+        F.concat(F.lit("o:b"), "id").alias("id"),
+        F.lit("o").alias("origin"),
+        F.concat(F.lit("o:c"), (F.col("id") % c).cast("string"))
+            .alias("checkout_id"),
+        F.when(F.col("id") % 5 == 0, "FAIL").otherwise("PASS")
+            .alias("status"),
+        F.when(F.col("id") % 2 == 0, "x86_64").otherwise("arm64")
+            .alias("architecture"),
+    )
+    tests = spark.range(15 * c).select(
+        F.concat(F.lit("o:t"), "id").alias("id"),
+        F.lit("o").alias("origin"),
+        F.concat(F.lit("o:b"), (F.col("id") % (3 * c)).cast("string"))
+            .alias("build_id"),
+        F.concat(F.lit("suite."), (F.col("id") % 40).cast("string"))
+            .alias("path"),
+        F.when(F.col("id") % 7 == 0, "FAIL").otherwise("PASS")
+            .alias("status"),
+    )
+    n_issues = max(1, c // 100)
+    issues = spark.range(n_issues).select(
+        F.concat(F.lit("o:i"), "id").alias("id"),
+        F.lit("o").alias("origin"),
+        F.lit(1).alias("version"),
+    )
+    incidents = spark.range(15 * c // 10).select(
+        F.concat(F.lit("o:n"), "id").alias("id"),
+        F.lit("o").alias("origin"),
+        F.concat(F.lit("o:i"), (F.col("id") % n_issues).cast("string"))
+            .alias("issue_id"),
+        F.lit(1).alias("issue_version"),
+        F.concat(F.lit("o:t"), (F.col("id") * 10 % (15 * c)).cast("string"))
+            .alias("test_id"),
+        F.lit(True).alias("present"),
+    )
+    from pyspark.sql import types as T
+
+    from kcidb_spark.schema.types import SCHEMAS
+
+    def conform(df, table):
+        """Pad to the full stored schema (+_timestamp) with nulls —
+        type_views wants every I/O column present."""
+        cols = []
+        for fld in SCHEMAS[table].fields:
+            if fld.name in df.columns:
+                cols.append(F.col(fld.name).cast(fld.dataType))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        cols.append(
+            F.lit("2024-01-01 00:00:00").cast(T.TimestampType())
+            .alias("_timestamp")
+        )
+        return df.select(*cols)
+
+    return {
+        t: conform(df, t)
+        for t, df in (
+            ("checkouts", checkouts), ("builds", builds), ("tests", tests),
+            ("issues", issues), ("incidents", incidents),
+        )
+    }
+
+
+CLOSURE_PATTERNS = [
+    # id-rooted downward chain
+    '>checkout["o:c1";"o:c2";"o:c3"]>build#>test#',
+    # star descendants of a build slice
+    '>build["o:b1";"o:b2"]>*#',
+    # upward closure: tests → roots
+    '>test["o:t7";"o:t8"]<*$',
+    # incident → issue walk
+    '>incident["o:n1"]<issue_version<issue#',
+]
+
+
+def run_closure(spark, n_checkouts: int, label: str) -> dict:
+    """Compile the pattern chains over the generated domain graph at
+    the given scale; record wall + shuffle per pattern."""
+    from kcidb_spark.orm.compiler import compile_patterns
+    from kcidb_spark.orm.pattern import parse_pattern
+    from kcidb_spark.orm.types import type_views
+
+    ui = "http://127.0.0.1:4040"
+    views = type_views(domain_views(spark, n_checkouts))
+    out = {}
+    for pat_str in CLOSURE_PATTERNS:
+        before = _stage_metrics(ui)
+        t0 = time.perf_counter()
+        pats = parse_pattern(pat_str)
+        result = compile_patterns(spark, views, pats)
+        rows = sum(df.count() for df in result.values())
+        wall = round(time.perf_counter() - t0, 3)
+        after = _stage_metrics(ui)
+        new = {s: v for s, v in after.items() if s not in before}
+        out[pat_str] = {
+            "wall_s": wall,
+            "rows": rows,
+            "shuffle_write_mb": round(
+                sum(v["shuffle_write"] for v in new.values()) / 2**20, 2
+            ),
+        }
+        print(label, pat_str, out[pat_str], flush=True)
+    return out
+
+
+def _ratios(base: dict, scaled: dict, keys) -> dict:
+    return {
+        name: {
+            "wall": round(
+                scaled[name]["wall_s"] / max(base[name]["wall_s"], 1e-9), 2
+            ),
+            "shuffle_write": round(
+                scaled[name]["shuffle_write_mb"]
+                / max(base[name]["shuffle_write_mb"], 1e-9),
+                2,
+            ),
+        }
+        for name in keys
+    }
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_rehearsal.json"
-    scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+    suite = "dedup"
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] in ("dedup", "streaming", "closure"):
+        suite = args.pop(0)
+    k = int(args[0]) if args else 10
+    out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
 
     from kcidb_spark.session import get_spark
 
@@ -172,29 +387,37 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    synthesize(spark, k, scaled_dir)
 
-    result = {
-        "k": k,
-        "base": run(BASE_SF, "sf0.1", spark),
-        "scaled": run(scaled_dir, f"{k}x", spark),
-    }
-    # Scaling factor per query: wall and shuffle growth vs data growth.
-    result["ratios"] = {
-        name: {
-            "wall": round(
-                result["scaled"][name]["wall_s"]
-                / max(result["base"][name]["wall_s"], 1e-9),
-                2,
-            ),
-            "shuffle_write": round(
-                result["scaled"][name]["shuffle_write_mb"]
-                / max(result["base"][name]["shuffle_write_mb"], 1e-9),
-                2,
-            ),
+    if suite == "dedup":
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "base": run(BASE_SF, "sf0.1", spark),
+            "scaled": run(scaled_dir, f"{k}x", spark),
         }
-        for name in QUERIES
-    }
+        result["ratios"] = _ratios(result["base"], result["scaled"], QUERIES)
+    elif suite == "streaming":
+        scaled_dir = f"/tmp/kcidb_scale/stream{k}x"
+        synthesize_streaming(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "base": run_streaming(BASE_SF, "sf0.1", spark),
+            "scaled": run_streaming(scaled_dir, f"{k}x", spark),
+        }
+        result["ratios"] = _ratios(
+            result["base"], result["scaled"], STREAM_QUERIES
+        )
+    else:
+        base_c = 2_000
+        result = {
+            "k": k,
+            "base": run_closure(spark, base_c, f"c={base_c}"),
+            "scaled": run_closure(spark, base_c * k, f"c={base_c * k}"),
+        }
+        result["ratios"] = _ratios(
+            result["base"], result["scaled"], CLOSURE_PATTERNS
+        )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result["ratios"], indent=1))
