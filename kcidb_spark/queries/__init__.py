@@ -61,6 +61,10 @@ _GATE_PRIORITY = (
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
     "jaccard_estimate_minhash",  # signature packing rework (round 6)
+    # state-partition sizing + dir-aware source rework (round 6)
+    "t11_stream_tumbling",
+    "t12_stream_dedup",
+    "t13_stream_stream_join",
 )
 
 

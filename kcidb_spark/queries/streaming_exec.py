@@ -298,3 +298,56 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
+
+
+@register(
+    "t14_stream_dedup_watermarked",
+    oracle=dedent("""
+        SELECT event_type,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events
+        GROUP BY event_type
+    """),
+    tags=("T6", "T7", "streaming"),
+)
+def t14_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of streaming dedup:
+    ``withWatermark + dropDuplicatesWithinWatermark`` — unlike t12's
+    unbounded ``dropDuplicates``, per-key state is EVICTED once the
+    watermark passes it, so a continuously-running dedup holds only
+    the keys a late duplicate could still arrive for (the reference's
+    notification-dedup spool ages the same way; T6/T7 late-data
+    semantics).  The deduped stream is drained append-mode to the
+    sink and rolled up in batch — with the watermark delay wider than
+    the bounded input's event-time span nothing is evicted
+    mid-drain, so the result is exactly DISTINCT: the oracle-provable
+    configuration of the state-aging operator.
+    """
+    _utc(spark)
+    stream = (
+        _normalize_ts(_events_stream(spark, sf_dir))
+        .select("event_id", "event_type", "ts")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    qname = f"t14_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="t14_ckpt_")
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_progress("t14_stream_dedup_watermarked", q)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
