@@ -763,7 +763,9 @@ def jaccard_estimate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs, n_hashes=8).withColumn(
         "sig", F.unhex(F.concat(*[F.col(f"h{i}") for i in range(8)]))
     )
-    cand = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2, carry=("sig",))
+    cand = lsh_candidate_pairs(
+        sig, n_hashes=8, n_bands=2, carry=("sig",), materialize_bands=True
+    )
     n_agree = sum(
         F.when(
             F.expr(
