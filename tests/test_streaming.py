@@ -357,3 +357,25 @@ def test_load_subscriptions_user_module(spark, tmp_path):
     (subdir / "empty.py").write_text("x = 1\n")
     with pytest.raises(ValueError, match="neither SUBSCRIPTIONS"):
         load_subscriptions(str(subdir))
+
+
+def test_rocksdb_state_store_parity(spark, tmp_path):
+    """The streaming dedup yields identical results under the RocksDB
+    state-store provider (the off-heap/on-disk provider for state
+    beyond executor heap — SCALE.md) and the default HDFS-backed one.
+    The provider is read at query start, so flipping the SQL conf
+    between runs exercises both."""
+    from kcidb_spark.queries.streaming_exec import t12_stream_dedup
+    from kcidb_spark.streaming import ROCKSDB_STATE_STORE
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = {r["event_type"]: r["n_distinct"]
+               for r in t12_stream_dedup(spark, sf).collect()}
+    spark.conf.set(key, ROCKSDB_STATE_STORE)
+    try:
+        rocks = {r["event_type"]: r["n_distinct"]
+                 for r in t12_stream_dedup(spark, sf).collect()}
+    finally:
+        spark.conf.unset(key)
+    assert rocks == default and default
