@@ -1243,3 +1243,199 @@ def lsh_candidate_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8)
     return lsh_candidate_pairs(sig, n_hashes=8, n_bands=2, max_bucket=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 text-quality / substring-dedup additions
+# ---------------------------------------------------------------------------
+
+#: The normalized alphabet (everything _NORM_SQL can emit).
+_DIVERSITY_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _char_count_sql(c: str) -> str:
+    ch = "' '" if c == " " else f"'{c}'"
+    return f"(length(n) - length(replace(n, {ch}, '')))"
+
+
+@register(
+    "text_char_diversity",
+    oracle=dedent(f"""
+        WITH d AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents),
+        s AS (
+            SELECT doc_id, CAST(length(n) AS BIGINT) AS n_chars,
+                   CAST({" + ".join(f"{_char_count_sql(c)} * {_char_count_sql(c)}" for c in _DIVERSITY_CHARS)} AS BIGINT)
+                       AS sum_sq
+            FROM d WHERE length(n) > 0
+        )
+        SELECT doc_id, n_chars, sum_sq,
+               CAST(n_chars * n_chars - sum_sq AS BIGINT)
+                   / CAST(n_chars * n_chars AS DOUBLE) AS gini_diversity
+        FROM s
+    """),
+    tags=("text", "quality"),
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Gini–Simpson diversity per document:
+    1 − Σ(n_c/N)² over the normalized alphabet — low diversity flags
+    degenerate documents (one repeated character/word, padding spam)
+    that length or stopword filters miss.
+
+    Exactness: counts are ``length − length(replace(..))`` integers
+    (the alphabet is closed under _NORM, so N = length); the score is
+    ONE division of two exact BIGINTs — bit-stable cross-engine (the
+    repo's float rule, queries/_exact.py).  Plan: pure projection,
+    37 replace/length pairs fused into one WholeStageCodegen over the
+    scan — zero shuffle at any scale.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    d = docs.select("doc_id", _norm_text(F.col("text")).alias("n"))
+    counts = [
+        F.expr(_char_count_sql(c)).cast("long") for c in _DIVERSITY_CHARS
+    ]
+    n = F.length("n").cast("long")
+    sum_sq = sum(c * c for c in counts)
+    return (
+        d.filter(F.length("n") > 0)
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            sum_sq.alias("sum_sq"),
+            ((n * n - sum_sq).cast("bigint")
+             / (n * n).cast("double")).alias("gini_diversity"),
+        )
+    )
+
+
+@register(
+    "quality_token_rarity",
+    oracle=dedent(f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        freq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS f
+            FROM t GROUP BY token
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(f) AS BIGINT) AS sum_freq,
+               CAST(sum(f) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                   AS mean_token_freq
+        FROM t JOIN freq USING (token)
+        GROUP BY t.doc_id
+    """),
+    tags=("text", "quality"),
+)
+def quality_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy without floats: score each document by
+    the mean CORPUS FREQUENCY of its tokens — the exact-integer stand-in
+    for mean log-probability (documents of rare/garbage tokens score
+    low, boilerplate scores high; the ranking is what the filter
+    thresholds).  True −log p would hinge on libm rounding and fail
+    bit-identical cross-engine comparison; Σfreq and n are exact
+    BIGINTs and the mean is ONE exact division.
+
+    Plan: one explode → token-key partial-agg (vocab-sized exchange,
+    Zipf-bounded) → shuffle join back on token → per-doc agg.  At
+    100 TB the freq side is vocab-sized (millions of rows, not
+    corpus-sized) — broadcastable when it fits, AQE decides.
+    """
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("f").cast("long").alias("sum_freq"),
+        )
+        .select(
+            "doc_id", "n_tokens", "sum_freq",
+            (F.col("sum_freq") / F.col("n_tokens").cast("double"))
+            .alias("mean_token_freq"),
+        )
+    )
+
+
+_SPAN_K = 8  # tokens per rolling window
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, length(tokens) - {_SPAN_K - 1}),
+                       i -> md5(list_aggregate(list_slice(tokens, i, i + {_SPAN_K - 1}), 'string_agg', ' '))
+                   ) AS spans
+            FROM toks WHERE length(tokens) >= {_SPAN_K}
+        ),
+        sp AS (SELECT doc_id, unnest(spans) AS h FROM sh),
+        nd AS (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h
+        )
+        SELECT sp.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(count(*) AS DOUBLE) AS shared_frac
+        FROM sp JOIN nd USING (h)
+        GROUP BY sp.doc_id
+    """),
+    tags=("dedup", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup signal: the fraction of each document's
+    {k}-token rolling windows that also occur verbatim in another
+    document — the per-document statistic behind substring-level
+    dedup policies (drop/trim documents whose text is largely copied
+    even when no whole-document near-dup exists; the training-data
+    alternative to suffix-array dedup, computed as pure dataflow).
+
+    Plan: in-row window hashes (md5 over each token slice — the
+    shingle machinery at k={k}), one explode, token-hash partial-agg
+    for cross-doc counts (exchange carries one row per distinct span
+    hash per partition), semi-aggregated join back, per-doc rollup.
+    Shuffle ∝ corpus token count — inherent to exact substring
+    matching — with every exchange narrowed to 32-char hashes.
+    All-integer outputs + one exact division.
+    """.format(k=_SPAN_K)
+    from kcidb_spark.operators.dedup import shingled
+
+    sh = shingled(
+        table(spark, sf_dir, "documents", spread=True), k=_SPAN_K
+    )
+    sp = sh.select(
+        "doc_id",
+        F.explode(F.transform("shingles", F.md5)).alias("h"),
+    )
+    nd = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        sp.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_shared",
+            (F.col("n_shared") / F.col("n_windows").cast("double"))
+            .alias("shared_frac"),
+        )
+    )
