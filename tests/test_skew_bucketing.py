@@ -112,3 +112,60 @@ def test_lsh_bucket_cap_bounds_pairs(spark):
     assert len(rows) == 5 * 4 // 2
     # The kept ids are exactly the 5 lowest — survivor-compatible.
     assert {r["a"] for r in rows} | {r["b"] for r in rows} == set(range(5))
+
+
+def test_lsh_pairs_filter_dedup_equals_bruteforce(spark):
+    """The prior-band filter dedup (one-shuffle path) must produce
+    EXACTLY the distinct band-collision pair set — cross-checked
+    against a brute-force distinct() over the raw band join on a
+    corpus engineered so many pairs collide in BOTH bands (full
+    duplicates) and others in only one."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    texts = (
+        # cluster A: 4 identical docs -> collide in both bands
+        ["alpha beta gamma delta epsilon zeta"] * 4
+        # cluster B: 3 identical
+        + ["one two three four five six seven"] * 3
+        # near-dups of A: shared prefix, different tail -> may share
+        # one band only
+        + ["alpha beta gamma delta epsilon omega"]
+        + ["alpha beta gamma delta psi omega"]
+        # singletons
+        + ["unique document number %d padding words here" % i
+           for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = minhash_signatures(docs, n_hashes=8)
+
+    got = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).collect()
+    }
+    bands = lsh_bands(sig, n_hashes=8, n_bands=2)
+    left = bands.select("band", "key", F.col("doc_id").alias("a"))
+    right = bands.select("band", "key", F.col("doc_id").alias("b"))
+    brute = {
+        (r["a"], r["b"])
+        for r in left.join(right, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .collect()
+    }
+    assert got == brute
+    # the full-duplicate clusters must be present (they collide in
+    # both bands — the exact case the filter must not double-emit or
+    # suppress)
+    assert {(0, 1), (0, 2), (0, 3), (4, 5), (4, 6)} <= got
+    # and no pair may appear twice in the unaggregated output
+    rows = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).collect()
+    assert len(rows) == len({(r["a"], r["b"]) for r in rows})
