@@ -75,6 +75,9 @@ class Notification:
     obj_id: str
     subject: str
     body: str
+    #: Earliest send time (the reference NotificationMessage.due,
+    #: kcidb/monitor/output.py:77-105) — None = send immediately.
+    due: "datetime.datetime | None" = None
 
 
 _SPOOL_SCHEMA = T.StructType(
@@ -87,6 +90,9 @@ _SPOOL_SCHEMA = T.StructType(
         T.StructField("body", T.StringType()),
         T.StructField("created_at", T.TimestampType()),
         T.StructField("sent_at", T.TimestampType()),
+        # Earliest send time; the pick stage skips rows whose due has
+        # not passed (reference spool/__init__.py:176-185).
+        T.StructField("due", T.TimestampType()),
     ]
 )
 
@@ -154,6 +160,10 @@ class NotificationSpool:
         """Insert-if-absent by id; returns the number of new rows.
         (The create-only transaction of the reference spool,
         spool/__init__.py:89-252.)"""
+        if "due" not in notifications.columns:
+            notifications = notifications.withColumn(
+                "due", F.lit(None).cast("timestamp")
+            )
         fresh = (
             notifications.dropDuplicates(["id"])
             .join(self.all().select("id"), on="id", how="left_anti")
@@ -167,8 +177,13 @@ class NotificationSpool:
         return n
 
     def unsent(self) -> DataFrame:
-        """Pick stage: notifications not yet sent (main.py:387-402)."""
-        return self.all().filter(F.col("sent_at").isNull())
+        """Pick stage: notifications not yet sent whose due time (if
+        any) has passed (main.py:387-402; due semantics
+        spool/__init__.py:176-185)."""
+        return self.all().filter(
+            F.col("sent_at").isNull()
+            & (F.col("due").isNull() | (F.col("due") <= F.current_timestamp()))
+        )
 
     def mark_sent(self, send: Callable[[Notification], None] | None = None) -> int:
         """Send every unsent notification (via ``send``) and persist
@@ -185,6 +200,7 @@ class NotificationSpool:
                         obj_id=r["obj_id"],
                         subject=r["subject"],
                         body=r["body"],
+                        due=r["due"],
                     )
                 )
         if not rows:

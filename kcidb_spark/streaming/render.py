@@ -350,12 +350,16 @@ def _repo_lines(cos: Column) -> tuple[Column, Column, Column, Column]:
             ),
         ),
     )
-    first_url = F.element_at(urls, 1)
-    first_branch = F.element_at(branches_of(first_url), 1)
+    # try_element_at: these arrays can be EMPTY (e.g. no checkout of
+    # the revision carries a comment) and Spark 4's default ANSI mode
+    # makes a plain element_at on an empty array an ERROR, not NULL —
+    # "first element or NULL" is exactly try_element_at.
+    first_url = F.try_element_at(urls, F.lit(1))
+    first_branch = F.try_element_at(branches_of(first_url), F.lit(1))
     # Lexicographically-first non-null comment: collect_list order is
     # shuffle-dependent, and a notification body must be deterministic
     # (the reference's "first" is load order, unavailable here).
-    first_comment = F.element_at(
+    first_comment = F.try_element_at(
         F.array_sort(
             F.filter(
                 F.transform(
@@ -369,7 +373,7 @@ def _repo_lines(cos: Column) -> tuple[Column, Column, Column, Column]:
                 lambda x: x.isNotNull(),
             )
         ),
-        1,
+        F.lit(1),
     )
     return urls, lines, first_branch, first_comment
 
@@ -377,8 +381,8 @@ def _repo_lines(cos: Column) -> tuple[Column, Column, Column, Column]:
 def _summary_col(df_cols: dict[str, Column]) -> Column:
     """revision.j2 summary macro: location@commit+NP "comment"."""
     urls, _, first_branch, first_comment = df_cols["repo"]
-    first_url = F.element_at(urls, 1)
-    last_seg = F.element_at(F.split(first_url, "/"), -1)
+    first_url = F.try_element_at(urls, F.lit(1))
+    last_seg = F.try_element_at(F.split(first_url, "/"), F.lit(-1))
     location = F.when(
         first_url.isNotNull(),
         F.concat_ws(":", last_seg, first_branch),
@@ -702,11 +706,30 @@ def _with_rendering(df: DataFrame) -> DataFrame:
     )
 
 
+#: kcidb/monitor/subscriptions/linux_stable.py REPO_URL_SET.
+STABLE_REPO_URLS = tuple(
+    "https://git.kernel.org/pub/scm/linux/kernel/git" + sfx
+    for sfx in (
+        "/stable/linux-stable-rc.git",
+        "/stable/linux-stable.git",
+        "/sashal/linux-stable.git",
+        "/stable/stable-queue.git",
+    )
+)
+
+
+def _repo_match(repo_url) -> Column:
+    urls = [repo_url] if isinstance(repo_url, str) else list(repo_url)
+    return F.arrays_overlap(
+        "repo_urls", F.array(*[F.lit(u) for u in urls])
+    )
+
+
 def mainline_messages(
     checkouts: DataFrame,
     builds: DataFrame,
     tests: DataFrame,
-    repo_url: str = (
+    repo_url=(
         "https://git.kernel.org/pub/scm/linux/kernel/git/torvalds/linux.git"
     ),
 ) -> DataFrame:
@@ -716,11 +739,15 @@ def mainline_messages(
     ``repo_url`` whose builds failed get a "Builds failed for …"
     message; otherwise a non-syzbot FAIL test yields "Tests failed
     for …".  Body is the full reference-fidelity description.
+
+    ``repo_url`` may be a single URL or a collection — pass
+    :data:`STABLE_REPO_URLS` for the linux_stable subscription
+    (kcidb/monitor/subscriptions/linux_stable.py — identical logic
+    over its four stable trees).
     """
     rev = revision_frame(checkouts, builds, tests)
     matched = rev.filter(
-        F.array_contains("repo_urls", repo_url)
-        & F.col("builds_status").isNotNull()
+        _repo_match(repo_url) & F.col("builds_status").isNotNull()
     )
     subject_prefix = F.when(
         F.col("builds_status") == "FAIL", "Builds"
@@ -738,6 +765,75 @@ def mainline_messages(
     )
 
 
+def ltp_messages(
+    checkouts: DataFrame,
+    builds: DataFrame,
+    tests: DataFrame,
+) -> DataFrame:
+    """The reference's LTP-maintainer subscription
+    (kcidb/monitor/subscriptions/ltp_maintainers.py): per revision,
+    the status-priority rollup of the ``ltp`` top-level test node —
+    FAIL → "LTP failed for …", ERROR → "LTP aborted for …", with the
+    revision summary/description body.  One join chain + one rollup,
+    no per-object Python."""
+    rev = revision_frame(checkouts, builds, tests)
+    b = builds.select(
+        F.col("id").alias("build_id"), F.col("checkout_id").alias("b_co")
+    )
+    co = checkouts.select(F.col("id").alias("b_co"), *REV_KEYS)
+    ltp = (
+        tests.filter(F.substring_index("path", ".", 1) == "ltp")
+        .select("build_id", "status")
+        .join(b, "build_id")
+        .join(co, "b_co")
+        .groupBy(*REV_KEYS)
+        .agg(F.min(_status_prio(F.col("status"))).alias("prio"))
+        .select(*REV_KEYS, _prio_status(F.col("prio")).alias("ltp_status"))
+    )
+    matched = rev.join(ltp, on=REV_KEYS).filter(
+        F.col("ltp_status").isin("FAIL", "ERROR")
+    )
+    return matched.select(
+        *REV_KEYS,
+        F.concat(
+            F.when(F.col("ltp_status") == "FAIL", "LTP failed for ")
+            .otherwise("LTP aborted for "),
+            F.col("summary"),
+        ).alias("subject"),
+        F.col("description").alias("body"),
+    )
+
+
+def testing_done_messages(
+    checkouts: DataFrame,
+    builds: DataFrame,
+    tests: DataFrame,
+    repo_url,
+    due_hours: float = 1.0,
+) -> DataFrame:
+    """A "Testing done for …" digest over a repo set, sent
+    ``due_hours`` after matching — the reference's mark_brown
+    subscription shape (kcidb/monitor/subscriptions/mark_brown.py:
+    repo filter + finished builds + ``due=now()+1h`` so the spool
+    holds the message while updates keep arriving).  The ``due``
+    column rides into the spool; NotificationSpool.unsent() skips
+    rows whose due has not passed."""
+    rev = revision_frame(checkouts, builds, tests)
+    matched = rev.filter(
+        _repo_match(repo_url) & F.col("builds_status").isNotNull()
+    )
+    return matched.select(
+        *REV_KEYS,
+        F.concat(F.lit("Testing done for "), F.col("summary"))
+        .alias("subject"),
+        F.col("description").alias("body"),
+        (
+            F.current_timestamp()
+            + F.expr(f"INTERVAL {int(due_hours * 3600)} SECONDS")
+        ).alias("due"),
+    )
+
+
 def as_notifications(
     messages: DataFrame, subscription: str = "mainline"
 ) -> DataFrame:
@@ -750,7 +846,7 @@ def as_notifications(
 
     obj_id = F.concat_ws("+", "git_commit_hash", "patchset_hash")
     subject = F.substring("subject", 1, Subscription.SUBJECT_MAX)
-    return messages.select(
+    cols = [
         F.concat_ws(
             ":",
             F.lit(subscription),
@@ -763,7 +859,10 @@ def as_notifications(
         obj_id.alias("obj_id"),
         subject.alias("subject"),
         F.substring("body", 1, Subscription.BODY_MAX).alias("body"),
-    )
+    ]
+    if "due" in messages.columns:
+        cols.append(F.col("due"))
+    return messages.select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -720,3 +720,88 @@ def test_issue_and_incident_summaries(spark, tmp_path):
     assert inc["o:n3"] == "Incident in arm64 build"
     assert inc["o:n4"] == "Incident: subj"
     assert inc["o:n5"] == "Incident o:n5"
+
+
+def test_stock_subscription_families(spark, tmp_path):
+    """linux_stable / ltp_maintainers / mark_brown subscription
+    analogs: repo-set matching, LTP node rollup wording, and the
+    due-held "Testing done" digest (reference
+    kcidb/monitor/subscriptions/*.py)."""
+    from kcidb_spark.streaming.render import (
+        STABLE_REPO_URLS,
+        as_notifications,
+        ltp_messages,
+        mainline_messages,
+        testing_done_messages,
+    )
+    from kcidb_spark.streaming.notify import NotificationSpool
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {"id": "s:c1", "origin": "s",
+             "git_commit_hash": "a" * 40, "patchset_hash": "",
+             "git_repository_url": STABLE_REPO_URLS[1],
+             "git_repository_branch": "linux-6.6.y"},
+            {"id": "s:c2", "origin": "s",
+             "git_commit_hash": "b" * 40, "patchset_hash": "",
+             "git_repository_url": "https://example.com/other.git",
+             "git_repository_branch": "main"},
+        ],
+        "builds": [
+            {"id": "s:b1", "origin": "s", "checkout_id": "s:c1",
+             "status": "FAIL", "architecture": "x86_64"},
+            {"id": "s:b2", "origin": "s", "checkout_id": "s:c2",
+             "status": "PASS", "architecture": "x86_64"},
+        ],
+        "tests": [
+            {"id": "s:t1", "origin": "s", "build_id": "s:b2",
+             "path": "ltp.sem01", "status": "FAIL"},
+            {"id": "s:t2", "origin": "s", "build_id": "s:b2",
+             "path": "boot", "status": "PASS"},
+        ],
+    }
+    store = Store(spark, str(tmp_path / "store"))
+    store.load(report)
+    v = [store.table(t) for t in ("checkouts", "builds", "tests")]
+
+    # linux_stable: only the stable-repo revision (failed builds).
+    stable = mainline_messages(*v, repo_url=STABLE_REPO_URLS).collect()
+    assert [r["git_commit_hash"] for r in stable] == ["a" * 40]
+    assert stable[0]["subject"].startswith("Builds failed for ")
+
+    # ltp: only the revision with a failing ltp.* test.
+    ltp = ltp_messages(*v).collect()
+    assert [r["git_commit_hash"] for r in ltp] == ["b" * 40]
+    assert ltp[0]["subject"].startswith("LTP failed for ")
+
+    # mark_brown shape: matches on repo set, carries a future due.
+    done = testing_done_messages(
+        *v, repo_url=["https://example.com/other.git"], due_hours=1
+    ).collect()
+    assert [r["git_commit_hash"] for r in done] == ["b" * 40]
+    assert done[0]["subject"].startswith("Testing done for ")
+    assert done[0]["due"] is not None
+
+    # The due-held notification spools but is NOT picked until due.
+    spool = NotificationSpool(spark, str(tmp_path / "spool"))
+    n = spool.spool(as_notifications(
+        testing_done_messages(
+            *v, repo_url=["https://example.com/other.git"], due_hours=1
+        ),
+        subscription="mark_brown",
+    ))
+    assert n == 1
+    assert spool.all().count() == 1
+    assert spool.unsent().count() == 0  # held by due
+    assert spool.mark_sent() == 0
+    # With due already passed it sends immediately.
+    spool2 = NotificationSpool(spark, str(tmp_path / "spool2"))
+    spool2.spool(as_notifications(
+        testing_done_messages(
+            *v, repo_url=["https://example.com/other.git"], due_hours=0
+        ),
+        subscription="mark_brown",
+    ))
+    assert spool2.unsent().count() == 1
+    assert spool2.mark_sent() == 1
