@@ -66,7 +66,7 @@ def _emit(data: Any) -> None:
 
 def _emit_line(data: Any) -> None:
     """One compact JSON document per line (paginated output)."""
-    json.dump(data, sys.stdout, sort_keys=True)
+    json.dump(data, sys.stdout, sort_keys=True, default=str)
     sys.stdout.write("\n")
     sys.stdout.flush()
 
@@ -285,6 +285,9 @@ def main(argv: list[str] | None = None) -> int:
     p = add_db("notify")
     p.add_argument("--mainline", action="store_true",
                    help="include reference-fidelity revision messages")
+    p.add_argument("--stock", action="store_true",
+                   help="also evaluate the stock subscription family "
+                        "(mainline + linux_stable + ltp_maintainers)")
     p.add_argument("--email-queue", default=None,
                    help="also publish rendered RFC-822 e-mails on this "
                         "file-transport email queue")
@@ -598,24 +601,43 @@ def main(argv: list[str] | None = None) -> int:
         if args.subscriptions:
             subs += load_subscriptions(args.subscriptions)
         notifications = match_subscriptions(views, subs)
-        if args.mainline:
+        if args.mainline or args.stock:
             from kcidb_spark.streaming.render import (
+                STABLE_REPO_URLS,
                 as_notifications,
+                ltp_messages,
                 mainline_messages,
+                testing_done_messages,
             )
 
-            rich = as_notifications(
-                mainline_messages(
-                    store.table("checkouts"),
-                    store.table("builds"),
-                    store.table("tests"),
+            cbt = (
+                store.table("checkouts"),
+                store.table("builds"),
+                store.table("tests"),
+            )
+            rich_frames = [as_notifications(mainline_messages(*cbt))]
+            if args.stock:
+                # The remaining stock subscription modules
+                # (linux_stable / ltp_maintainers / mark_brown analogs).
+                rich_frames.append(
+                    as_notifications(
+                        mainline_messages(*cbt, repo_url=STABLE_REPO_URLS),
+                        subscription="linux_stable",
+                    )
                 )
-            )
-            notifications = (
-                rich
-                if notifications is None
-                else notifications.unionByName(rich)
-            )
+                rich_frames.append(
+                    as_notifications(
+                        ltp_messages(*cbt), subscription="ltp_maintainers"
+                    )
+                )
+            for rich in rich_frames:
+                notifications = (
+                    rich
+                    if notifications is None
+                    else notifications.unionByName(
+                        rich, allowMissingColumns=True
+                    )
+                )
         if notifications is None:
             return 0
         rows = notifications.collect()

@@ -473,3 +473,43 @@ def test_describe_issue_version(monkeypatch, capsys, tmp_path, spark):
     [row] = [json.loads(x) for x in out.splitlines() if x.strip()]
     assert "&var-version=1" in row["description"]
     assert "Detected 3 times in 2 builds, 1 test runs" in row["description"]
+
+
+def test_notify_stock_family(monkeypatch, capsys, tmp_path, spark):
+    """notify --stock evaluates the stock subscription family: the
+    linux_stable repo-set and ltp_maintainers node-rollup analogs
+    alongside mainline and the flat subscriptions."""
+    from kcidb_spark.streaming.render import STABLE_REPO_URLS
+
+    report = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {"id": "s:c1", "origin": "s",
+             "git_commit_hash": "a" * 40, "patchset_hash": "",
+             "git_repository_url": STABLE_REPO_URLS[0],
+             "git_repository_branch": "linux-6.6.y"},
+        ],
+        "builds": [
+            {"id": "s:b1", "origin": "s", "checkout_id": "s:c1",
+             "status": "PASS", "architecture": "x86_64"},
+        ],
+        "tests": [
+            {"id": "s:t1", "origin": "s", "build_id": "s:b1",
+             "path": "ltp.sem01", "status": "FAIL"},
+        ],
+    }
+    d = str(tmp_path / "db")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", d],
+                    json.dumps(report))
+    assert rc == 0
+    rc, out = run_cli(monkeypatch, capsys, ["notify", "-d", d, "--stock"])
+    assert rc == 0
+    rows = [json.loads(x) for x in out.splitlines() if x.strip()]
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r["subscription"], []).append(r)
+    # stable tree with a failing (non-syzbot) test -> Tests failed
+    assert any(r["subject"].startswith("Tests failed for ")
+               for r in by_sub["linux_stable"])
+    assert any(r["subject"].startswith("LTP failed for ")
+               for r in by_sub["ltp_maintainers"])
