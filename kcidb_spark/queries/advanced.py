@@ -403,18 +403,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("v"),
             p.cast("bigint").alias("p"),
         )
-        .select("vec_id", "v", F.expr(bucket_sql).alias("bucket"))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(bucket_sql).alias("bucket"),
+            # Precompute each vector's norm ONCE (O(n·d)) and carry it
+            # through the join: the pair stage otherwise re-derives
+            # sqrt(v·v) per PAIR (3 dot products each, O(pairs·d)).
+            # Identical doubles — sqrt(x) and the final
+            # dot/(na*nb) division are the same operations the oracle
+            # applies per pair, just computed earlier.
+            F.expr(f"sqrt({dot_expr('v', 'v')})").alias("nv"),
+        )
     )
     left = b.select(
-        F.col("bucket"), F.col("vec_id").alias("a"), F.col("v").alias("va")
+        F.col("bucket"), F.col("vec_id").alias("a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
     right = b.select(
-        F.col("bucket"), F.col("vec_id").alias("b"), F.col("v").alias("vb")
+        F.col("bucket"), F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
+    sim = F.expr(f"round({dot_expr('va', 'vb')} / (na * nb), 4)")
     return (
         left.join(right, on="bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.expr(_cos_expr("va", "vb")).alias("sim"))
+        .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= _COS_THRESH)
     )
 
