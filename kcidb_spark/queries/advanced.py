@@ -496,33 +496,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids here are the first {_IVF_CENTROIDS} vectors
     (deterministic stand-in for a k-means step).
     """
+    from kcidb_spark.operators.similarity import dot_expr as _dot
+
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # Norm precomputed per vector and carried (identical doubles):
+    # assignment + in-cluster search drop from 3 to 1 dot products
+    # per comparison.
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.expr(f"sqrt({_dot('v', 'v')})"))
     cents = (
         vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
-        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"))
     )
     w_assign = W.partitionBy("vec_id").orderBy(
         F.desc("c_sim"), F.asc("c_id")
     )
     assign = (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "c_id", "v", F.expr(_cos_expr("v", "cv")).alias("c_sim"))
+        .select(
+            "vec_id", "c_id", "v", "nrm",
+            F.expr(f"round({_dot('v', 'cv')} / (nrm * cn), 4)")
+            .alias("c_sim"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "c_id", "v")
+        .select("vec_id", "c_id", "v", "nrm")
     )
     q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("c_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("c_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
     )
     m = assign.select(
-        F.col("vec_id").alias("n_id"), F.col("c_id"), F.col("v").alias("nv")
+        F.col("vec_id").alias("n_id"), F.col("c_id"),
+        F.col("v").alias("nv"), F.col("nrm").alias("nn"),
     )
     w_rank = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         m.join(F.broadcast(q), on="c_id")
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", F.expr(_cos_expr("qv", "nv")).alias("sim"))
+        .select(
+            "q_id", "n_id",
+            F.expr(f"round({_dot('qv', 'nv')} / (qn * nn), 4)")
+            .alias("sim"),
+        )
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= _IVF_K)
         .select("q_id", "n_id", "sim")

@@ -239,12 +239,17 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequentially → bit-identical; see operators/similarity.cosine_expr).
     """
     from kcidb_spark.cache import scoped_persist
-    from kcidb_spark.operators.similarity import cosine_expr
+    from kcidb_spark.operators.similarity import dot_expr
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
+    # Norms precomputed ONCE per vector and carried (same doubles —
+    # sqrt + division unchanged): the N·k assignment scan and the
+    # cluster-local pair verify otherwise re-derive sqrt(v·v) per
+    # pair, 3 dot products per comparison instead of 1.
     vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
     k = vecs.agg(
         F.greatest(
             F.lit(_SEM_CENTROIDS).cast("long"),
@@ -254,10 +259,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         vecs.crossJoin(F.broadcast(k))
         .filter(F.col("vec_id") < F.col("__k"))
-        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
     neg_sim_then_id = F.struct(
-        (-F.expr(cosine_expr("v", "cv"))).alias("a"), F.col("c_id").alias("b")
+        (-F.expr(f"round({dot_expr('v', 'cv')} / (nrm * cn), 4)")).alias("a"),
+        F.col("c_id").alias("b"),
     )
     assign = scoped_persist(
         vecs.crossJoin(F.broadcast(cents))
@@ -265,15 +275,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min_by("c_id", neg_sim_then_id).alias("c_id"),
             F.any_value(F.col("v")).alias("v"),
+            F.any_value(F.col("nrm")).alias("nrm"),
         )
     )
     earlier = assign.select(
-        F.col("vec_id").alias("e_id"), "c_id", F.col("v").alias("ev")
+        F.col("vec_id").alias("e_id"), "c_id",
+        F.col("v").alias("ev"), F.col("nrm").alias("en"),
     )
     dropped = (
         assign.join(earlier, on="c_id")
         .filter(F.col("e_id") < F.col("vec_id"))
-        .filter(F.expr(cosine_expr("ev", "v")) >= _SEM_TAU)
+        .filter(
+            F.expr(f"round({dot_expr('ev', 'v')} / (en * nrm), 4)")
+            >= _SEM_TAU
+        )
         .select("vec_id")
         .distinct()
     )
