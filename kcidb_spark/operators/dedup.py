@@ -215,18 +215,22 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for given (a, b) pairs: explode
-    distinct shingles, equi-join on shingle restricted to candidate
-    pairs, |∩| / (|A| + |B| − |∩|) — integer arithmetic, bit-stable.
+    """Exact shingle-set Jaccard for given (a, b) pairs:
+    |∩| / (|A| + |B| − |∩|) via IN-ROW set intersection — each
+    candidate doc's distinct-shingle ARRAY joins onto the pair row
+    and ``array_intersect`` counts the overlap locally.  Integer
+    arithmetic, bit-stable.
 
-    Scale: shingles are only exploded for documents that appear in a
-    candidate pair (semi-join first), so verify cost is proportional
-    to the candidate set, not the corpus.  Both the pair set and the
-    restricted shingle set are persisted: they are referenced by
-    several joins below, and without a cache each reference would
-    re-execute the (projection-only, hence not exchange-reusable)
-    candidate-generation subtree.  Both are candidate-sized — small
-    by LSH design.
+    Scale: shingle sets are built only for documents that appear in a
+    candidate pair (broadcast semi-join first), so verify cost is
+    proportional to the candidate set, not the corpus.  Versus the
+    explode→equi-join→groupBy formulation this moves candidate
+    shingles as packed arrays through TWO pair-keyed joins instead of
+    pair×shingle ROWS through two exchanges plus a groupBy — one less
+    shuffle stage and ~|pair|-bounded row counts throughout.  The
+    pair set and the shingle-set frame are persisted: both feed two
+    join sides and would otherwise re-execute their (projection-only,
+    hence not exchange-reusable) subtrees.
     """
     pairs = scoped_persist(pairs)
     cand_ids = (
@@ -235,49 +239,32 @@ def jaccard_pairs(
         .distinct()
     )
     docs = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-    # Explode the shingle INDEX and build each shingle per output row:
-    # exploding a transform()-built array directly hits a pathological
-    # constant-overhead path in the generator (~40× slower, measured).
-    sh = (
-        tokenized(docs, id_col, text_col, min_tokens=k)
-        .select(
-            F.col(id_col),
-            F.col("tokens"),
-            F.expr(f"explode(sequence(1, size(tokens) - {k - 1}))").alias("i"),
+    sh = scoped_persist(
+        shingled(docs, id_col, text_col, k).select(
+            F.col(id_col), F.array_distinct("shingles").alias("sh")
         )
-        .select(
-            F.col(id_col),
-            F.expr(
-                "concat_ws(' ', "
-                + ", ".join(f"tokens[i-1+{j}]" if j else "tokens[i-1]" for j in range(k))
-                + ")"
-            ).alias("s"),
-        )
-        .distinct()
     )
-    sh = scoped_persist(sh)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a_sh = sh.select(F.col(id_col).alias("a"), "s")
-    b_sh = sh.select(F.col(id_col).alias("b"), "s")
-    inter = (
-        pairs.join(a_sh, on="a").join(b_sh, on=["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sa"))
+    b_sh = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sb"))
+    # Inner joins drop pairs whose doc has < k tokens (no shingle
+    # set) — identical to the former sizes-join semantics.
     return (
-        pairs.join(inter, on=["a", "b"], how="left")
-        .fillna({"n_inter": 0})
-        .join(na, on="a")
-        .join(nb, on="b")
+        pairs.join(a_sh, on="a")
+        .join(b_sh, on="b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa", "sb")).cast("long")
+            .alias("n_inter"),
+            (F.size("sa") + F.size("sb")).cast("long").alias("__nsum"),
+        )
         .select(
             "a",
             "b",
             "n_inter",
             (
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                / (F.col("__nsum") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
         )
     )
