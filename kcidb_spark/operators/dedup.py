@@ -358,13 +358,34 @@ def simhash_hamming_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
         "band", "key",
     )
+    # Dedup by FILTER, not a second shuffle: a pair repeats once per
+    # agreeing band, and since each row carries the FULL fingerprint
+    # the "is this the FIRST agreeing band" check is pure in-row bit
+    # math over sh_a ^ sh_b — keep the match only at the lowest
+    # agreeing band.  Exactly the distinct pair set, one shuffle
+    # total (the LSH prior-band trick with zero carried columns).
+    # Unrolled as a CASE of plain mask tests — an earlier HOF form
+    # (forall over sequence(0, band-1)) ran interpreted on EVERY
+    # joined row and cost 3× at 10× duplicate density.
+    lower_disagrees = [
+        f"((sh_a ^ sh_b) & {mask << (j * band_bits)}) != 0"
+        for j in range(n_bands - 1)
+    ]
+    first_band = F.expr(
+        "CASE band "
+        + " ".join(
+            f"WHEN {jb} THEN ({' AND '.join(lower_disagrees[:jb]) or 'true'})"
+            for jb in range(n_bands)
+        )
+        + " END"
+    )
     return (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_band)
         .select(
             "id_a", "id_b",
             F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
