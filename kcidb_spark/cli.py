@@ -78,9 +78,9 @@ def _spark():
 
 
 def _store(args):
-    from kcidb_spark.store import Store
+    from kcidb_spark.store.drivers import open_store
 
-    return Store(_spark(), args.database)
+    return open_store(_spark(), args.database)
 
 
 def _parse_ts(s: str) -> datetime.datetime:
@@ -482,6 +482,36 @@ def main(argv: list[str] | None = None) -> int:
         return _issue_editor_main(args)
 
     # -- store tools ----------------------------------------------------
+    # Directory-lifecycle commands understand the driver-spec syntax
+    # too: parquet: prefixes strip to their directory; sqlite: specs
+    # init/cleanup the database FILE (table DDL runs on open).
+    if args.cmd in ("db-init", "db-cleanup", "db-upgrade"):
+        if args.database.startswith("parquet:"):
+            args.database = args.database[len("parquet:"):]
+        elif args.database.startswith("sqlite:"):
+            import os
+
+            path = args.database[len("sqlite:"):]
+            if args.cmd == "db-init":
+                if path != ":memory:" and os.path.exists(path):
+                    if not args.ignore_initialized:
+                        print(f"store {args.database} is already "
+                              "initialized", file=sys.stderr)
+                        return 1
+                    return 0
+                _store(args)
+                return 0
+            if args.cmd == "db-cleanup":
+                if path == ":memory:" or not os.path.exists(path):
+                    if not args.ignore_not_initialized:
+                        print(f"store {args.database} is not initialized",
+                              file=sys.stderr)
+                        return 1
+                    return 0
+                os.remove(path)
+                return 0
+            return 0  # db-upgrade: single-schema driver, nothing to do
+
     if args.cmd == "db-init":
         import os
 

@@ -274,7 +274,147 @@ def _upgrade_v4_df(raw: DataFrame) -> DataFrame:
     return out
 
 
-class Store:
+def dedup_view(raw: DataFrame, table: str, with_metadata: bool = False) -> DataFrame:
+    """The dedup view over an append-only raw table: one row per PK;
+    per column, the value of the latest load where it was non-NULL;
+    ``_timestamp`` = MAX.  Shared by every store driver whose raw rows
+    live in a Spark DataFrame (parquet Store, SqliteStore) so all
+    backends resolve load conflicts identically."""
+    keys = list(ID_FIELDS[table])
+    others = [c for c in raw.columns if c not in keys and c != "_timestamp"]
+    aggs = [
+        F.max(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.col("_timestamp").alias("t"), F.col(c).alias("v")),
+            )
+        )["v"].alias(c)
+        for c in others
+    ]
+    aggs.append(F.max("_timestamp").alias("_timestamp"))
+    out = raw.groupBy(*keys).agg(*aggs)
+    # Restore canonical column order.
+    cols = [f.name for f in SCHEMAS[table].fields]
+    if with_metadata:
+        cols.append("_timestamp")
+    return out.select(*cols)
+
+
+class ReportDumpMixin:
+    """Report-shaped read surface shared by store drivers: ``dump`` /
+    ``dump_iter`` (windowed I/O reports) and the Spark-SQL escape
+    hatch.  Requires only ``self.spark`` and ``self.table(name,
+    with_metadata=...)`` — any backend exposing the dedup view as a
+    DataFrame gets the whole reference dump/query surface for free."""
+
+    spark: SparkSession
+
+    def table(self, table: str, with_metadata: bool = False) -> DataFrame:
+        raise NotImplementedError
+
+    def dump(
+        self,
+        after: datetime.datetime | None = None,
+        until: datetime.datetime | None = None,
+        with_metadata: bool = False,
+    ) -> dict[str, Any]:
+        """Full dump as ONE I/O report, optional (after, until] window
+        on _timestamp (reference S2, kcidb/db/sql/schema.py:288-344)."""
+        from kcidb_spark.schema.io import IO_VERSION
+
+        out: dict[str, Any] = {"version": dict(IO_VERSION)}
+        for table, df in self._window_tables(after, until, with_metadata):
+            objs = self._rows_to_objs(table, df)
+            if objs:
+                out[table] = objs
+        return out
+
+    def dump_iter(
+        self,
+        objects_per_report: int | None,
+        after: datetime.datetime | None = None,
+        until: datetime.datetime | None = None,
+        with_metadata: bool = False,
+    ):
+        """Paginated dump: a generator of I/O reports holding at most
+        ``objects_per_report`` objects each, every emitted chunk
+        re-validated (reference O4 — kcidb/db/__init__.py:313-388,
+        postgresql/v04_00.py:763-782 incl. the per-chunk validation at
+        :772-773).  ``None`` → one report with everything.
+
+        Objects stream through ``toLocalIterator`` — driver memory is
+        bounded by one chunk, not the dump, which is what lets a bulk
+        consumer page a huge store through JSON without OOM."""
+        from kcidb_spark.schema.io import IO_VERSION
+
+        if objects_per_report is not None and objects_per_report <= 0:
+            raise ValueError("objects_per_report must be positive or None")
+        report: dict[str, Any] = {"version": dict(IO_VERSION)}
+        n = emitted = 0
+        for table, df in self._window_tables(after, until, with_metadata):
+            for obj in self._iter_objs(table, df):
+                report.setdefault(table, []).append(obj)
+                n += 1
+                if objects_per_report is not None and n >= objects_per_report:
+                    yield validate(report)
+                    report = {"version": dict(IO_VERSION)}
+                    n = 0
+                    emitted += 1
+        if n or not emitted:
+            yield validate(report)
+
+    def _window_tables(self, after, until, with_metadata):
+        for table in TABLES:
+            df = self.table(table, with_metadata=True)
+            if after is not None:
+                df = df.filter(F.col("_timestamp") > F.lit(after))
+            if until is not None:
+                df = df.filter(F.col("_timestamp") <= F.lit(until))
+            if not with_metadata:
+                df = df.drop("_timestamp")
+            yield table, df
+
+    def _iter_objs(self, table: str, df: DataFrame):
+        json_paths = _JSON_FIELDS[table]
+        # Serialize timestamps ENGINE-side (session tz is pinned UTC):
+        # PySpark's collect/toLocalIterator renders TimestampType in the
+        # *driver's local* timezone regardless of session tz, so a
+        # non-UTC driver would silently shift every timestamp while
+        # _unpack_value labels it +00:00.
+        df = iso_utc_timestamps(self.spark, df)
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            yield {
+                k: u
+                for k, v in d.items()
+                if (u := _unpack_value(v, (k,), json_paths)) is not None
+            }
+
+    def _rows_to_objs(self, table: str, df: DataFrame) -> list[dict[str, Any]]:
+        return list(self._iter_objs(table, df))
+
+    # -- SQL surface ------------------------------------------------------
+    def sql(self, query: str, with_metadata: bool = False) -> DataFrame:
+        """Run Spark SQL against the store: the five object tables and
+        the derived ORM views (revision, issue_version, …) are
+        registered as temp views first.  This is the third query
+        surface next to the closure API and the pattern language —
+        the reference's raw-SQL escape hatch equivalent.
+        """
+        from kcidb_spark.orm.types import type_views
+        from kcidb_spark.schema.graph import TABLES as _TABLES
+
+        base = {t: self.table(t, with_metadata=with_metadata) for t in _TABLES}
+        for name, df in base.items():
+            df.createOrReplaceTempView(name)
+        for name, df in type_views(
+            {t: self.table(t, with_metadata=True) for t in _TABLES}
+        ).items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+
+class Store(ReportDumpMixin):
     """A named collection of the five kcidb tables under a directory."""
 
     #: Partition directory column (derived from _timestamp, UTC date).
@@ -580,127 +720,9 @@ class Store:
     def table(self, table: str, with_metadata: bool = False) -> DataFrame:
         """The dedup view: one row per PK; per column, the value of the
         latest load where it was non-NULL; _timestamp = MAX."""
-        df = self.raw(table)
-        keys = list(ID_FIELDS[table])
-        others = [c for c in df.columns if c not in keys and c != "_timestamp"]
-        aggs = [
-            F.max(
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(F.col("_timestamp").alias("t"), F.col(c).alias("v")),
-                )
-            )["v"].alias(c)
-            for c in others
-        ]
-        aggs.append(F.max("_timestamp").alias("_timestamp"))
-        out = df.groupBy(*keys).agg(*aggs)
-        # Restore canonical column order.
-        cols = [f.name for f in SCHEMAS[table].fields]
-        if with_metadata:
-            cols.append("_timestamp")
-        return out.select(*cols)
+        return dedup_view(self.raw(table), table, with_metadata)
 
-    # -- dump -----------------------------------------------------------
-    def dump(
-        self,
-        after: datetime.datetime | None = None,
-        until: datetime.datetime | None = None,
-        with_metadata: bool = False,
-    ) -> dict[str, Any]:
-        """Full dump as ONE I/O report, optional (after, until] window
-        on _timestamp (reference S2, kcidb/db/sql/schema.py:288-344)."""
-        from kcidb_spark.schema.io import IO_VERSION
-
-        out: dict[str, Any] = {"version": dict(IO_VERSION)}
-        for table, df in self._window_tables(after, until, with_metadata):
-            objs = self._rows_to_objs(table, df)
-            if objs:
-                out[table] = objs
-        return out
-
-    def dump_iter(
-        self,
-        objects_per_report: int | None,
-        after: datetime.datetime | None = None,
-        until: datetime.datetime | None = None,
-        with_metadata: bool = False,
-    ):
-        """Paginated dump: a generator of I/O reports holding at most
-        ``objects_per_report`` objects each, every emitted chunk
-        re-validated (reference O4 — kcidb/db/__init__.py:313-388,
-        postgresql/v04_00.py:763-782 incl. the per-chunk validation at
-        :772-773).  ``None`` → one report with everything.
-
-        Objects stream through ``toLocalIterator`` — driver memory is
-        bounded by one chunk, not the dump, which is what lets a bulk
-        consumer page a huge store through JSON without OOM."""
-        from kcidb_spark.schema.io import IO_VERSION
-
-        if objects_per_report is not None and objects_per_report <= 0:
-            raise ValueError("objects_per_report must be positive or None")
-        report: dict[str, Any] = {"version": dict(IO_VERSION)}
-        n = emitted = 0
-        for table, df in self._window_tables(after, until, with_metadata):
-            for obj in self._iter_objs(table, df):
-                report.setdefault(table, []).append(obj)
-                n += 1
-                if objects_per_report is not None and n >= objects_per_report:
-                    yield validate(report)
-                    report = {"version": dict(IO_VERSION)}
-                    n = 0
-                    emitted += 1
-        if n or not emitted:
-            yield validate(report)
-
-    def _window_tables(self, after, until, with_metadata):
-        for table in TABLES:
-            df = self.table(table, with_metadata=True)
-            if after is not None:
-                df = df.filter(F.col("_timestamp") > F.lit(after))
-            if until is not None:
-                df = df.filter(F.col("_timestamp") <= F.lit(until))
-            if not with_metadata:
-                df = df.drop("_timestamp")
-            yield table, df
-
-    def _iter_objs(self, table: str, df: DataFrame):
-        json_paths = _JSON_FIELDS[table]
-        # Serialize timestamps ENGINE-side (session tz is pinned UTC):
-        # PySpark's collect/toLocalIterator renders TimestampType in the
-        # *driver's local* timezone regardless of session tz, so a
-        # non-UTC driver would silently shift every timestamp while
-        # _unpack_value labels it +00:00.
-        df = iso_utc_timestamps(self.spark, df)
-        for row in df.toLocalIterator():
-            d = row.asDict(recursive=True)
-            yield {
-                k: u
-                for k, v in d.items()
-                if (u := _unpack_value(v, (k,), json_paths)) is not None
-            }
-
-    def _rows_to_objs(self, table: str, df: DataFrame) -> list[dict[str, Any]]:
-        return list(self._iter_objs(table, df))
-
-    # -- SQL surface ------------------------------------------------------
-    def sql(self, query: str, with_metadata: bool = False) -> DataFrame:
-        """Run Spark SQL against the store: the five object tables and
-        the derived ORM views (revision, issue_version, …) are
-        registered as temp views first.  This is the third query
-        surface next to the closure API and the pattern language —
-        the reference's raw-SQL escape hatch equivalent.
-        """
-        from kcidb_spark.orm.types import type_views
-        from kcidb_spark.schema.graph import TABLES as _TABLES
-
-        base = {t: self.table(t, with_metadata=with_metadata) for t in _TABLES}
-        for name, df in base.items():
-            df.createOrReplaceTempView(name)
-        for name, df in type_views(
-            {t: self.table(t, with_metadata=True) for t in _TABLES}
-        ).items():
-            df.createOrReplaceTempView(name)
-        return self.spark.sql(query)
+    # -- dump / SQL surface: ReportDumpMixin ----------------------------
 
     # -- maintenance ----------------------------------------------------
     def compact(self) -> None:

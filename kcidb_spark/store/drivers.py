@@ -82,6 +82,47 @@ class MuxStore:
         return self.members[0].dump(**kwargs)
 
 
+def open_store(spark: SparkSession, spec: str):
+    """Open a store from a ``driver[:params]`` connection spec — the
+    reference's database specification syntax (kcidb/db/misc.py
+    ``instantiate_spec``, drivers registered at
+    kcidb/db/__init__.py:47-54):
+
+    * ``parquet:<dir>`` or a bare path — the scale-path parquet Store;
+    * ``sqlite:<file>`` or ``sqlite::memory:`` — the local single-file
+      driver (reference kcidb/db/sqlite);
+    * ``json:<file>`` — an in-memory database initialized from one I/O
+      report JSON file (reference kcidb/db/json; backed here by an
+      in-memory SQLite raw store — the dedup view / dump surface is
+      Spark either way);
+    * ``null`` — accepts everything, answers empty;
+    * ``mux:<spec> <spec>...`` — load fan-out to every member,
+      queries from the first (specs whitespace-separated, as in the
+      reference's mux params).
+    """
+    from kcidb_spark.store.sqlite import SqliteStore
+
+    if spec == "null":
+        return NullStore(spark)
+    if spec.startswith("mux:"):
+        members = [open_store(spark, s) for s in spec[4:].split()]
+        return MuxStore(members)
+    if spec.startswith("sqlite:"):
+        return SqliteStore(spark, spec[len("sqlite:"):])
+    if spec.startswith("json:"):
+        import json as _json
+
+        store = SqliteStore(spark, ":memory:")
+        path = spec[len("json:"):]
+        if path:
+            with open(path, encoding="utf-8") as f:
+                store.load(_json.load(f))
+        return store
+    if spec.startswith("parquet:"):
+        return Store(spark, spec[len("parquet:"):])
+    return Store(spark, spec)
+
+
 def json_store(
     spark: SparkSession,
     root: str,
