@@ -105,3 +105,24 @@ def test_later_nonnull_fields_win(spark, tmp_path_factory, fields_a, fields_b):
     for name in _FIELD_POOLS:
         expect = fields_b[name] if fields_b[name] is not None else fields_a[name]
         assert merged.get(name) == (expect if expect is not None else None), name
+
+
+@given(fields_a=checkout_fields, fields_b=checkout_fields)
+@_SETTINGS
+def test_sqlite_backend_equivalent(spark, tmp_path_factory, fields_a, fields_b):
+    """Backend equivalence: the same load sequence into the SQLite
+    driver and the parquet Store dumps identical reports — the raw-row
+    encodings differ (JSON TEXT vs parquet), the merge semantics must
+    not."""
+    from kcidb_spark.store.sqlite import SqliteStore
+
+    tmp = str(tmp_path_factory.mktemp("prop"))
+    ra = _report([("hyp:c1", fields_a)])
+    rb = _report([("hyp:c1", fields_b)])
+    parquet = _view(spark, tmp, [(ra, T1), (rb, T2)])
+    sq = SqliteStore(spark, ":memory:")
+    sq.load(ra, timestamp=T1)
+    sq.load(rb, timestamp=T2)
+    sqlite_view = {o["id"]: o for o in sq.dump().get("checkouts", [])}
+    sq.close()
+    assert sqlite_view == parquet
