@@ -315,9 +315,10 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
 def simhash_hamming_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
-    n_bits: int = 32,
+    n_bits: int = 60,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, found via
     banded blocking: split the n-bit fingerprint into ``n_bands``
@@ -329,10 +330,25 @@ def simhash_hamming_pairs(
     (never n²).  Survivors are verified exactly with
     ``bit_count(a ^ b) <= max_hamming``.
 
-    At 100 TB: widen the fingerprint (simhash_bits up to 60) and keep
-    bands ≥ max_hamming+1; band values spread documents over 2^(bits/
-    bands) buckets, and AQE's skew split handles hot buckets (e.g.
-    boilerplate-heavy corpora where one fingerprint dominates).
+    THE WIDTH IS THE SCALE PARAMETER.  Band keys live in a fixed
+    2^(n_bits/n_bands) space, so bucket occupancy — and the in-bucket
+    join, Σ bucket² — grows quadratically with corpus size once
+    n ≫ 2^(bits/bands).  Measured (SCALE.md round 6): 32-bit/8-bit
+    bands ran 2.4 s at 5 k docs but 234 s at 500 k — and at that size
+    the 32-bit OUTPUT itself is semantic noise (expected random
+    Hamming≤3 collisions ≈ C(n,2)·5489/2³² ≈ 160 M pairs).  At 60
+    bits (15-bit bands) the same corpus measures linear, and the
+    random-collision expectation stays ≪ 1 out to ~10⁷ docs; beyond
+    that, widen past one BIGINT (two-long fingerprint) before
+    reaching for the cap.
+
+    ``max_bucket`` is the flood valve for *skewed* corpora (one
+    boilerplate fingerprint dominating): buckets are truncated to
+    their ``max_bucket`` lowest ids (deterministic; the kept lowest
+    id is the survivor exact dedup would pick), bounding any bucket's
+    pair contribution at cap² — same contract as
+    :func:`lsh_candidate_pairs`.  Capping can only *drop* true pairs
+    inside oversized buckets, never invent them.
     """
     assert max_hamming < n_bands and n_bits % n_bands == 0
     band_bits = n_bits // n_bands
@@ -350,6 +366,15 @@ def simhash_hamming_pairs(
             ])
         ).alias("b"),
     ).select(id_col, "simhash", "b.band", "b.key")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+        bands = (
+            bands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
         "band", "key",
@@ -379,13 +404,17 @@ def simhash_hamming_pairs(
         )
         + " END"
     )
-    return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(first_band)
-        .select(
-            "id_a", "id_b",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    joined = a.join(b, on=["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is None:
+        joined = joined.filter(first_band)
+    out = joined.select(
+        "id_a", "id_b",
+        F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    if max_bucket is not None:
+        # Under the cap the lowest-agreeing-band filter is unsound
+        # (the cap can drop a pair from its lowest agreeing band while
+        # a higher band keeps it), so dedup by shuffle — the capped
+        # pair set is bounded at cap²·buckets anyway.
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out

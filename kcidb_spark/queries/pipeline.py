@@ -466,7 +466,7 @@ def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_hamming_pairs",
-    oracle=f"""WITH {_simhash_cte(32)}
+    oracle=f"""WITH {_simhash_cte(60)}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
                    AS hamming
@@ -477,19 +477,27 @@ def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs at SimHash Hamming distance ≤ 3 over a
-    32-bit fingerprint, found by 4-band blocking (pigeonhole: ≤3
-    differing bits ⇒ at least one 8-bit band identical, so the banded
-    join provably finds every qualifying pair — the oracle checks that
-    by brute-force all-pairs).  The Spark plan's shuffle is
-    band-bucket-sized, never n²; see
-    operators/dedup.simhash_hamming_pairs for the 100 TB notes."""
+    60-bit fingerprint, found by 4-band blocking (pigeonhole: ≤3
+    differing bits ⇒ at least one 15-bit band identical, so the
+    banded join provably finds every qualifying pair — the oracle
+    checks that by brute-force all-pairs).  The Spark plan's shuffle
+    is band-bucket-sized, never n².
+
+    60 bits, not 32: band keys live in a FIXED 2^(bits/4) space, so
+    at 32 bits (8-bit bands, 256 keys) bucket occupancy grows
+    linearly with the corpus and the in-bucket join quadratically —
+    measured 2.4 s at 5 k docs → 234 s at 500 k, with the output
+    drowning in random 2⁻³² collisions besides (~160 M noise pairs
+    at 500 k docs).  15-bit bands keep the same pigeonhole guarantee
+    with 32 k keys per band; see operators/dedup.simhash_hamming_pairs
+    for the width-vs-corpus sizing rule and the skew valve."""
     from kcidb_spark.operators.dedup import simhash_bits, simhash_hamming_pairs
 
     docs = table(spark, sf_dir, "documents", spread=True)
     # Both sides of the banded pair join read sig — persist so the
     # md5-heavy fingerprint projection runs once, not per side.
-    sig = scoped_persist(simhash_bits(docs, n_bits=32))
-    return simhash_hamming_pairs(sig, n_bits=32, n_bands=4, max_hamming=3)
+    sig = scoped_persist(simhash_bits(docs, n_bits=60))
+    return simhash_hamming_pairs(sig, n_bits=60, n_bands=4, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
