@@ -274,6 +274,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ignore-not-initialized", action="store_true")
     add_db("db-upgrade")
     add_db("db-time")
+    p = sub.add_parser("explain")
+    p.add_argument("query", nargs="?", default=None,
+                   help="registry query name (omit with --list)")
+    p.add_argument("--list", action="store_true", dest="list_queries",
+                   help="list registry query names and tags")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="data dir the plan binds to")
+    p.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost",
+                            "codegen"])
+    p.add_argument("--oracle", action="store_true",
+                   help="also print the DuckDB oracle SQL")
+
     p = add_db("describe")
     p.add_argument("--type", required=True, dest="obj_type",
                    choices=["revision", "checkout", "build", "test",
@@ -548,6 +561,34 @@ def main(argv: list[str] | None = None) -> int:
         from kcidb_spark.store.versioning import ensure_current
 
         ensure_current(_spark(), args.database)
+        return 0
+
+    if args.cmd == "explain":
+        # Plan transparency: print any registry query's physical plan
+        # (the same .explain() audit tests/test_plans.py pins) so a
+        # user can check pushdown/broadcast/shuffle shape on THEIR
+        # data layout before running at scale.
+        from kcidb_spark.queries import REGISTRY
+
+        if args.list_queries:
+            for name, q in sorted(REGISTRY.items()):
+                tags = ",".join(q.tags)
+                print(f"{name}\t{tags}")
+            return 0
+        if not args.query:
+            print("explain: need a query name or --list", file=sys.stderr)
+            return 1
+        q = REGISTRY.get(args.query)
+        if q is None:
+            print(f"unknown query {args.query!r} (see explain --list)",
+                  file=sys.stderr)
+            return 1
+        df = q.spark(_spark(), args.sf_dir)
+        print(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), args.mode))
+        if args.oracle:
+            print("-- DuckDB oracle --")
+            print(q.oracle or "(no oracle: rows-only check)")
         return 0
 
     if args.cmd == "db-time":

@@ -682,6 +682,11 @@ class Store(ReportDumpMixin):
         if bad:
             raise ValueError(f"{table}: invalid value(s): {bad[0]['v']}")
 
+    def append_raw(self, df: DataFrame, table: str) -> None:
+        """Append pre-validated RAW rows (metadata schema) to a table —
+        the driver-agnostic sink the archive job writes through."""
+        self._append(df, table)
+
     def _append(self, df: DataFrame, table: str) -> None:
         """Append rows to a raw table in the store's layout."""
         if self.partitioned:

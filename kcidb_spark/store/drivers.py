@@ -165,7 +165,7 @@ def archive(
                 (F.col("_timestamp") > F.lit(lo)) & (F.col("_timestamp") <= F.lit(hi))
             )
             if rows.take(1):
-                rows.write.mode("append").parquet(dst._path(t))
+                dst.append_raw(rows, t)
         lo = hi
         if deadline_s is not None and time.monotonic() - start > deadline_s:
             break

@@ -94,18 +94,47 @@ class SqliteStore(ReportDumpMixin):
         append-only semantics as the parquet Store (T7)."""
         validate(data)
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
+        for table in TABLES:
+            objs = data.get(table)
+            if not objs:
+                continue
+            fields = schema_for(table, with_metadata=True).fields
+            self._insert_rows(
+                table, [self._encode_row(table, obj, fields, ts) for obj in objs]
+            )
+
+    def _insert_rows(self, table: str, rows: list) -> None:
+        fields = schema_for(table, with_metadata=True).fields
+        names = ", ".join(f'"{f.name}"' for f in fields)
+        marks = ", ".join("?" for _ in fields)
         with self._conn:
-            for table in TABLES:
-                objs = data.get(table)
-                if not objs:
-                    continue
-                fields = schema_for(table, with_metadata=True).fields
-                names = ", ".join(f'"{f.name}"' for f in fields)
-                marks = ", ".join("?" for _ in fields)
-                rows = [self._encode_row(table, obj, fields, ts) for obj in objs]
-                self._conn.executemany(
-                    f'INSERT INTO "{table}" ({names}) VALUES ({marks})', rows
-                )
+            self._conn.executemany(
+                f'INSERT INTO "{table}" ({names}) VALUES ({marks})', rows
+            )
+
+    def append_raw(self, df: DataFrame, table: str) -> None:
+        """Append pre-validated RAW rows from a DataFrame (the archive
+        sink).  Rows stream through ``toLocalIterator`` — bounded
+        driver memory, and a SQLite archive target is by definition
+        small; unpack→encode reuses the exact dump/load codecs, so an
+        archive round-trip is bit-stable across backends."""
+        from kcidb_spark.functions import iso_utc_timestamps
+        from kcidb_spark.store import _unpack_value
+
+        fields = schema_for(table, with_metadata=True).fields
+        json_paths = _JSON_FIELDS[table]
+        now = datetime.datetime.now(datetime.timezone.utc)
+        rows = []
+        for row in iso_utc_timestamps(self.spark, df).toLocalIterator():
+            d = row.asDict(recursive=True)
+            obj = {
+                k: u
+                for k, v in d.items()
+                if (u := _unpack_value(v, (k,), json_paths)) is not None
+            }
+            rows.append(self._encode_row(table, obj, fields, now))
+        if rows:
+            self._insert_rows(table, rows)
 
     def _encode_row(self, table, obj, fields, ts):
         json_paths = _JSON_FIELDS[table]

@@ -513,3 +513,18 @@ def test_notify_stock_family(monkeypatch, capsys, tmp_path, spark):
                for r in by_sub["linux_stable"])
     assert any(r["subject"].startswith("LTP failed for ")
                for r in by_sub["ltp_maintainers"])
+
+
+def test_explain(monkeypatch, capsys, spark):
+    rc, out = run_cli(monkeypatch, capsys, ["explain", "--list"])
+    assert rc == 0 and "o3_topk_orders" in out
+    rc, out = run_cli(
+        monkeypatch, capsys,
+        ["explain", "o3_topk_orders", "--oracle",
+         "--sf-dir", "/root/testdata/sf0.001"],
+    )
+    assert rc == 0
+    assert "TakeOrderedAndProject" in out  # the plan-audit invariant
+    assert "DuckDB oracle" in out and "ORDER BY" in out
+    rc, _ = run_cli(monkeypatch, capsys, ["explain", "nope"])
+    assert rc == 1

@@ -134,6 +134,23 @@ def test_open_store_json_spec(spark, tmp_path):
     }
 
 
+def test_archive_parquet_to_sqlite(spark, tmp_path):
+    """The archive job is driver-agnostic: windowed raw copy from the
+    parquet store into a SQLite target, dump equality afterwards."""
+    from kcidb_spark.store.drivers import archive
+
+    src = Store(spark, str(tmp_path / "src"))
+    src.load(COMPREHENSIVE, timestamp=T2)
+    dst = SqliteStore(spark, str(tmp_path / "arch.sqlite3"))
+    reached = archive(
+        src, dst, after=T1, until=T2, chunk=datetime.timedelta(days=30)
+    )
+    assert reached == T2
+    assert _canon(dst.dump(with_metadata=True)) == _canon(
+        src.dump(with_metadata=True)
+    )
+
+
 def test_sqlite_rejects_invalid_report(spark):
     sq = SqliteStore(spark, ":memory:")
     with pytest.raises(Exception):
