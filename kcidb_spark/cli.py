@@ -248,6 +248,11 @@ def main(argv: list[str] | None = None) -> int:
     add_db("db-empty")
     p = add_db("db-purge")
     p.add_argument("--before", type=_parse_ts, required=True)
+    p = add_db("db-sql")
+    p.add_argument("statement", help="Spark SQL over the object tables"
+                                     " and ORM views")
+    p.add_argument("--with-metadata", action="store_true")
+    add_db("db-compact")
 
     p = add_db("query")
     p.add_argument("-c", "--checkout", action="append", default=[])
@@ -733,6 +738,24 @@ def main(argv: list[str] | None = None) -> int:
         store = _store(args)
         for r in _read_reports(sys.stdin):
             store.load(r)
+        return 0
+
+    if args.cmd == "db-sql":
+        # The raw-SQL escape hatch (Store.sql): object tables + ORM
+        # views as temp views, one Spark SQL statement, JSONL out.
+        store = _store(args)
+        df = store.sql(args.statement, with_metadata=args.with_metadata)
+        from kcidb_spark.functions import iso_utc_timestamps
+
+        for row in iso_utc_timestamps(store.spark, df).toLocalIterator():
+            _emit_line(row.asDict(recursive=True))
+        return 0
+
+    if args.cmd == "db-compact":
+        # Materialize the dedup view into the raw tables (parquet
+        # store maintenance; reference BigQuery-view materialization
+        # cadence).
+        _store(args).compact()
         return 0
 
     if args.cmd == "db-dump":

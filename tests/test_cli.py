@@ -528,3 +528,28 @@ def test_explain(monkeypatch, capsys, spark):
     assert "DuckDB oracle" in out and "ORDER BY" in out
     rc, _ = run_cli(monkeypatch, capsys, ["explain", "nope"])
     assert rc == 1
+
+
+def test_db_sql_and_compact(monkeypatch, capsys, tmp_path, spark):
+    db = str(tmp_path / "sqldb")
+    rc, _ = run_cli(monkeypatch, capsys, ["db-load", "-d", db],
+                    stdin=json.dumps(COMPREHENSIVE))
+    assert rc == 0
+    rc, out = run_cli(
+        monkeypatch, capsys,
+        ["db-sql", "-d", db,
+         "SELECT origin, count(*) AS n FROM builds GROUP BY origin"],
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.splitlines() if line]
+    assert rows and rows[0]["n"] >= 1
+    rc, _ = run_cli(monkeypatch, capsys, ["db-compact", "-d", db])
+    assert rc == 0
+    # Compaction must not change the queryable view.
+    rc, out2 = run_cli(
+        monkeypatch, capsys,
+        ["db-sql", "-d", db,
+         "SELECT origin, count(*) AS n FROM builds GROUP BY origin"],
+    )
+    assert rc == 0
+    assert [json.loads(x) for x in out2.splitlines() if x] == rows
