@@ -39,10 +39,18 @@ def connected_components(
     (documents with no near-dup) are by definition their own keeper
     and never enter the graph.
     """
+    # Hash-partition the (persisted) edge frame on the per-round join
+    # key ONCE: every propagation round joins edges.v == labels.node,
+    # and a persisted frame carries its outputPartitioning into each
+    # round's plan — so only the (small) label frame exchanges per
+    # round, not the |E|-sized edge frame.  Measured at 100× sf0.1
+    # duplicate-dense (500 k docs): total shuffle 2.58 GB → see
+    # SCALE.md components row.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        .repartition("v")
         .persist()
     )
     # Each round MUST truncate lineage (localCheckpoint), not merely
