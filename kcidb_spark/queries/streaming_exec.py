@@ -301,6 +301,57 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t15_stream_status_transitions",
+    oracle=dedent("""
+        SELECT user_id, prev_status, status, ts_us FROM (
+            SELECT user_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS prev_status,
+                   event_type AS status,
+                   epoch_us(ts) AS ts_us
+            FROM events
+        )
+        WHERE prev_status IS NOT NULL AND prev_status != status
+    """),
+    tags=("T4", "T5", "streaming", "stateful"),
+)
+def t15_stream_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR under the oracle gate: per-user status
+    transitions via ``transformWithStateInPandas`` (typed per-key
+    ValueState carrying the last ts+status across micro-batches) —
+    the reference's notify-on-status-change trigger as a first-class
+    streaming operator (streaming/stateful.py).  Batch oracle: LAG
+    over (user ORDER BY ts, event_id) filtered to changes; the
+    bounded AvailableNow drain is batch-equivalent because batches
+    arrive event-time-ordered, and the within-batch sequence is
+    pinned by the same (ts, event_id) sort the oracle uses."""
+    from kcidb_spark.streaming.stateful import status_transitions
+
+    _utc(spark)
+    stream = _normalize_ts(_events_stream(spark, sf_dir))
+    out = status_transitions(stream)
+    qname = f"t15_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="t15_ckpt_")
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_progress("t15_stream_status_transitions", q)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)
+
+
+@register(
     "t14_stream_dedup_watermarked",
     oracle=dedent("""
         SELECT event_type,

@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators: per-key status transitions.
+
+``status_transitions`` is the CI regression-detection primitive
+behind the reference's notification triggers (a subscription fires
+when an object's status CHANGES — kcidb/monitor summaries react to
+new failures, not steady states): for every key, emit one row per
+observed status transition, carrying the previous status.  Batch
+equivalent: ``LAG(status) OVER (PARTITION BY key ORDER BY ts)``
+filtered to changes — but as a STREAMING operator the comparison must
+survive micro-batch boundaries, which is exactly what per-key state
+(last seen ts + status) provides.  State is ONE tuple per key — at
+100 TB the state store holds |keys| rows regardless of event volume.
+
+Two engine paths, same semantics (the transition loop is shared):
+
+* ``transformWithStateInPandas`` (the Spark 4 stateful-processor API:
+  typed ValueState, timers, Arrow-batched input) — preferred, but its
+  state client speaks protobuf to the JVM state server, so it needs
+  ``google.protobuf``, which this container does not ship; gated on
+  an import probe per the no-new-deps rule.
+* ``applyInPandasWithState`` (GroupState) — the always-available
+  fallback, identical per-key tuple state.
+
+Pickling note (tws path): the processor class is defined INSIDE the
+builder so cloudpickle serializes it BY VALUE — transformWithState
+spawns a driver-side Python runner (state-schema worker) that does
+not inherit ``addPyFile`` includes, so a module-level class (pickled
+by reference to ``kcidb_spark``) fails to unpickle there.
+
+Ordering contract: rows are sequenced by (ts, event_id) WITHIN each
+micro-batch, and batches are assumed event-time-ordered per key (true
+for the bounded AvailableNow drain and for any source partitioned by
+time).  A production deployment with out-of-order batches would add a
+watermark + event-time timers to re-sequence; the operator state
+already stores the last ts to make late rows detectable.
+"""
+
+from __future__ import annotations
+
+from importlib.util import find_spec
+
+from pyspark.sql import DataFrame
+
+#: Output schema of :func:`status_transitions`.
+TRANSITIONS_SCHEMA = (
+    "user_id LONG, prev_status STRING, status STRING, ts_us LONG"
+)
+
+_STATE_SCHEMA = "ts_us LONG, status STRING"
+
+
+def _emit_transitions(key, pdfs, prev):
+    """Shared transition loop: (key tuple, iterator of pandas chunks,
+    (prev_ts, prev_status) or (None, None)) → (output DataFrame,
+    new state tuple)."""
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # Deterministic within-batch sequence; mergesort = stable.
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    prev_ts, prev_status = prev
+    out_prev: list = []
+    out_curr: list = []
+    out_ts: list = []
+    for ts, status in zip(batch["ts_us"], batch["status"]):
+        if prev_status is not None and status != prev_status:
+            out_prev.append(prev_status)
+            out_curr.append(status)
+            out_ts.append(int(ts))
+        prev_status = status
+        prev_ts = int(ts)
+    out = pd.DataFrame(
+        {
+            "user_id": pd.array([key[0]] * len(out_ts), dtype="int64"),
+            "prev_status": pd.array(out_prev, dtype="object"),
+            "status": pd.array(out_curr, dtype="object"),
+            "ts_us": pd.array(out_ts, dtype="int64"),
+        }
+    )
+    return out, (prev_ts, prev_status)
+
+
+def transform_with_state_available() -> bool:
+    """True when the Spark 4 stateful-processor API can actually run
+    (its state client requires google.protobuf)."""
+    try:
+        # find_spec imports the PARENT package, so a missing 'google'
+        # namespace raises rather than returning None.
+        return find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _transitions_tws(keyed) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class StatusTransitionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._last = handle.getValueState("last", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._last.get() if self._last.exists() else (None, None)
+            out, new = _emit_transitions(key, rows, prev)
+            self._last.update(new)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return keyed.transformWithStateInPandas(
+        StatusTransitionProcessor(),
+        outputStructType=TRANSITIONS_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def _transitions_apply(keyed) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        prev = tuple(state.get) if state.exists else (None, None)
+        out, new = _emit_transitions(key, pdfs, prev)
+        state.update(new)
+        yield out
+
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def status_transitions(
+    events: DataFrame, use_transform_with_state: bool | None = None
+) -> DataFrame:
+    """(user_id, prev_status, status, ts_us) per observed change of
+    ``event_type`` within a user's event-time sequence.  ``events``
+    is a STREAMING frame with columns user_id, event_id, event_type,
+    ts (timestamp); output timestamps are epoch micros (integer —
+    bit-stable across engines)."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.ship import ensure_package_shipped
+
+    # The state function pickles closures from this module — ship the
+    # package for executor workers on foreign-cwd drivers.
+    ensure_package_shipped(events.sparkSession)
+    if use_transform_with_state is None:
+        use_transform_with_state = transform_with_state_available()
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("ts_us"),
+    ).groupBy("user_id")
+    if use_transform_with_state:
+        return _transitions_tws(keyed)
+    return _transitions_apply(keyed)

@@ -1,0 +1,87 @@
+"""status_transitions: custom stateful operator (streaming/stateful.py).
+
+The registry query t15 certifies single-batch equivalence to the LAG
+oracle; the test that matters HERE is the cross-micro-batch boundary —
+the per-key state must carry the last status from batch N into batch
+N+1, which no batch LAG rewrite exercises.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kcidb_spark.streaming.stateful import (
+    status_transitions,
+    transform_with_state_available,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _write_batch(path, name, rows, start_id):
+    path.mkdir(parents=True, exist_ok=True)
+    lines = [
+        json.dumps(
+            {"event_id": start_id + i, "ts": ts, "user_id": uid,
+             "event_type": et}
+        )
+        for i, (ts, uid, et) in enumerate(rows)
+    ]
+    f = path / name
+    f.write_text("\n".join(lines))
+    return f
+
+
+def test_transitions_across_micro_batches(spark, tmp_path):
+    indir = tmp_path / "ev"
+    # Batch 0: user 1 ends in 'pass'; user 2 ends in 'fail'.
+    f0 = _write_batch(indir, "b0.json", [
+        ("2024-01-01T00:00:00", 1, "pass"),
+        ("2024-01-01T00:10:00", 1, "pass"),
+        ("2024-01-01T00:00:00", 2, "pass"),
+        ("2024-01-01T00:05:00", 2, "fail"),
+    ], start_id=0)
+    # Batch 1 (later mtime → processed second): the ONLY transition for
+    # user 1 happens across the boundary (pass → fail).
+    f1 = _write_batch(indir, "b1.json", [
+        ("2024-01-01T01:00:00", 1, "fail"),
+        ("2024-01-01T01:00:00", 2, "fail"),
+    ], start_id=10)
+    now = time.time()
+    os.utime(f0, (now - 60, now - 60))
+    os.utime(f1, (now, now))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = status_transitions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_transitions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.user_id, r.prev_status, r.status)
+        for r in spark.table("t_transitions").collect()
+    }
+    assert rows == {
+        (2, "pass", "fail"),   # within batch 0
+        (1, "pass", "fail"),   # ACROSS the batch boundary (state carry)
+    }
+    # user 2's batch-1 'fail' repeats its state status — no emission.
+    assert spark.table("t_transitions").count() == 2
+
+
+def test_engine_path_probe():
+    # In this container google.protobuf is absent, so the operator must
+    # select the applyInPandasWithState path; on a protobuf-equipped
+    # cluster the probe flips to the transformWithState API.
+    assert transform_with_state_available() in (True, False)
