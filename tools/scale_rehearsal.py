@@ -164,6 +164,7 @@ STREAM_QUERIES = [
     "t11_stream_tumbling",
     "t12_stream_dedup",
     "t13_stream_stream_join",
+    "t15_stream_status_transitions",
 ]
 
 SIMILARITY_QUERIES = [
