@@ -794,3 +794,26 @@ def bpe_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+@register(
+    "bpe_train_merges",
+    # No SQL oracle: the merge sequence is data-dependently iterative
+    # (each round's input is the previous round's rewrite) — the
+    # executable specification lives in tests/test_bpe.py, where the
+    # Spark loop must reproduce a pure-Python reference BPE trainer
+    # rule-for-rule, tie-breaks included.
+    tags=("pipeline", "tokenize", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al., arXiv:1508.07909)
+    over the documents corpus: 8 merge rounds on the Zipf-compressed
+    (word, freq) table.  The corpus is scanned ONCE; each round
+    shuffles only the word table and brings exactly one row (the
+    argmax pair) to the driver — the k-means-style driver-held tiny
+    state pattern.  See operators/bpe.py for the 100 TB cost model.
+    """
+    from kcidb_spark.operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return bpe_train(docs, n_merges=8)
