@@ -128,22 +128,29 @@ def main() -> None:
     # Confirm-before-flag: a min-of-2 can still catch two noisy runs
     # back-to-back (this host swings 2-6× under noisy neighbors —
     # minhash_signature benched 2.2 s mid-suite vs 0.6-0.8 s steady in
-    # isolation).  Re-time ONLY the flagged queries a few more times
-    # and keep the overall minimum; a genuine plan regression survives
-    # re-measurement, a scheduling artifact does not.
+    # isolation).  Re-time ONLY the flagged queries; the REPLACEMENT is
+    # the min of the retry runs alone — the original sample is
+    # discarded, so the retry is a symmetric re-measurement (it can
+    # raise the recorded time as well as lower it) and one lucky run
+    # cannot permanently clear an intermittent genuine regression.
+    # Every retried query is recorded in the payload so the
+    # cross-round calibration data stays honest about which times came
+    # from a second look.
+    retried: dict[str, int] = {}
     for attempt in range(2):
         if not regressions:
             break
         for name in list(regressions):
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 REGISTRY[name].spark(spark, sf_dir).write.mode(
                     "overwrite"
                 ).format("noop").save()
                 runs.append(time.perf_counter() - t0)
                 release_persisted()
-            timings[name] = min(timings[name], round(min(runs), 3))
+            timings[name] = round(min(runs), 3)
+            retried[name] = retried.get(name, 0) + 1
         regressions, calibration = _regressions(timings, sf)
     total = round(sum(timings.values()), 3)
     payload = {
@@ -152,6 +159,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "regressions": regressions,
+        "retried": retried,
         "host_speed_vs_best": calibration,
         "sf": sf,
     }
@@ -172,6 +180,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "n_regressions": len(regressions),
+                "n_retried": len(retried),
                 "regressions": dict(list(regressions.items())[:5]),
                 "host_speed_vs_best": calibration,
                 "detail": "BENCH_DETAIL.json",

@@ -31,6 +31,8 @@ embedding symbols in SQL-text lambdas needs no quoting machinery.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,12 +40,26 @@ from pyspark.sql import functions as F
 #: units; "_" is outside the normalized [a-z0-9] alphabet).
 EOW = "_"
 
+#: The only symbols a merge rule may contain: the ``tokenized()``
+#: alphabet plus the end-of-word marker and their concatenations.
+#: Enforced (not just documented) because ``bpe_encode`` accepts
+#: caller-supplied merge lists and the symbols are embedded in
+#: SQL-text lambdas — anything outside this set is rejected before it
+#: can reach the SQL parser.
+_SYMBOL_RE = re.compile(r"^[a-z0-9_]+$")
+
 _STATE = "named_struct('out', cast(array() as array<string>), 'carry', cast(null as string))"
 
 
 def _merge_expr(left: str, right: str, col: str = "symbols") -> str:
     """SQL fold: replace adjacent (left, right) with left||right,
     left-to-right, non-overlapping — the standard BPE apply."""
+    for sym in (left, right):
+        if not _SYMBOL_RE.match(sym):
+            raise ValueError(
+                f"BPE merge symbol {sym!r} outside the normalized"
+                f" [a-z0-9_] alphabet"
+            )
     merged = left + right
     return (
         f"aggregate({col}, {_STATE}, (acc, s) -> CASE"

@@ -142,6 +142,35 @@ def validate(data: dict[str, Any]) -> dict[str, Any]:
     return data
 
 
+_KNOWN_FIELDS_V4 = {
+    t: _KNOWN_FIELDS[t] - {"status" if t == "builds" else ""}
+    | set(_V4_DROPPED.get(t, ()))
+    for t in TABLES
+}
+
+
+def validate_v4(data: dict[str, Any]) -> dict[str, Any]:
+    """Structural validation of a v4 report — the acceptance check a
+    store pinned at schema major 4 runs on load (the mux lattice's
+    held-back member, store/drivers.py).  v4 field set = v5 minus
+    ``builds.status`` plus the dropped trio (``valid`` / ``waived`` /
+    ``contacts``).  Returns data unchanged."""
+    version = data.get("version", {})
+    if version.get("major") != 4:
+        raise ValueError(f"expected major version 4, got {version}")
+    for t in TABLES:
+        for i, obj in enumerate(data.get(t, [])):
+            where = f"{t}[{i}]"
+            for req in _REQUIRED[t]:
+                if obj.get(req) is None:
+                    raise ValueError(f"{where}: missing required field {req!r}")
+            unknown = {f for f in set(obj) - _KNOWN_FIELDS_V4[t]
+                       if not f.startswith("_")}
+            if unknown:
+                raise ValueError(f"{where}: unknown fields {sorted(unknown)}")
+    return data
+
+
 def id_tuple(table: str, obj: dict[str, Any]) -> tuple:
     """The object's PK tuple per ID_FIELDS (issues: (id, version))."""
     return tuple(obj.get(f) for f in ID_FIELDS[table])

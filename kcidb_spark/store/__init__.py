@@ -80,6 +80,36 @@ def _unpack_value(value, path, json_paths):
     return value
 
 
+def _unpack_raw_value(value, path, json_paths):
+    """Row value → JSON value for RAW-copy paths (the archive sink):
+    unlike :func:`_unpack_value` it PRESERVES empty containers and
+    struct-of-NULLs (as ``{}``/``[]``) instead of collapsing them to
+    NULL.  The distinction matters for raw fidelity: the dedup view
+    resolves each column to the latest NON-NULL load, so a later load
+    that superseded a value with an empty container must stay an empty
+    container in the archive — dropping it to NULL would resurrect the
+    older value in the archive's view."""
+    if value is None:
+        return None
+    if path in json_paths:
+        return json.loads(value)
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        return value.isoformat(timespec="microseconds")
+    if isinstance(value, dict):
+        # NULL members are dropped (absent ≡ NULL member for a Spark
+        # struct) but an all-NULL struct stays {} — distinct from NULL.
+        return {
+            k: u
+            for k, v in value.items()
+            if (u := _unpack_raw_value(v, path + (k,), json_paths)) is not None
+        }
+    if isinstance(value, list):
+        return [_unpack_raw_value(v, path, json_paths) for v in value]
+    return value
+
+
 def _bulk_convert(col, src, dst, path, json_paths):
     """Engine-side conversion of a JSON-inferred column to the target
     column type (load_bulk): free-form JSON members → canonical JSON
@@ -293,8 +323,10 @@ def dedup_view(raw: DataFrame, table: str, with_metadata: bool = False) -> DataF
     ]
     aggs.append(F.max("_timestamp").alias("_timestamp"))
     out = raw.groupBy(*keys).agg(*aggs)
-    # Restore canonical column order.
-    cols = [f.name for f in SCHEMAS[table].fields]
+    # Restore the raw table's column order (== the canonical
+    # SCHEMAS[table] order for a current-schema store; an old-major
+    # store pinned by the mux lattice keeps ITS schema's order).
+    cols = [c for c in raw.columns if c != "_timestamp"]
     if with_metadata:
         cols.append("_timestamp")
     return out.select(*cols)
@@ -312,6 +344,18 @@ class ReportDumpMixin:
     def table(self, table: str, with_metadata: bool = False) -> DataFrame:
         raise NotImplementedError
 
+    def _io_version_dict(self) -> dict[str, int]:
+        """The I/O version this backend's dumps declare — overridden
+        by version-pinned stores (the mux lattice's held-back
+        members)."""
+        from kcidb_spark.schema.io import IO_VERSION
+
+        return dict(IO_VERSION)
+
+    def _validate_report(self, report: dict[str, Any]) -> dict[str, Any]:
+        """Validate an emitted report at this backend's version."""
+        return validate(report)
+
     def dump(
         self,
         after: datetime.datetime | None = None,
@@ -320,9 +364,7 @@ class ReportDumpMixin:
     ) -> dict[str, Any]:
         """Full dump as ONE I/O report, optional (after, until] window
         on _timestamp (reference S2, kcidb/db/sql/schema.py:288-344)."""
-        from kcidb_spark.schema.io import IO_VERSION
-
-        out: dict[str, Any] = {"version": dict(IO_VERSION)}
+        out: dict[str, Any] = {"version": self._io_version_dict()}
         for table, df in self._window_tables(after, until, with_metadata):
             objs = self._rows_to_objs(table, df)
             if objs:
@@ -345,23 +387,21 @@ class ReportDumpMixin:
         Objects stream through ``toLocalIterator`` — driver memory is
         bounded by one chunk, not the dump, which is what lets a bulk
         consumer page a huge store through JSON without OOM."""
-        from kcidb_spark.schema.io import IO_VERSION
-
         if objects_per_report is not None and objects_per_report <= 0:
             raise ValueError("objects_per_report must be positive or None")
-        report: dict[str, Any] = {"version": dict(IO_VERSION)}
+        report: dict[str, Any] = {"version": self._io_version_dict()}
         n = emitted = 0
         for table, df in self._window_tables(after, until, with_metadata):
             for obj in self._iter_objs(table, df):
                 report.setdefault(table, []).append(obj)
                 n += 1
                 if objects_per_report is not None and n >= objects_per_report:
-                    yield validate(report)
-                    report = {"version": dict(IO_VERSION)}
+                    yield self._validate_report(report)
+                    report = {"version": self._io_version_dict()}
                     n = 0
                     emitted += 1
         if n or not emitted:
-            yield validate(report)
+            yield self._validate_report(report)
 
     def _window_tables(self, after, until, with_metadata):
         for table in TABLES:
@@ -421,8 +461,13 @@ class Store(ReportDumpMixin):
     PARTITION_COL = "_load_date"
 
     def __init__(self, spark: SparkSession, root: str,
-                 partitioned: bool = False):
-        from kcidb_spark.store.versioning import ensure_current
+                 partitioned: bool = False, migrate: bool = True):
+        from kcidb_spark.store.versioning import (
+            STORE_VERSION,
+            ensure_current,
+            read_version,
+            write_version,
+        )
 
         self.spark = spark
         self.root = root
@@ -434,9 +479,90 @@ class Store(ReportDumpMixin):
         self.partitioned = partitioned or bool(
             glob.glob(os.path.join(root, "*", f"{self.PARTITION_COL}=*"))
         )
-        # Stamp/verify the directory's schema version; v4-era stores
-        # migrate in place on open (store/versioning.py).
-        ensure_current(spark, root)
+        if migrate:
+            # Stamp/verify the directory's schema version; v4-era
+            # stores migrate in place on open (store/versioning.py).
+            ensure_current(spark, root)
+            self.version = STORE_VERSION
+        else:
+            # Pinned open (the mux lattice's held-back member,
+            # reference kcidb/db/mux.py:69-168): an old-major directory
+            # keeps operating AT its schema — load accepts that major's
+            # reports, raw/dump speak its column set — until an
+            # explicit upgrade() migrates it.
+            v = read_version(root)
+            if v is None:
+                write_version(root, STORE_VERSION)
+                v = STORE_VERSION
+            elif v[0] == STORE_VERSION[0]:
+                # Minor deltas need no rewrite (NULL-filled columns).
+                v = STORE_VERSION
+            elif v[0] != 4:
+                raise ValueError(
+                    f"store at {root} has unsupported schema version {v}"
+                )
+            self.version = v
+
+    # -- schema version -------------------------------------------------
+    def io_version(self) -> tuple[int, int]:
+        """The I/O schema version this store accepts on load and
+        speaks on dump (reference ``get_schema``)."""
+        return self.version
+
+    def supported_io_versions(self) -> list[tuple[int, int]]:
+        """Versions this store can operate at, current first, in
+        upgrade order (reference ``get_schemas``) — the per-member
+        input to the mux driver's version lattice."""
+        from kcidb_spark.store.versioning import STORE_VERSION
+
+        if self.version[0] == STORE_VERSION[0]:
+            return [STORE_VERSION]
+        return [self.version, STORE_VERSION]
+
+    def upgrade(self, target: tuple[int, int] | None = None) -> None:
+        """Migrate the directory to ``target`` (default: current) in
+        place — the reference's driver ``upgrade`` (schematic.py
+        ``_inherit`` chain); v4→v5 is the DataFrame-native rewrite in
+        store/versioning.py."""
+        from kcidb_spark.store.versioning import STORE_VERSION, migrate_v4_store
+
+        target = target or STORE_VERSION
+        if target == self.version:
+            return
+        if self.version[0] == 4 and target == STORE_VERSION:
+            migrate_v4_store(self.spark, self.root)
+            self.version = STORE_VERSION
+            return
+        raise ValueError(
+            f"cannot upgrade store at {self.root} from {self.version}"
+            f" to {target}"
+        )
+
+    def _io_version_dict(self) -> dict[str, int]:
+        return {"major": self.version[0], "minor": self.version[1]}
+
+    def _validate_report(self, report: dict[str, Any]) -> dict[str, Any]:
+        if self.version[0] == 4:
+            from kcidb_spark.schema.io import validate_v4
+
+            return validate_v4(report)
+        return validate(report)
+
+    def _schema(self, table: str, with_metadata: bool = False):
+        """The store's own StructType for a table — the pinned major's
+        column set, not necessarily the engine's current one."""
+        from kcidb_spark.store.versioning import schema_for_v4
+
+        if self.version[0] == 4:
+            s = schema_for_v4(table)  # includes _timestamp
+            if with_metadata:
+                return s
+            from pyspark.sql import types as T
+
+            return T.StructType(
+                [f for f in s.fields if f.name != "_timestamp"]
+            )
+        return schema_for(table, with_metadata=with_metadata)
 
     # -- paths ----------------------------------------------------------
     def _path(self, table: str) -> str:
@@ -452,9 +578,15 @@ class Store(ReportDumpMixin):
         data: dict[str, Any],
         timestamp: datetime.datetime | None = None,
     ) -> None:
-        """Validate and append a v5 I/O report (idempotent under the
-        dedup view; loads are commutative — reference T7 semantics)."""
-        validate(data)
+        """Validate and append an I/O report at the store's schema
+        version (idempotent under the dedup view; loads are commutative
+        — reference T7 semantics)."""
+        if self.version[0] == 4:
+            from kcidb_spark.schema.io import validate_v4
+
+            validate_v4(data)
+        else:
+            validate(data)
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
         for table in TABLES:
             objs = data.get(table)
@@ -474,7 +606,9 @@ class Store(ReportDumpMixin):
                     own_ts = datetime.datetime.fromisoformat(own_ts)
                 packed["_timestamp"] = own_ts
                 rows.append(packed)
-            df = self.spark.createDataFrame(rows, schema_for(table, with_metadata=True))
+            df = self.spark.createDataFrame(
+                rows, self._schema(table, with_metadata=True)
+            )
             self._append(df, table)
 
     def load_bulk(
@@ -553,6 +687,12 @@ class Store(ReportDumpMixin):
         """Shared engine-side tail of load_bulk/load_json_df: structural
         validation + per-table column transforms + parquet append."""
         from kcidb_spark.schema.validation import REQUIRED_FIELDS
+
+        if self.version[0] == 4:
+            raise ValueError(
+                "bulk load targets the current schema; upgrade() this"
+                f" pinned v{self.version[0]} store first"
+            )
 
         if "_corrupt_record" in raw.columns:
             sample = (
@@ -706,8 +846,10 @@ class Store(ReportDumpMixin):
     def raw(self, table: str) -> DataFrame:
         """The append-only raw table (all loaded versions of each row)."""
         if not self._has_data(table):
-            return self.spark.createDataFrame([], schema_for(table, with_metadata=True))
-        schema = schema_for(table, with_metadata=True)
+            return self.spark.createDataFrame(
+                [], self._schema(table, with_metadata=True)
+            )
+        schema = self._schema(table, with_metadata=True)
         if self.partitioned:
             from pyspark.sql import types as T
 
@@ -783,7 +925,7 @@ class Store(ReportDumpMixin):
                     if day < cutoff:
                         shutil.rmtree(pdir)
                     elif day == cutoff:
-                        schema = schema_for(table, with_metadata=True)
+                        schema = self._schema(table, with_metadata=True)
                         kept = (
                             self.spark.read.schema(schema)
                             .parquet(pdir)

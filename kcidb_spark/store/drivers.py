@@ -5,8 +5,11 @@ reference's driver registry (kcidb/db/__init__.py:47-54):
   accepts and validates every load, answers every query empty.
 * :class:`MuxStore` — the ``mux`` driver (kcidb/db/mux.py:11-518):
   fans every load out to all member stores, delegates queries to the
-  first.  (The reference's schema-version lattice is unnecessary here:
-  all members speak the one v5.3 Spark schema.)
+  first, and carries the reference's schema-version lattice
+  (kcidb/db/mux.py:69-168): members at different schema majors
+  coexist — the mux speaks the LOWEST member I/O version, upgrades
+  reports per-member on load, and ``upgrade()`` walks the lattice
+  migrating held-back members in place.
 * :func:`json_store` — the ``json`` driver (kcidb/db/json.py:9-48):
   a throwaway store pre-loaded from an I/O JSON report.
 * :func:`archive` — the archive job (main.py:422-569): windowed
@@ -24,11 +27,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcidb_spark.schema import TABLES, schema_for, validate
-from kcidb_spark.store import Store
+from kcidb_spark.store import ReportDumpMixin, Store
+from kcidb_spark.store.versioning import STORE_VERSION
 
 
-class NullStore:
-    """Accepts everything, returns nothing (reference ``null`` driver)."""
+class NullStore(ReportDumpMixin):
+    """Accepts everything, returns nothing (reference ``null`` driver).
+    Inherits the full dump/dump_iter/sql surface from
+    :class:`ReportDumpMixin` over its empty tables, so every CLI db-*
+    verb works against ``null`` (as the reference null driver does)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -44,10 +51,30 @@ class NullStore:
             [], schema_for(table, with_metadata=with_metadata)
         )
 
-    def dump(self, **kwargs) -> dict[str, Any]:
-        from kcidb_spark.schema.io import IO_VERSION
+    # Maintenance is a no-op on a store that never holds data.
+    def empty(self) -> None:
+        pass
 
-        return {"version": dict(IO_VERSION)}
+    def purge(self, before=None) -> None:
+        pass
+
+    def compact(self) -> None:
+        pass
+
+    def first_modified(self) -> dict[str, datetime.datetime]:
+        return {}
+
+    def last_modified(self) -> dict[str, datetime.datetime]:
+        return {}
+
+    def io_version(self) -> tuple[int, int]:
+        return STORE_VERSION
+
+    def supported_io_versions(self) -> list[tuple[int, int]]:
+        return [STORE_VERSION]
+
+    def upgrade(self, target=None) -> None:
+        pass
 
 
 class MuxStore:
@@ -58,6 +85,16 @@ class MuxStore:
     ``foreachBatch`` streaming sink uses: the batch is written to
     every member inside one epoch, so members stay in lockstep under
     re-delivery (each member's own load path is idempotent).
+
+    Schema-version lattice (kcidb/db/mux.py:69-168): members may sit
+    at different schema majors (a parquet directory still at v4 opens
+    *pinned* under the mux — ``Store(migrate=False)``).  The mux's own
+    I/O version is the MINIMUM across members; ``load`` accepts
+    reports at that version and upgrades them per-member to each
+    member's schema before loading (mux.py:484-517 ``load``); the
+    :meth:`schemas` lattice enumerates reachable member-version
+    pairings and :meth:`upgrade` walks it, migrating held-back members
+    in place (mux.py:373-395 ``upgrade``).
     """
 
     def __init__(self, members: list):
@@ -65,12 +102,83 @@ class MuxStore:
             raise ValueError("MuxStore needs at least one member")
         self.members = list(members)
 
+    # -- schema lattice -------------------------------------------------
+    def io_version(self) -> tuple[int, int]:
+        """The I/O version the mux accepts on load: the lowest current
+        member version (mux.py:503 — "the oldest across member
+        drivers")."""
+        return min(m.io_version() for m in self.members)
+
+    def schemas(self) -> dict[tuple[int, int], tuple[tuple[int, int], list]]:
+        """The mux version lattice: ``{(major, minor): (io_version,
+        [per-member versions])}``, v0.0 = the members' CURRENT
+        versions, ascending by supported I/O version; the mux major
+        bumps whenever a member's major does (mux.py:150-166)."""
+        sup = [m.supported_io_versions() for m in self.members]
+        idx = [lst.index(m.io_version()) for m, lst in zip(self.members, sup)]
+        combos: list[tuple[tuple[int, int], list]] = []
+
+        def add():
+            vers = [lst[i] for lst, i in zip(sup, idx)]
+            combos.append((min(vers), list(vers)))
+
+        for io in sorted({v for lst in sup for v in lst}):
+            for k in range(len(self.members)):
+                while idx[k] < len(sup[k]) - 1 and sup[k][idx[k]] == io:
+                    add()
+                    idx[k] += 1
+        add()
+        out: dict[tuple[int, int], tuple[tuple[int, int], list]] = {}
+        major = minor = 0
+        prev = None
+        for io, vers in combos:
+            if prev is not None and any(
+                v[0] > p[0] for v, p in zip(vers, prev)
+            ):
+                major += 1
+                minor = 0
+            out[(major, minor)] = (io, vers)
+            minor += 1
+            prev = vers
+        return out
+
+    def upgrade(self, target: tuple[int, int] | None = None) -> None:
+        """Upgrade the mux to lattice version ``target`` (default: the
+        newest), migrating each held-back member to its version in
+        that pairing."""
+        lattice = self.schemas()
+        target = target if target is not None else max(lattice)
+        if target not in lattice:
+            raise ValueError(f"mux lattice has no version {target}")
+        for version in sorted(lattice):
+            if version > target:
+                break
+            for m, v in zip(self.members, lattice[version][1]):
+                if m.io_version() != v:
+                    m.upgrade(v)
+
+    # -- load / query ---------------------------------------------------
     def load(self, data: dict[str, Any], timestamp=None) -> None:
-        # Validate once; members trust the pre-validated report.
-        validate(data)
+        from kcidb_spark.schema.io import upgrade as io_upgrade
+
+        mux_major = self.io_version()[0]
+        data_major = data.get("version", {}).get("major")
+        if data_major != mux_major:
+            raise ValueError(
+                f"report is v{data_major} but the mux schema is"
+                f" v{mux_major} (the lowest member schema) — upgrade()"
+                f" the mux first"
+            )
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
         for m in self.members:
-            m.load(data, timestamp=ts)
+            # Per-member upgrade on the way in (each member's own load
+            # validates at its version).
+            report = (
+                io_upgrade(data)
+                if m.io_version()[0] > data_major
+                else data
+            )
+            m.load(report, timestamp=ts)
 
     def raw(self, table: str) -> DataFrame:
         return self.members[0].raw(table)
@@ -81,8 +189,49 @@ class MuxStore:
     def dump(self, **kwargs) -> dict[str, Any]:
         return self.members[0].dump(**kwargs)
 
+    def dump_iter(self, *args, **kwargs):
+        yield from self.members[0].dump_iter(*args, **kwargs)
 
-def open_store(spark: SparkSession, spec: str):
+    def sql(self, query: str, with_metadata: bool = False) -> DataFrame:
+        return self.members[0].sql(query, with_metadata=with_metadata)
+
+    # -- maintenance: fan out like load (mux.py:246-280) ---------------
+    def empty(self) -> None:
+        for m in self.members:
+            m.empty()
+
+    def purge(self, before) -> None:
+        for m in self.members:
+            m.purge(before)
+
+    def compact(self) -> None:
+        for m in self.members:
+            m.compact()
+
+    def first_modified(self) -> dict[str, datetime.datetime]:
+        """Merged across members: the MIN per object type
+        (mux.py:294-316)."""
+        out: dict[str, datetime.datetime] = {}
+        for m in self.members:
+            for table, ts in m.first_modified().items():
+                out[table] = min(out.get(table, ts), ts)
+        return out
+
+    def last_modified(self) -> dict[str, datetime.datetime]:
+        """Merged across members: the MAX per object type
+        (mux.py:318-341)."""
+        out: dict[str, datetime.datetime] = {}
+        for m in self.members:
+            for table, ts in m.last_modified().items():
+                out[table] = max(out.get(table, ts), ts)
+        return out
+
+    @property
+    def spark(self):
+        return self.members[0].spark
+
+
+def open_store(spark: SparkSession, spec: str, migrate: bool = True):
     """Open a store from a ``driver[:params]`` connection spec — the
     reference's database specification syntax (kcidb/db/misc.py
     ``instantiate_spec``, drivers registered at
@@ -98,14 +247,18 @@ def open_store(spark: SparkSession, spec: str):
     * ``null`` — accepts everything, answers empty;
     * ``mux:<spec> <spec>...`` — load fan-out to every member,
       queries from the first (specs whitespace-separated, as in the
-      reference's mux params).
+      reference's mux params).  Members open PINNED at their
+      directory's recorded schema version (no auto-migration): the
+      mux's version lattice decides when a held-back member upgrades.
     """
     from kcidb_spark.store.sqlite import SqliteStore
 
     if spec == "null":
         return NullStore(spark)
     if spec.startswith("mux:"):
-        members = [open_store(spark, s) for s in spec[4:].split()]
+        members = [
+            open_store(spark, s, migrate=False) for s in spec[4:].split()
+        ]
         return MuxStore(members)
     if spec.startswith("sqlite:"):
         return SqliteStore(spark, spec[len("sqlite:"):])
@@ -119,8 +272,8 @@ def open_store(spark: SparkSession, spec: str):
                 store.load(_json.load(f))
         return store
     if spec.startswith("parquet:"):
-        return Store(spark, spec[len("parquet:"):])
-    return Store(spark, spec)
+        return Store(spark, spec[len("parquet:"):], migrate=migrate)
+    return Store(spark, spec, migrate=migrate)
 
 
 def json_store(

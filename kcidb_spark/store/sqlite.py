@@ -116,10 +116,22 @@ class SqliteStore(ReportDumpMixin):
         """Append pre-validated RAW rows from a DataFrame (the archive
         sink).  Rows stream through ``toLocalIterator`` — bounded
         driver memory, and a SQLite archive target is by definition
-        small; unpack→encode reuses the exact dump/load codecs, so an
-        archive round-trip is bit-stable across backends."""
+        small.  The codec is the RAW-faithful unpack
+        (:func:`~kcidb_spark.store._unpack_raw_value`): empty
+        containers and struct-of-NULLs survive the copy, so the
+        archive's dedup view resolves latest-non-NULL exactly like the
+        source store's — the dump-path NULL-drop unpack would let an
+        older value resurface where a later load had superseded it
+        with an empty container."""
+        rows = self._encode_df(table, df)
+        if rows:
+            self._insert_rows(table, rows)
+
+    def _encode_df(self, table: str, df: DataFrame) -> list:
+        """RAW rows of a metadata-schema DataFrame, encoded for INSERT
+        via the raw-faithful codec."""
         from kcidb_spark.functions import iso_utc_timestamps
-        from kcidb_spark.store import _unpack_value
+        from kcidb_spark.store import _unpack_raw_value
 
         fields = schema_for(table, with_metadata=True).fields
         json_paths = _JSON_FIELDS[table]
@@ -130,11 +142,10 @@ class SqliteStore(ReportDumpMixin):
             obj = {
                 k: u
                 for k, v in d.items()
-                if (u := _unpack_value(v, (k,), json_paths)) is not None
+                if (u := _unpack_raw_value(v, (k,), json_paths)) is not None
             }
             rows.append(self._encode_row(table, obj, fields, now))
-        if rows:
-            self._insert_rows(table, rows)
+        return rows
 
     def _encode_row(self, table, obj, fields, ts):
         json_paths = _JSON_FIELDS[table]
@@ -202,6 +213,31 @@ class SqliteStore(ReportDumpMixin):
         return dedup_view(self.raw(table), table, with_metadata)
 
     # -- maintenance ----------------------------------------------------
+    def compact(self) -> None:
+        """Materialize the dedup view back into the raw tables — same
+        semantics as the parquet ``Store.compact`` (one row per PK,
+        per-column latest-non-NULL resolved, ``_timestamp`` = MAX; the
+        dedup view of a compacted table is the identity) — then VACUUM
+        the file to reclaim the deleted versions' pages."""
+        # Encode every table's resolved view BEFORE deleting anything:
+        # the view is computed lazily over this same file.
+        resolved = {
+            table: self._encode_df(table, self.table(table, with_metadata=True))
+            for table in TABLES
+        }
+        with self._conn:
+            for table, rows in resolved.items():
+                self._conn.execute(f'DELETE FROM "{table}"')
+                if rows:
+                    fields = schema_for(table, with_metadata=True).fields
+                    names = ", ".join(f'"{f.name}"' for f in fields)
+                    marks = ", ".join("?" for _ in fields)
+                    self._conn.executemany(
+                        f'INSERT INTO "{table}" ({names}) VALUES ({marks})',
+                        rows,
+                    )
+        self._conn.execute("VACUUM")
+
     def empty(self) -> None:
         with self._conn:
             for table in TABLES:
@@ -230,6 +266,20 @@ class SqliteStore(ReportDumpMixin):
             if us is not None:
                 out[table] = _from_micros(us)
         return out
+
+    # -- schema version (mux lattice membership) ------------------------
+    def io_version(self) -> tuple[int, int]:
+        from kcidb_spark.store.versioning import STORE_VERSION
+
+        return STORE_VERSION
+
+    def supported_io_versions(self) -> list[tuple[int, int]]:
+        return [self.io_version()]
+
+    def upgrade(self, target=None) -> None:
+        """Single-version driver: only the current schema exists."""
+        if target is not None and target != self.io_version():
+            raise ValueError(f"sqlite driver cannot upgrade to {target}")
 
     def close(self) -> None:
         self._conn.close()

@@ -105,3 +105,14 @@ def test_encode_applies_learned_merges(spark, docs):
     # removing markers reproduces the normalized text.
     flat = "".join(enc[0]).replace(EOW, " ").strip()
     assert flat == CORPUS[0][1]
+
+
+def test_merge_symbols_validated(spark, docs):
+    """Caller-supplied merge symbols outside the normalized [a-z0-9_]
+    alphabet are rejected before reaching the SQL parser (ADVICE r6:
+    a quote in a symbol would break parsing or inject SQL)."""
+    import pytest
+
+    for bad in [("a'", "b"), ("a", "b;drop"), ("A", "b"), ("", "b")]:
+        with pytest.raises(ValueError, match="alphabet"):
+            bpe_encode(docs, [bad]).collect()

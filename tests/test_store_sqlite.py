@@ -156,3 +156,48 @@ def test_sqlite_rejects_invalid_report(spark):
     with pytest.raises(Exception):
         sq.load({"version": {"major": 5, "minor": 3}, "builds": [{"x": 1}]})
     assert sq.raw("builds").count() == 0
+
+
+def test_append_raw_is_raw_faithful(spark, tmp_path):
+    """Archive copy must preserve empty containers (ADVICE r6): a
+    later load that supersedes a value with an EMPTY array must stay
+    empty in the archive — the dump-path NULL-drop codec would store
+    NULL and let the archived dedup view resurrect the older value."""
+    from kcidb_spark.store.drivers import archive
+
+    src = Store(spark, str(tmp_path / "src_raw"))
+    base = {"id": "x:t1", "origin": "x", "build_id": "x:b1"}
+    src.load(
+        {"version": {"major": 5, "minor": 3},
+         "tests": [dict(base, output_files=[
+             {"name": "log", "url": "https://example.org/log"}])]},
+        timestamp=T1,
+    )
+    src.load(
+        {"version": {"major": 5, "minor": 3},
+         "tests": [dict(base, output_files=[])]},
+        timestamp=T2,
+    )
+    # Source view: the empty array superseded the populated one.
+    src_val = src.table("tests").select("output_files").collect()[0][0]
+    assert src_val == []
+
+    dst = SqliteStore(spark, str(tmp_path / "arch.db"))
+    archive(src, dst, after=T1 - datetime.timedelta(days=1), until=T2)
+    dst_val = dst.table("tests").select("output_files").collect()[0][0]
+    assert dst_val == [], "archive resurrected a superseded value"
+    # Raw fidelity: both loaded versions crossed, not just the view.
+    assert dst.raw("tests").count() == 2
+
+
+def test_sqlite_compact(spark, tmp_path):
+    """SqliteStore.compact(): dedup view materialized back into the
+    raw table; the view of a compacted store is the identity."""
+    sq = SqliteStore(spark, str(tmp_path / "c.db"))
+    sq.load(COMPREHENSIVE, timestamp=T1)
+    sq.load(COMPREHENSIVE, timestamp=T2)  # second version of every row
+    before = _canon(sq.dump(with_metadata=True))
+    assert sq.raw("builds").count() == 2 * len(COMPREHENSIVE["builds"])
+    sq.compact()
+    assert sq.raw("builds").count() == len(COMPREHENSIVE["builds"])
+    assert _canon(sq.dump(with_metadata=True)) == before
