@@ -312,6 +312,140 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
     return simhash_bits(df, id_col, text_col, n_bits=16)
 
 
+def simhash_bits_multi(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_bits: int = 120) -> DataFrame:
+    """SimHash wider than one BIGINT: ``(id, simhash array<bigint>)``
+    with 60 bits per word — the implementation of the width sizing
+    rule (one 60-bit BIGINT holds to ~10⁷ docs; every additional word
+    doubles-and-more the key space, 120 bits ≈ the classic 128-bit
+    fingerprint).  Words carry 60 bits, not 64: 15 hex nibbles per
+    word keeps the bit→hex-char extraction pure string ops shared
+    verbatim with the DuckDB oracle, and no word ever touches the
+    sign bit — both engines' shift/OR arithmetic stays in range
+    (DuckDB raises on ``1::BIGINT << 63``).  md5's 128-bit budget
+    caps n_bits at 120.
+
+    Word w's bit i votes from global bit g = 60·w + i of the token's
+    md5 prefix, so word 0 of a 120-bit fingerprint EQUALS the 60-bit
+    :func:`simhash_bits` output — widening refines, never reshuffles,
+    an existing fingerprint corpus.
+    """
+    assert n_bits % 60 == 0 and n_bits <= 120
+    n_words = n_bits // 60
+    hx = tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(tokens, t -> substring(md5(t), 1, {n_bits // 4}))"
+        ).alias("hexes"),
+    )
+    words = []
+    for w in range(n_words):
+        bit_exprs = []
+        for i in range(60):
+            g = 60 * w + i
+            ci = g // 4 + 1  # hex char index (1-based)
+            bit = 3 - (g % 4)  # bit within the hex digit
+            vote = (
+                f"CASE WHEN ((instr('0123456789abcdef', substring(h, {ci}, 1)) - 1)"
+                f" & {1 << bit}) > 0 THEN 1 ELSE -1 END"
+            )
+            bit_exprs.append(
+                f"CASE WHEN aggregate(transform(hexes, h -> {vote}), 0,"
+                f" (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END"
+            )
+        words.append(f"CAST({' + '.join(bit_exprs)} AS BIGINT)")
+    return hx.select(
+        F.col(id_col),
+        F.expr(f"array({', '.join(words)})").alias("simhash"),
+    )
+
+
+def simhash_hamming_pairs_multi(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = 120,
+    n_bands: int = 8,
+    max_hamming: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`simhash_hamming_pairs` over the multi-word fingerprint
+    (``simhash`` = array<bigint>, 60 bits/word): identical banded
+    pigeonhole blocking (``max_hamming < n_bands`` ⇒ exact pair set)
+    with bands sliced out of their containing word.  ``band_bits``
+    must divide 60 so no band spans a word boundary.  At 120 bits /
+    8 bands the per-band key space is the same 2^15 as the 60-bit /
+    4-band default — what widening buys is the OUTPUT side of the
+    sizing rule: random Hamming-≤7 collisions at 2⁻¹²⁰ stay ≪ 1 out
+    to ~10¹⁵ docs, and doubled band count halves per-bucket density
+    at equal corpus size."""
+    assert max_hamming < n_bands and n_bits % n_bands == 0
+    band_bits = n_bits // n_bands
+    assert 60 % band_bits == 0, "bands must not span 60-bit words"
+    mask = (1 << band_bits) - 1
+    n_words = n_bits // 60
+
+    def band_key(j: int) -> str:
+        w, off = (j * band_bits) // 60, (j * band_bits) % 60
+        return f"(shiftright(simhash[{w}], {off}) & {mask})"
+
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.expr(f"named_struct('band', {j}, 'key', {band_key(j)})")
+                for j in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.key")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+        bands = (
+            bands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band", "key",
+    )
+
+    # First-agreeing-band dedup, in-row (see simhash_hamming_pairs):
+    # band j's mask lives in word (j·band_bits)//60.
+    def band_disagrees(j: int) -> str:
+        w, off = (j * band_bits) // 60, (j * band_bits) % 60
+        return f"((sh_a[{w}] ^ sh_b[{w}]) & {mask << off}) != 0"
+
+    lower_disagrees = [band_disagrees(j) for j in range(n_bands - 1)]
+    first_band = F.expr(
+        "CASE band "
+        + " ".join(
+            f"WHEN {jb} THEN ({' AND '.join(lower_disagrees[:jb]) or 'true'})"
+            for jb in range(n_bands)
+        )
+        + " END"
+    )
+    joined = a.join(b, on=["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is None:
+        joined = joined.filter(first_band)
+    hamming = " + ".join(
+        f"bit_count(sh_a[{w}] ^ sh_b[{w}])" for w in range(n_words)
+    )
+    out = joined.select(
+        "id_a", "id_b",
+        F.expr(hamming).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    if max_bucket is not None:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
+
+
 def simhash_hamming_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",

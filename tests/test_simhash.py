@@ -95,3 +95,88 @@ def test_bucket_cap_is_subset_and_deterministic(spark):
     # pairs are exactly those among the 5 lowest flood ids.
     flood_kept = {p for p in got_cap if p[0] < 100 and p[1] < 100}
     assert flood_kept == {(i, j) for i in range(5) for j in range(i + 1, 5)}
+
+
+def _brute_multi(spark, sig, max_hamming, n_words):
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    hamming = " + ".join(
+        f"bit_count(sa[{w}] ^ sb[{w}])" for w in range(n_words)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr(hamming).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def test_wide_banded_equals_bruteforce(spark, corpus):
+    """120-bit (2×60-word) banding: pigeonhole exactness holds in the
+    multi-word fingerprint exactly as in the single-BIGINT proof
+    above (max_hamming=7 < 8 bands ⇒ banded == all-pairs)."""
+    from kcidb_spark.operators.dedup import (
+        simhash_bits_multi,
+        simhash_hamming_pairs_multi,
+    )
+
+    sig = simhash_bits_multi(corpus, n_bits=120).cache()
+    banded = simhash_hamming_pairs_multi(
+        sig, n_bits=120, n_bands=8, max_hamming=7
+    )
+    got = {tuple(r) for r in banded.collect()}
+    want = {tuple(r) for r in _brute_multi(spark, sig, 7, 2).collect()}
+    sig.unpersist()
+    assert got == want
+    assert want, "fixture must actually produce near-dup pairs"
+    # Each pair exactly once (first-agreeing-band dedup).
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_wide_word0_equals_60bit(spark, corpus):
+    """Word 0 of the 120-bit fingerprint IS the 60-bit fingerprint:
+    widening refines an existing corpus without re-fingerprinting."""
+    from kcidb_spark.operators.dedup import simhash_bits_multi
+
+    wide = {
+        r["doc_id"]: r["simhash"][0]
+        for r in simhash_bits_multi(corpus, n_bits=120).collect()
+    }
+    narrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_bits(corpus, n_bits=60).collect()
+    }
+    assert wide == narrow
+
+
+def test_wide_bucket_cap_is_subset(spark):
+    from kcidb_spark.operators.dedup import (
+        simhash_bits_multi,
+        simhash_hamming_pairs_multi,
+    )
+
+    flood = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(30)]
+        + [(100 + i, f"noise {i} q{i} r{i} s{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sig = simhash_bits_multi(flood, n_bits=120).cache()
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs_multi(
+            sig, n_bits=120, n_bands=8, max_hamming=7
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs_multi(
+            sig, n_bits=120, n_bands=8, max_hamming=7, max_bucket=5
+        ).collect()
+    }
+    sig.unpersist()
+    assert capped <= full
+    # The capped survivor set keeps the lowest ids (dedup's pick).
+    assert (0, 1) in capped

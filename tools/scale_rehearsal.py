@@ -417,7 +417,8 @@ def run_queries(sf_dir: str, label: str, spark, names) -> dict:
 def main() -> None:
     suite = "dedup"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("dedup", "streaming", "closure", "similarity"):
+    if args and args[0] in ("dedup", "streaming", "closure", "similarity",
+                            "bpe"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -466,6 +467,51 @@ def main() -> None:
         result["ratios"] = _ratios(
             result["base"], result["scaled"], SIMILARITY_QUERIES
         )
+    elif suite == "bpe":
+        # Batched-trainer viability: 256 merges at batch_size=32 (8
+        # rounds) must land within ~4× the 8-merge sequential wall at
+        # the scaled corpus — the done-condition for making training
+        # scale past toy merge counts.
+        from kcidb_spark.operators.bpe import (
+            bpe_encode_grouped,
+            bpe_train,
+            rule_rounds,
+        )
+
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        docs = spark.read.parquet(
+            os.path.join(scaled_dir, "documents.parquet")
+        )
+        result = {"k": k}
+        for label, n, bs in (
+            ("seq8", 8, 1),
+            ("batch64", 64, 32),
+            ("batch256", 256, 32),
+        ):
+            t0 = time.perf_counter()
+            rules = bpe_train(docs, n_merges=n, batch_size=bs).collect()
+            wall = round(time.perf_counter() - t0, 2)
+            result[label] = {
+                "wall_s": wall,
+                "n_rules": len(rules),
+                "n_rounds": 1 + max((r["round"] for r in rules), default=-1),
+            }
+            print(label, result[label], flush=True)
+            if n == 256:
+                t0 = time.perf_counter()
+                bpe_encode_grouped(docs, rule_rounds(rules)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                result["encode256"] = {
+                    "wall_s": round(time.perf_counter() - t0, 2)
+                }
+                print("encode256", result["encode256"], flush=True)
+        result["ratios"] = {
+            "batch256_vs_seq8_wall": round(
+                result["batch256"]["wall_s"] / result["seq8"]["wall_s"], 2
+            )
+        }
     else:
         base_c = 2_000
         result = {
