@@ -329,32 +329,45 @@ def simhash_bits_multi(df: DataFrame, id_col: str = "doc_id",
     md5 prefix, so word 0 of a 120-bit fingerprint EQUALS the 60-bit
     :func:`simhash_bits` output — widening refines, never reshuffles,
     an existing fingerprint corpus.
+
+    Execution shape: explode tokens → 120 partial-aggregated SUMs
+    grouped by document, NOT the per-bit array-HOF fold the ≤60-bit
+    path uses.  Higher-order-function lambdas evaluate INTERPRETED
+    per element; 120 of them re-traversing every token array measured
+    a >10× per-doc cliff at the 100× rehearsal (6 M docs), while the
+    exploded SUM form is whole-stage-codegen'd end to end.  The cost
+    is one shuffle of (id × n_bits longs) with map-side combine —
+    linear, and each doc's partial row collapses before the exchange.
     """
     assert n_bits % 60 == 0 and n_bits <= 120
     n_words = n_bits // 60
-    hx = tokenized(df, id_col, text_col).select(
-        F.col(id_col),
-        F.expr(
-            f"transform(tokens, t -> substring(md5(t), 1, {n_bits // 4}))"
-        ).alias("hexes"),
+    ex = tokenized(df, id_col, text_col).select(
+        F.col(id_col), F.explode("tokens").alias("t")
+    ).select(
+        id_col, F.expr(f"substring(md5(t), 1, {n_bits // 4})").alias("h")
     )
+    sums = []
+    for g in range(n_bits):
+        ci = g // 4 + 1  # hex char index (1-based)
+        bit = 3 - (g % 4)  # bit within the hex digit
+        sums.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ((instr('0123456789abcdef',"
+                    f" substring(h, {ci}, 1)) - 1) & {1 << bit}) > 0"
+                    f" THEN 1 ELSE -1 END"
+                )
+            ).alias(f"c{g}")
+        )
+    cnt = ex.groupBy(id_col).agg(*sums)
     words = []
     for w in range(n_words):
-        bit_exprs = []
-        for i in range(60):
-            g = 60 * w + i
-            ci = g // 4 + 1  # hex char index (1-based)
-            bit = 3 - (g % 4)  # bit within the hex digit
-            vote = (
-                f"CASE WHEN ((instr('0123456789abcdef', substring(h, {ci}, 1)) - 1)"
-                f" & {1 << bit}) > 0 THEN 1 ELSE -1 END"
-            )
-            bit_exprs.append(
-                f"CASE WHEN aggregate(transform(hexes, h -> {vote}), 0,"
-                f" (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END"
-            )
-        words.append(f"CAST({' + '.join(bit_exprs)} AS BIGINT)")
-    return hx.select(
+        total = " + ".join(
+            f"CASE WHEN c{60 * w + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(60)
+        )
+        words.append(f"CAST({total} AS BIGINT)")
+    return cnt.select(
         F.col(id_col),
         F.expr(f"array({', '.join(words)})").alias("simhash"),
     )
@@ -377,27 +390,41 @@ def simhash_hamming_pairs_multi(
     4-band default — what widening buys is the OUTPUT side of the
     sizing rule: random Hamming-≤7 collisions at 2⁻¹²⁰ stay ≪ 1 out
     to ~10¹⁵ docs, and doubled band count halves per-bucket density
-    at equal corpus size."""
+    at equal corpus size.
+
+    The fingerprint array is FLATTENED to one primitive BIGINT column
+    per word before the band join: every in-bucket candidate pair
+    evaluates the first-band mask + two bit_counts, and doing that
+    through array element extraction measured a multi-× per-row cliff
+    at the 100× rehearsal (GenericArrayData access inside a ~10⁹-row
+    join loop) versus flat long columns that codegen keeps in
+    registers."""
     assert max_hamming < n_bands and n_bits % n_bands == 0
     band_bits = n_bits // n_bands
     assert 60 % band_bits == 0, "bands must not span 60-bit words"
     mask = (1 << band_bits) - 1
     n_words = n_bits // 60
+    flat = sig.select(
+        F.col(id_col),
+        *[F.col("simhash")[w].alias(f"sh{w}") for w in range(n_words)],
+    )
 
     def band_key(j: int) -> str:
         w, off = (j * band_bits) // 60, (j * band_bits) % 60
-        return f"(shiftright(simhash[{w}], {off}) & {mask})"
+        return f"(shiftright(sh{w}, {off}) & {mask})"
 
-    bands = sig.select(
+    bands = flat.select(
         F.col(id_col),
-        F.col("simhash"),
+        *[f"sh{w}" for w in range(n_words)],
         F.explode(
             F.array(*[
                 F.expr(f"named_struct('band', {j}, 'key', {band_key(j)})")
                 for j in range(n_bands)
             ])
         ).alias("b"),
-    ).select(id_col, "simhash", "b.band", "b.key")
+    ).select(
+        id_col, *[f"sh{w}" for w in range(n_words)], "b.band", "b.key"
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -408,11 +435,13 @@ def simhash_hamming_pairs_multi(
             .drop("__rn")
         )
     a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sh{w}").alias(f"a{w}") for w in range(n_words)],
         "band", "key",
     )
     b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sh{w}").alias(f"b{w}") for w in range(n_words)],
         "band", "key",
     )
 
@@ -420,7 +449,7 @@ def simhash_hamming_pairs_multi(
     # band j's mask lives in word (j·band_bits)//60.
     def band_disagrees(j: int) -> str:
         w, off = (j * band_bits) // 60, (j * band_bits) % 60
-        return f"((sh_a[{w}] ^ sh_b[{w}]) & {mask << off}) != 0"
+        return f"((a{w} ^ b{w}) & {mask << off}) != 0"
 
     lower_disagrees = [band_disagrees(j) for j in range(n_bands - 1)]
     first_band = F.expr(
@@ -435,7 +464,7 @@ def simhash_hamming_pairs_multi(
     if max_bucket is None:
         joined = joined.filter(first_band)
     hamming = " + ".join(
-        f"bit_count(sh_a[{w}] ^ sh_b[{w}])" for w in range(n_words)
+        f"bit_count(a{w} ^ b{w})" for w in range(n_words)
     )
     out = joined.select(
         "id_a", "id_b",

@@ -558,11 +558,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: LEFT ANTI on the 32-byte fingerprint; both sides
     project to (hash[, id]) before the join so the shuffle carries
-    fingerprints, not text.  The corpus side is the big one — in
-    production it is the *bucketed* fingerprint index
-    (operators/bucketing.py), making the daily anti-join a
-    zero-shuffle sort-merge against pre-bucketed files; here it is a
-    plain hash-partitioned anti-join.
+    fingerprints, not text.  The corpus side is the big one, so it is
+    PRE-FILTERED with a broadcast semi-join against the day batch's
+    fingerprint set before the anti-join: only corpus rows whose
+    fingerprint appears in the day batch can affect an anti-join
+    result, so the filter is exact (a Bloom filter with zero false
+    positives), evaluated MAP-SIDE against the broadcast hash set —
+    the corpus index contributes only matching fingerprints to the
+    join instead of shuffling in full.  At 100 TB that turns the
+    per-ingest cost from O(index) shuffle into O(index scan +
+    matches); a day batch too large to broadcast falls back to the
+    *bucketed* fingerprint index (operators/bucketing.py), where the
+    anti-join is zero-shuffle sort-merge against pre-bucketed files.
     """
     docs = table(spark, sf_dir, "documents", spread=True)
     with_h = docs.select(
@@ -572,7 +579,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = with_h.filter(F.col("g") < "4").select("doc_id", "th")
     corpus = with_h.filter(F.col("g") >= "4").select("th")
-    return new.join(corpus, on="th", how="left_anti").select("doc_id", "th")
+    day_keys = new.select("th").distinct()
+    corpus_hits = corpus.join(F.broadcast(day_keys), on="th", how="left_semi")
+    return new.join(corpus_hits, on="th", how="left_anti").select("doc_id", "th")
 
 
 # ---------------------------------------------------------------------------

@@ -453,6 +453,102 @@ def _simhash_oracle() -> str:
     return f"WITH {_simhash_cte(16)} SELECT doc_id, simhash FROM sh"
 
 
+def _simhash_multi_cte(n_bits: int = 120) -> str:
+    """DuckDB CTE computing the identical multi-word (60 bits/word)
+    SimHash as operators/dedup.simhash_bits_multi — word columns
+    sh_0, sh_1, … (flat columns, not a list: dodges the 0- vs 1-based
+    list indexing split between engines)."""
+    words = []
+    for w in range(n_bits // 60):
+        bit_exprs = []
+        for i in range(60):
+            g = 60 * w + i
+            ci = g // 4 + 1
+            bit = 3 - (g % 4)
+            vote = (
+                f"CASE WHEN ((strpos('0123456789abcdef', substring(h, {ci}, 1)) - 1)"
+                f" & {1 << bit}) > 0 THEN 1 ELSE -1 END"
+            )
+            bit_exprs.append(
+                f"CASE WHEN list_sum(list_transform(hexes, h -> {vote})) > 0"
+                f" THEN {1 << i} ELSE 0 END"
+            )
+        words.append(
+            f"CAST({' + '.join(bit_exprs)} AS BIGINT) AS sh_{w}"
+        )
+    return dedent(f"""
+        toks AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+        ),
+        hx AS (
+            SELECT doc_id,
+                   list_transform(tokens, t -> substring(md5(t), 1, {n_bits // 4}))
+                       AS hexes
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id, {', '.join(words)}
+            FROM hx
+        )
+    """)
+
+
+@register(
+    "simhash_wide_fingerprint",
+    oracle=f"WITH {_simhash_multi_cte(120)} SELECT doc_id, sh_0, sh_1 FROM sh",
+    tags=("dedup", "simhash"),
+)
+def simhash_wide_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit SimHash as two 60-bit BIGINT words — the implementation
+    of the width sizing rule (SCALE.md: one 60-bit word holds to ~10⁷
+    docs; the second word pushes random-collision noise to 2⁻¹²⁰ and
+    halves band-bucket density at equal corpus size).  Word 0 equals
+    the 60-bit fingerprint, so widening refines an existing corpus
+    without re-fingerprinting.  Pure zero-shuffle projection."""
+    from kcidb_spark.operators.dedup import simhash_bits_multi
+
+    return simhash_bits_multi(
+        table(spark, sf_dir, "documents", spread=True), n_bits=120
+    ).select(
+        "doc_id",
+        F.col("simhash")[0].alias("sh_0"),
+        F.col("simhash")[1].alias("sh_1"),
+    )
+
+
+@register(
+    "simhash_wide_hamming_pairs",
+    oracle=f"""WITH {_simhash_multi_cte(120)}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh_0, b.sh_0))
+                    + bit_count(xor(a.sh_1, b.sh_1)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh_0, b.sh_0))
+              + bit_count(xor(a.sh_1, b.sh_1)) <= 7
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_wide_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at Hamming ≤ 7 over the 120-bit two-word
+    fingerprint, by 8-band pigeonhole blocking (≤7 differing bits ⇒
+    some 15-bit band agrees; the oracle brute-forces all pairs).
+    Same single-shuffle banded plan as the 60-bit query — what the
+    extra word changes is the SIZING: collision noise 2⁻¹²⁰ and twice
+    the bands over the same per-band key space, so the corpus
+    ceiling moves past the ~10⁷-doc single-BIGINT rule
+    (operators/dedup.simhash_hamming_pairs docstring)."""
+    from kcidb_spark.operators.dedup import (
+        simhash_bits_multi,
+        simhash_hamming_pairs_multi,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sig = scoped_persist(simhash_bits_multi(docs, n_bits=120))
+    return simhash_hamming_pairs_multi(
+        sig, n_bits=120, n_bands=8, max_hamming=7
+    )
+
+
 @register("simhash_fingerprint", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document — near-dup fingerprint where

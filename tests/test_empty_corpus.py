@@ -20,19 +20,17 @@ from kcidb_spark.tables import TABLES
 
 @pytest.fixture(scope="module")
 def empty_sf(spark, tmp_path_factory):
-    """Zero-row copies of every synthetic table, schemas preserved
-    (events keeps its nanos-as-long read so the layout sniff still
-    dispatches)."""
+    """Zero-row copies of every synthetic table as single parquet
+    FILES with the source's exact physical schema (pyarrow round-trip
+    preserves events' TIMESTAMP(NANOS) so the layout sniff still
+    dispatches, and DuckDB's read_parquet sees plain files, as it
+    does for the real testdata)."""
+    import pyarrow.parquet as pq
+
     out = tmp_path_factory.mktemp("empty_sf")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        for t in TABLES:
-            df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
-            df.limit(0).write.mode("overwrite").parquet(
-                str(out / f"{t}.parquet")
-            )
-    finally:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    for t in TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(out / f"{t}.parquet"))
     return str(out)
 
 
@@ -42,6 +40,33 @@ def test_every_query_survives_empty_corpus(spark, empty_sf):
         try:
             df = q.spark(spark, empty_sf)
             df.write.mode("overwrite").format("noop").save()
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+        finally:
+            release_persisted()
+    assert not failures, "\n".join(failures)
+
+
+def test_empty_corpus_schema_matches_oracle(spark, empty_sf):
+    """Schema parity on EMPTY input (r6 verdict #8): the classic
+    empty-relation divergence is a query whose column set is derived
+    from data (pivots, inferred types) — it executes fine on zero rows
+    but emits different columns than the oracle, which the value-hash
+    gate can't see (both sides hash nothing).  Assert the column sets
+    the two engines produce on an all-empty corpus are identical for
+    every oracle-bearing query."""
+    from tests.oracle_harness import duck_connection
+
+    con = duck_connection(empty_sf)
+    failures = []
+    for name, q in sorted(REGISTRY.items()):
+        if q.oracle is None:
+            continue
+        try:
+            duck_cols = sorted(con.execute(q.oracle).df().columns)
+            sp_cols = sorted(q.spark(spark, empty_sf).columns)
+            if duck_cols != sp_cols:
+                failures.append(f"{name}: spark={sp_cols} duck={duck_cols}")
         except Exception as ex:  # noqa: BLE001 — collecting the sweep
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
         finally:

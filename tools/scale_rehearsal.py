@@ -164,6 +164,7 @@ STREAM_QUERIES = [
     "t11_stream_tumbling",
     "t12_stream_dedup",
     "t13_stream_stream_join",
+    "t14_stream_dedup_watermarked",
     "t15_stream_status_transitions",
 ]
 
@@ -223,22 +224,34 @@ def run_streaming(sf_dir: str, label: str, spark) -> dict:
         after = _stage_metrics(ui)
         new = {s: v for s, v in after.items() if s not in before}
         progress = streaming_exec.LAST_PROGRESS.get(name, [])
-        state_rows = state_mem = 0
+        state_rows = state_mem = commit_ms = 0
         batch_walls = []
         for p in progress:
             batch_walls.append(p.get("batchDuration", 0) / 1000.0)
             for op in p.get("stateOperators", []) or []:
                 state_rows = max(state_rows, op.get("numRowsTotal", 0))
                 state_mem = max(state_mem, op.get("memoryUsedBytes", 0))
+                commit_ms += op.get("commitTimeMs", 0)
         out[name] = {
             "wall_s": wall,
             "shuffle_write_mb": round(
                 sum(v["shuffle_write"] for v in new.values()) / 2**20, 2
             ),
             "n_batches": len(progress),
-            "batch_wall_s": [round(b, 2) for b in batch_walls],
+            # Per-batch walls summarized (a 100-batch run would dump a
+            # 100-element list): flatness shows as med ≈ max.
+            "batch_wall_s": (
+                {
+                    "first": round(batch_walls[0], 2),
+                    "med": round(sorted(batch_walls)[len(batch_walls) // 2], 2),
+                    "max": round(max(batch_walls), 2),
+                }
+                if batch_walls
+                else {}
+            ),
             "state_rows_max": state_rows,
             "state_mb_max": round(state_mem / 2**20, 2),
+            "commit_ms_total": commit_ms,
         }
         print(label, name, out[name], flush=True)
     return out
@@ -441,6 +454,8 @@ def main() -> None:
         }
         result["ratios"] = _ratios(result["base"], result["scaled"], QUERIES)
     elif suite == "streaming":
+        from kcidb_spark.streaming import ROCKSDB_STATE_STORE
+
         scaled_dir = f"/tmp/kcidb_scale/stream{k}x"
         synthesize_streaming(spark, k, scaled_dir)
         result = {
@@ -451,6 +466,16 @@ def main() -> None:
         result["ratios"] = _ratios(
             result["base"], result["scaled"], STREAM_QUERIES
         )
+        # Same scaled volume under the RocksDB provider: state size,
+        # commit overhead, per-batch walls for the off-heap path.
+        key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(key, ROCKSDB_STATE_STORE)
+        try:
+            result["scaled_rocksdb"] = run_streaming(
+                scaled_dir, f"{k}x-rocksdb", spark
+            )
+        finally:
+            spark.conf.unset(key)
     elif suite == "similarity":
         # Reuses the dedup suite's synthesized corpus (embeddings ×K).
         scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
