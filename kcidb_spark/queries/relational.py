@@ -894,3 +894,416 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  10_000).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes, round 7: the subquery/decorrelation family
+# (EXISTS, NOT EXISTS, correlated scalar, global-scalar HAVING,
+# disjunctive pushdown, distinct-count with NOT-IN) — the optimizer
+# features the earlier q1-q22 set did not yet exercise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_top_supplier_per_nation",
+    oracle=dedent("""
+        SELECT n_name, s_name, s_acctbal
+        FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+    """),
+    tags=("J", "subquery"),
+)
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (the per-group MIN
+    supply cost) — here the per-nation MAX account balance.  The
+    decorrelated Spark plan is the per-group aggregate joined back
+    BROADCAST (25 nations → 25-row build side); the equality compares
+    a stored double against a MAX over the same stored doubles, so it
+    is exact in both engines."""
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    mx = supp.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("_mx"))
+    return (
+        supp.join(F.broadcast(mx), on="s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle=dedent("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """),
+    tags=("J1", "subquery"),
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS over a correlated inequality
+    (commitdate<receiptdate in the original; ship-after-order here) →
+    LEFT SEMI join with a composite condition.  The semi join
+    deduplicates before the count, so no DISTINCT pass is needed, and
+    the priority rollup is a 5-group partial agg."""
+    _utc(spark)
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=dedent(f"""
+        WITH vol AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
+                    AS BIGINT) / 10000.0 AS nation_volume,
+               CAST(SUM(v) AS BIGINT) / 10000.0 AS total_volume,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(v) AS DOUBLE) AS mkt_share
+        FROM vol GROUP BY o_year
+    """),
+    tags=("J4", "A", "broadcast"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share inside one region per
+    year — conditional aggregation over a 6-table star join with
+    every dimension broadcast.  The share is a ratio of two
+    exact scaled-integer sums (one IEEE division at the end, same
+    quotient in both engines)."""
+    _utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    cn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long").alias("v"),
+            "supp_nation",
+        )
+    )
+    is_n3 = F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(F.lit(0))
+    return vol.groupBy("o_year").agg(
+        as_money(F.sum(is_n3), 10_000).alias("nation_volume"),
+        as_money(F.sum("v"), 10_000).alias("total_volume"),
+        (F.sum(is_n3).cast("double") / F.sum("v").cast("double")).alias("mkt_share"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=dedent(f"""
+        SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {oracle_int_sum('l_extendedprice * (1 - l_discount)', 10000)} / 10000.0 AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY sn.n_name, year(o_orderdate)
+    """),
+    tags=("J4", "A", "broadcast"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year.  The part filter lands in the broadcast build side, so the
+    big lineitem⋈orders exchange is the only shuffle; profit is a
+    scaled-integer sum."""
+    _utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+            .alias("_p")
+        )
+        .select("nation", "o_year", as_money(F.col("_p"), 10_000).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=dedent(f"""
+        WITH pv AS (
+            SELECT l_partkey,
+                   {oracle_int_sum('l_extendedprice * (1 - l_discount)', 10000)} AS v
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, v / 10000.0 AS value
+        FROM pv
+        WHERE v * 1000 > (SELECT CAST(SUM(v) AS BIGINT) FROM pv)
+    """),
+    tags=("A", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: keep groups whose value exceeds a fraction of
+    the GLOBAL total — a HAVING against a scalar subquery.  The total
+    is a 1-row broadcast (cross join), and the 0.1% threshold compares
+    scaled integers (v·1000 > total), so the cut is exact — no
+    float-boundary flakes between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+        .alias("v")
+    )
+    total = pv.agg(F.sum("v").alias("_t"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 1000 > F.col("_t"))
+        .select("l_partkey", as_money(F.col("v"), 10_000).alias("value"))
+    )
+
+
+@register(
+    "q12_late_priority",
+    oracle=dedent("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+    """),
+    tags=("J", "A"),
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two conditional counts per category over
+    late-shipped lines (shipmode → returnflag, commit/receipt →
+    ship-60-days-after-order on this schema).  One join, one 3-group
+    partial agg; the interval predicate stays JVM-side."""
+    _utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle=dedent("""
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size <= 10
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """),
+    tags=("A13", "subquery"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a NOT-IN supplier set (complaints → negative balance).
+    The exclusion is a broadcast LEFT ANTI, the part filter a
+    broadcast inner — both map-side; the only exchange is the
+    distinct-count's partial aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 10)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=dedent(f"""
+        SELECT {oracle_int_sum('l_extendedprice * (1 - l_discount)', 10000)} / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """),
+    tags=("P", "pushdown"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.  Catalyst
+    factors the common l_quantity bounds below the join and keeps the
+    per-brand conjuncts as the join's residual condition; the common
+    quantity range (1..30) is pushed INTO the lineitem scan so
+    row-group stats prune before any join work."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        as_money(
+            int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000),
+            10_000,
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    oracle=dedent("""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), tot AS (
+            SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq FROM ps GROUP BY l_partkey
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM ps JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE 2 * sq > tq
+    """),
+    tags=("J", "A", "subquery"),
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding more than half of a part's
+    shipped volume (excess-stock in the original).  Two-level
+    aggregation over the SAME grouping prefix — the per-part total
+    reuses the (partkey, suppkey) partial rollup, so the second agg
+    is exchange-free — and the half threshold compares scaled
+    integers (2·sq > tq), exact in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        int_sum(F.col("l_quantity"), 100).alias("sq")
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    return (
+        ps.join(tot, on="l_partkey")
+        .filter(2 * F.col("sq") > F.col("tq"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=dedent("""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+    """),
+    tags=("J1", "J2", "subquery"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the only-supplier-at-fault pattern — an EXISTS
+    and a NOT EXISTS against the same table with inequality
+    correlation, i.e. a LEFT SEMI and a LEFT ANTI stacked on one scan.
+    Both probes reuse the same (orderkey)-keyed exchange; the final
+    rollup is small (one group per supplier)."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    out = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return out.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
