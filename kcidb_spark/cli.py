@@ -224,6 +224,91 @@ def _issue_editor_main(args) -> int:
     return 1
 
 
+def _db_lifecycle(args) -> int:
+    """db-init / db-cleanup / db-upgrade over a driver spec.
+
+    parquet: prefixes strip to their directory; sqlite: specs
+    init/cleanup the database FILE (table DDL runs on open); mux:
+    specs fan init/cleanup out over member specs (reference
+    kcidb/db/mux.py:219-246) and route db-upgrade through the mux
+    schema-version lattice (mux.py:373-395)."""
+    if args.database.startswith("mux:"):
+        if args.cmd == "db-upgrade":
+            _store(args).upgrade()
+            return 0
+        import copy as _copy
+
+        rc = 0
+        for member in args.database[4:].split():
+            sub = _copy.copy(args)
+            sub.database = member
+            rc = max(rc, _db_lifecycle(sub) or 0)
+        return rc
+    if args.database.startswith("parquet:"):
+        args.database = args.database[len("parquet:"):]
+    elif args.database.startswith("sqlite:"):
+        import os
+
+        path = args.database[len("sqlite:"):]
+        if args.cmd == "db-init":
+            if path != ":memory:" and os.path.exists(path):
+                if not args.ignore_initialized:
+                    print(f"store {args.database} is already "
+                          "initialized", file=sys.stderr)
+                    return 1
+                return 0
+            _store(args)
+            return 0
+        if args.cmd == "db-cleanup":
+            if path == ":memory:" or not os.path.exists(path):
+                if not args.ignore_not_initialized:
+                    print(f"store {args.database} is not initialized",
+                          file=sys.stderr)
+                    return 1
+                return 0
+            os.remove(path)
+            return 0
+        return 0  # db-upgrade: single-schema driver, nothing to do
+
+    if args.cmd == "db-init":
+        import os
+
+        from kcidb_spark.store.versioning import (
+            read_version,
+            write_version,
+        )
+
+        if read_version(args.database) is not None:
+            if not args.ignore_initialized:
+                print(f"store {args.database} is already initialized",
+                      file=sys.stderr)
+                return 1
+            return 0
+        os.makedirs(args.database, exist_ok=True)
+        write_version(args.database)
+        return 0
+
+    if args.cmd == "db-cleanup":
+        import shutil
+
+        from kcidb_spark.store.versioning import read_version
+
+        if read_version(args.database) is None:
+            if not args.ignore_not_initialized:
+                print(f"store {args.database} is not initialized",
+                      file=sys.stderr)
+                return 1
+            return 0
+        shutil.rmtree(args.database)
+        return 0
+
+    # db-upgrade
+    from kcidb_spark.store.versioning import ensure_current
+
+    ensure_current(_spark(), args.database)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kcidb-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -504,69 +589,7 @@ def main(argv: list[str] | None = None) -> int:
     # too: parquet: prefixes strip to their directory; sqlite: specs
     # init/cleanup the database FILE (table DDL runs on open).
     if args.cmd in ("db-init", "db-cleanup", "db-upgrade"):
-        if args.database.startswith("parquet:"):
-            args.database = args.database[len("parquet:"):]
-        elif args.database.startswith("sqlite:"):
-            import os
-
-            path = args.database[len("sqlite:"):]
-            if args.cmd == "db-init":
-                if path != ":memory:" and os.path.exists(path):
-                    if not args.ignore_initialized:
-                        print(f"store {args.database} is already "
-                              "initialized", file=sys.stderr)
-                        return 1
-                    return 0
-                _store(args)
-                return 0
-            if args.cmd == "db-cleanup":
-                if path == ":memory:" or not os.path.exists(path):
-                    if not args.ignore_not_initialized:
-                        print(f"store {args.database} is not initialized",
-                              file=sys.stderr)
-                        return 1
-                    return 0
-                os.remove(path)
-                return 0
-            return 0  # db-upgrade: single-schema driver, nothing to do
-
-    if args.cmd == "db-init":
-        import os
-
-        from kcidb_spark.store.versioning import (
-            read_version,
-            write_version,
-        )
-
-        if read_version(args.database) is not None:
-            if not args.ignore_initialized:
-                print(f"store {args.database} is already initialized",
-                      file=sys.stderr)
-                return 1
-            return 0
-        os.makedirs(args.database, exist_ok=True)
-        write_version(args.database)
-        return 0
-
-    if args.cmd == "db-cleanup":
-        import shutil
-
-        from kcidb_spark.store.versioning import read_version
-
-        if read_version(args.database) is None:
-            if not args.ignore_not_initialized:
-                print(f"store {args.database} is not initialized",
-                      file=sys.stderr)
-                return 1
-            return 0
-        shutil.rmtree(args.database)
-        return 0
-
-    if args.cmd == "db-upgrade":
-        from kcidb_spark.store.versioning import ensure_current
-
-        ensure_current(_spark(), args.database)
-        return 0
+        return _db_lifecycle(args)
 
     if args.cmd == "explain":
         # Plan transparency: print any registry query's physical plan

@@ -553,3 +553,40 @@ def test_db_sql_and_compact(monkeypatch, capsys, tmp_path, spark):
     )
     assert rc == 0
     assert [json.loads(x) for x in out2.splitlines() if x] == rows
+
+
+def test_db_upgrade_mux_lattice(monkeypatch, capsys, spark, tmp_path):
+    """db-upgrade on a mux spec walks the schema-version lattice:
+    the held-back v4 member migrates in place (valid→status etc.),
+    after which the mux speaks the current schema."""
+    from kcidb_spark.store.versioning import STORE_VERSION, read_version
+    from tests.test_store_versioning import _write_v4_store
+
+    root4 = str(tmp_path / "mux_v4")
+    root5 = str(tmp_path / "mux_v5")
+    _write_v4_store(spark, root4)
+    spec = f"mux:{root4} {root5}"
+    rc, _ = run_cli(monkeypatch, capsys, ["db-upgrade", "-d", spec])
+    assert rc == 0
+    assert read_version(root4) == STORE_VERSION
+    # The migrated member answers v5 dumps through the mux.
+    rc, out = run_cli(monkeypatch, capsys, ["db-dump", "-d", spec])
+    assert rc == 0
+    dump = json.loads(out)
+    assert dump["version"]["major"] == STORE_VERSION[0]
+    assert any(b.get("status") == "PASS" for b in dump["builds"])
+
+
+def test_db_init_cleanup_mux_fanout(monkeypatch, capsys, spark, tmp_path):
+    """db-init / db-cleanup fan out over mux member specs."""
+    import os
+
+    a, b = str(tmp_path / "fan_a"), str(tmp_path / "fan_b")
+    spec = f"mux:{a} {b}"
+    rc, _ = run_cli(monkeypatch, capsys, ["db-init", "-d", spec])
+    assert rc == 0
+    assert os.path.exists(os.path.join(a, "_schema.json"))
+    assert os.path.exists(os.path.join(b, "_schema.json"))
+    rc, _ = run_cli(monkeypatch, capsys, ["db-cleanup", "-d", spec])
+    assert rc == 0
+    assert not os.path.exists(a) and not os.path.exists(b)
