@@ -50,3 +50,87 @@ def bucketed_join(
     """Join two bucketed catalog tables on their bucket keys — reads
     co-located buckets, no shuffle on either side."""
     return spark.table(left_name).join(spark.table(right_name), on=list(on), how=how)
+
+
+def write_fingerprint_index(
+    df: DataFrame,
+    path: str,
+    key: str = "th",
+    rows_per_file: int = 1_000_000,
+) -> None:
+    """Persist a fingerprint index as parquet with a FOOTER BLOOM
+    FILTER on the key column, RANGE-partitioned by the key.  This is
+    what makes "index scan bytes drop" literal for small probes: a
+    pushed equality/IN predicate is tested against each row group's
+    min/max (narrow, because files are key-ranged) and then its bloom
+    before any page is read, so a probe key absent from a row group
+    skips it entirely — the 100 TB incremental-dedup index answers a
+    small day batch by reading the few row groups whose blooms fire,
+    not the index.
+
+    Sizing matters (measured): the bloom's ``expected.ndv`` must be
+    the PER-FILE row count — a corpus-level ndv implies a bloom larger
+    than parquet's ``bloom.filter.max.bytes`` cap and parquet silently
+    writes NO bloom at all, which reads as "blooms don't work".  The
+    one extra count() here is write-time-only and prices the layout
+    correctly."""
+    n = df.count()
+    n_files = max(1, -(-n // rows_per_file))
+    (
+        df.repartitionByRange(n_files, key)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key}", "true")
+        .option(f"parquet.bloom.filter.expected.ndv#{key}", str(rows_per_file))
+        .option("parquet.bloom.filter.max.bytes", str(4 * 1024 * 1024))
+        .parquet(path)
+    )
+
+
+def probe_index_new_keys(
+    spark: SparkSession,
+    index_path: str,
+    day: DataFrame,
+    key: str = "th",
+    max_inlist: int = 10_000,
+) -> DataFrame:
+    """Day-batch rows whose ``key`` is ABSENT from the stored index —
+    the incremental-ingest dedup core, with the probe pushed INTO the
+    index scan when the day key set is small enough to inline:
+
+    * ≤ ``max_inlist`` distinct keys → the keys are collected and the
+      index scan gets a literal IN predicate (``PushedFilters:
+      [In(th, …)]``), which parquet evaluates against row-group
+      stats and the footer blooms written by
+      :func:`write_fingerprint_index` — row groups with no probe key
+      are never read.  ``spark.sql.parquet.pushdown.inFilterThreshold``
+      is raised to ``max_inlist`` for the session: above it Spark
+      degrades the pushed IN to a min/max range, which a hash keyspace
+      never prunes (measured — full index read);
+    * larger probes → broadcast LEFT SEMI pre-filter (the exact
+      zero-false-positive bloom of queries/mixing.dedup_incremental),
+      which prunes post-scan instead of at the scan.
+
+    Either way the result is identical to the plain anti-join.
+    """
+    from pyspark.sql import functions as F
+
+    keys_df = day.select(key).distinct()
+    keys = [r[0] for r in keys_df.limit(max_inlist + 1).collect()]
+    if len(keys) <= max_inlist:
+        cur = int(
+            spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+        )
+        if cur < max_inlist:
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold",
+                str(max_inlist),
+            )
+    index = spark.read.parquet(index_path)
+    if len(keys) <= max_inlist:
+        hits = index.filter(F.col(key).isin(keys)).select(key).distinct()
+    else:
+        hits = (
+            index.join(F.broadcast(keys_df), on=key, how="left_semi")
+            .select(key).distinct()
+        )
+    return day.join(hits, on=key, how="left_anti")

@@ -169,3 +169,43 @@ def test_lsh_pairs_filter_dedup_equals_bruteforce(spark):
     # and no pair may appear twice in the unaggregated output
     rows = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2).collect()
     assert len(rows) == len({(r["a"], r["b"]) for r in rows})
+
+
+def test_fingerprint_index_inlist_pushdown(spark, tmp_path):
+    """probe_index_new_keys: small probes push a literal IN predicate
+    into the index scan (visible as PushedFilters), larger probes fall
+    back to the broadcast-semi prefilter; both equal the plain
+    anti-join."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.bucketing import (
+        probe_index_new_keys,
+        write_fingerprint_index,
+    )
+
+    corpus = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("th")
+    )
+    idx_path = str(tmp_path / "fp_index")
+    write_fingerprint_index(corpus, idx_path, rows_per_file=5000)
+
+    # Day batch: 50 keys present in the index + 50 new.
+    day = spark.range(4950, 5050).select(
+        F.md5(F.col("id").cast("string")).alias("th"),
+        F.col("id").alias("doc_id"),
+    )
+    out = probe_index_new_keys(spark, idx_path, day, max_inlist=1000)
+    plain = day.join(
+        spark.read.parquet(idx_path), on="th", how="left_anti"
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in plain.collect()
+    } == set(range(5000, 5050))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(th, [" in plan, "IN-list not pushed to the index scan"
+
+    # Above the inline cap: broadcast-semi path, same result.
+    out2 = probe_index_new_keys(spark, idx_path, day, max_inlist=10)
+    assert {r["doc_id"] for r in out2.collect()} == set(range(5000, 5050))
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan2
