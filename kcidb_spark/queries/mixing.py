@@ -826,3 +826,29 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", spread=True)
     return bpe_train(docs, n_merges=8)
+
+
+@register(
+    "unigram_train_vocab",
+    # No SQL oracle (EM trainer, data-dependently iterative) — the
+    # executable specification is tests/test_unigram.py: Viterbi
+    # segmentation pinned optimal against brute-force enumeration,
+    # the trainer pinned piece-for-piece against an independent
+    # pure-Python reference.
+    tags=("pipeline", "tokenize", "iterative"),
+)
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece's unigram model,
+    Kudo 2018, arXiv:1804.10959 — hard-EM simplification) over the
+    documents corpus: substring-seeded vocabulary, EM rounds of
+    frequency-weighted Viterbi counts over the Zipf-compressed
+    (word, freq) table, gradual pruning to the target size with the
+    single-character closure guarantee.  The corpus is scanned ONCE;
+    every EM round touches only the word table (Arrow-batched DP —
+    Python on the vocabulary-sized working set, never the corpus),
+    and the driver holds only the vocabulary itself.  See
+    operators/unigram.py."""
+    from kcidb_spark.operators.unigram import unigram_train
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return unigram_train(docs, vocab_size=64, n_rounds=2)
