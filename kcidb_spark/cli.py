@@ -232,6 +232,12 @@ def _db_lifecycle(args) -> int:
     specs fan init/cleanup out over member specs (reference
     kcidb/db/mux.py:219-246) and route db-upgrade through the mux
     schema-version lattice (mux.py:373-395)."""
+    if args.database == "null":
+        # The null driver has no storage: init/cleanup/upgrade are
+        # no-op successes (reference null driver semantics) — without
+        # this a mux member spec "null" would fall through to the
+        # generic parquet branch and create a literal ./null directory.
+        return 0
     if args.database.startswith("mux:"):
         if args.cmd == "db-upgrade":
             _store(args).upgrade()

@@ -86,6 +86,28 @@ def write_fingerprint_index(
     )
 
 
+_IN_THRESHOLD_CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
+
+
+def probe_index_hits(
+    spark: SparkSession,
+    index_path: str,
+    keys: Sequence,
+    key: str = "th",
+) -> DataFrame:
+    """LAZY index scan filtered to the literal key list — the plan
+    carries ``PushedFilters: [In(th, …)]`` so parquet tests every
+    row group's stats and footer bloom before reading a page.  The
+    pushdown is only effective while ``_IN_THRESHOLD_CONF`` covers
+    ``len(keys)`` AT EXECUTION time (the conf is read when the scan is
+    planned, i.e. at the action, not when this frame is built) —
+    :func:`probe_index_new_keys` executes it inside that window."""
+    from pyspark.sql import functions as F
+
+    index = spark.read.parquet(index_path)
+    return index.filter(F.col(key).isin(list(keys))).select(key).distinct()
+
+
 def probe_index_new_keys(
     spark: SparkSession,
     index_path: str,
@@ -103,34 +125,51 @@ def probe_index_new_keys(
       stats and the footer blooms written by
       :func:`write_fingerprint_index` — row groups with no probe key
       are never read.  ``spark.sql.parquet.pushdown.inFilterThreshold``
-      is raised to ``max_inlist`` for the session: above it Spark
+      must cover ``max_inlist`` while that scan RUNS (above it Spark
       degrades the pushed IN to a min/max range, which a hash keyspace
-      never prunes (measured — full index read);
-    * larger probes → broadcast LEFT SEMI pre-filter (the exact
+      never prunes — measured, full index read), so the probe is
+      executed EAGERLY here, inside a save/restore window around the
+      session conf (a lazy return would read the restored — too low —
+      threshold at action time and silently lose the pushdown; and
+      without the restore every later scan in the session would
+      inherit a 10k-entry IN-pushdown threshold).  The collected hit
+      set is ≤ the probe set (≤ ``max_inlist`` keys) by construction,
+      so the eager step is bounded driver state, and the returned
+      frame is a map-side literal filter on the day batch — no join,
+      no shuffle;
+    * larger probes → lazy broadcast LEFT SEMI pre-filter (the exact
       zero-false-positive bloom of queries/mixing.dedup_incremental),
       which prunes post-scan instead of at the scan.
 
-    Either way the result is identical to the plain anti-join.
+    Either way the result is identical to the plain anti-join
+    (including null-key day rows, which an anti-join keeps).
     """
     from pyspark.sql import functions as F
 
     keys_df = day.select(key).distinct()
     keys = [r[0] for r in keys_df.limit(max_inlist + 1).collect()]
     if len(keys) <= max_inlist:
-        cur = int(
-            spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+        prior = spark.conf.get(_IN_THRESHOLD_CONF)
+        try:
+            if int(prior) < max_inlist:
+                spark.conf.set(_IN_THRESHOLD_CONF, str(max_inlist))
+            hit_keys = [
+                r[0]
+                for r in probe_index_hits(
+                    spark, index_path, keys, key
+                ).collect()
+            ]
+        finally:
+            spark.conf.set(_IN_THRESHOLD_CONF, prior)
+        if not hit_keys:
+            return day
+        # Anti-join parity: null keys never match, so they survive.
+        return day.filter(
+            F.col(key).isNull() | ~F.col(key).isin(hit_keys)
         )
-        if cur < max_inlist:
-            spark.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold",
-                str(max_inlist),
-            )
-    index = spark.read.parquet(index_path)
-    if len(keys) <= max_inlist:
-        hits = index.filter(F.col(key).isin(keys)).select(key).distinct()
-    else:
-        hits = (
-            index.join(F.broadcast(keys_df), on=key, how="left_semi")
-            .select(key).distinct()
-        )
+    hits = (
+        spark.read.parquet(index_path)
+        .join(F.broadcast(keys_df), on=key, how="left_semi")
+        .select(key).distinct()
+    )
     return day.join(hits, on=key, how="left_anti")

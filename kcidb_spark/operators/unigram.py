@@ -50,15 +50,25 @@ def word_freqs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def oov_cost(costs: dict[str, float]) -> float:
+    """The out-of-vocabulary character penalty for a cost table —
+    computed ONCE per table (it is an O(|vocab|) scan; at 32k-vocab
+    scale recomputing it per word would dwarf the Viterbi DP itself)
+    and passed into :func:`viterbi_segment` by every batch loop."""
+    return max(costs.values()) + 10.0 if costs else 10.0
+
+
 def viterbi_segment(word: str, costs: dict[str, float],
-                    max_piece_len: int) -> list[str]:
+                    max_piece_len: int, oov: float | None = None) -> list[str]:
     """Min-cost segmentation of ``word`` into vocabulary pieces.
     Deterministic: on equal cost the LONGER piece wins, then the
     lexicographically smaller one.  Single characters are assumed
     present in ``costs`` (the closure guarantee); characters outside
     the vocabulary get an out-of-vocabulary penalty cost so
-    segmentation never fails."""
-    oov = max(costs.values()) + 10.0 if costs else 10.0
+    segmentation never fails.  Callers segmenting many words should
+    pass ``oov`` precomputed via :func:`oov_cost`."""
+    if oov is None:
+        oov = oov_cost(costs)
     n = len(word)
     # best[i] = (cost, -final_piece_len, final_piece, start_of_final):
     # plain tuple comparison IS the deterministic total order (cost,
@@ -100,10 +110,11 @@ def _count_pieces(words: DataFrame, costs: dict[str, float],
         import pandas as pd
 
         cost_map, mpl = bc.value
+        oov = oov_cost(cost_map)
         for pdf in batches:
             counts: dict[str, int] = {}
             for word, freq in zip(pdf["word"], pdf["freq"]):
-                for piece in viterbi_segment(word, cost_map, mpl):
+                for piece in viterbi_segment(word, cost_map, mpl, oov):
                     counts[piece] = counts.get(piece, 0) + int(freq)
             yield pd.DataFrame(
                 {"piece": list(counts), "n": list(counts.values())}
@@ -166,6 +177,7 @@ def unigram_train(
         # Empty corpus: an empty vocabulary with the output schema.
         return spark.createDataFrame([], schema)
     costs = to_costs(seed)
+    counted = dict(seed)  # n_rounds=0 → the seed IS the vocabulary
     for _ in range(n_rounds):
         counted = {
             r["piece"]: r["n"]
@@ -230,6 +242,7 @@ def unigram_encode(
         import pandas as pd
 
         cost_map, mpl = bc.value
+        oov = oov_cost(cost_map)
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             out = []
@@ -238,7 +251,7 @@ def unigram_encode(
                 for w in toks:
                     seg = cache.get(w)
                     if seg is None:
-                        seg = viterbi_segment(w, cost_map, mpl)
+                        seg = viterbi_segment(w, cost_map, mpl, oov)
                         cache[w] = seg
                     pieces.extend(seg)
                 out.append(pieces)
@@ -247,8 +260,11 @@ def unigram_encode(
     toks = tokenized(docs, id_col, text_col).select(
         F.col(id_col).alias("id"), "tokens"
     )
+    # The id column keeps ITS declared type through the Python hop —
+    # a string/int id store must not be silently cast to long.
+    id_type = docs.schema[id_col].dataType.simpleString()
     return (
-        toks.mapInPandas(run, schema="id long, pieces array<string>")
+        toks.mapInPandas(run, schema=f"id {id_type}, pieces array<string>")
         .select(
             F.col("id").alias(id_col),
             "pieces",

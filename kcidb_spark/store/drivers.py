@@ -161,13 +161,21 @@ class MuxStore:
     def load(self, data: dict[str, Any], timestamp=None) -> None:
         from kcidb_spark.schema.io import upgrade as io_upgrade
 
-        mux_major = self.io_version()[0]
-        data_major = data.get("version", {}).get("major")
-        if data_major != mux_major:
+        mux_major, mux_minor = self.io_version()
+        ver = data.get("version", {})
+        data_major = ver.get("major")
+        data_minor = ver.get("minor", 0)
+        # Direct compatibility, as the reference mux requires
+        # (io_schema.is_compatible_directly): same major AND the
+        # report's minor must not exceed the mux schema minor — a
+        # v5.9 report against a v5.3 mux must fail HERE with an
+        # actionable message, not later in per-member field
+        # validation (or silently, if no new fields are used).
+        if data_major != mux_major or (data_minor or 0) > mux_minor:
             raise ValueError(
-                f"report is v{data_major} but the mux schema is"
-                f" v{mux_major} (the lowest member schema) — upgrade()"
-                f" the mux first"
+                f"report is v{data_major}.{data_minor} but the mux"
+                f" schema is v{mux_major}.{mux_minor} (the lowest"
+                f" member schema) — upgrade() the mux first"
             )
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
         for m in self.members:

@@ -590,3 +590,28 @@ def test_db_init_cleanup_mux_fanout(monkeypatch, capsys, spark, tmp_path):
     rc, _ = run_cli(monkeypatch, capsys, ["db-cleanup", "-d", spec])
     assert rc == 0
     assert not os.path.exists(a) and not os.path.exists(b)
+
+
+def test_db_init_null_member_is_noop(monkeypatch, capsys, spark, tmp_path):
+    """A 'null' member spec in db-init/db-cleanup is a no-op success
+    (reference null driver) — it must NOT create a literal ./null
+    directory via the generic parquet branch (ADVICE r7)."""
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        a = str(tmp_path / "fan_a")
+        spec = f"mux:null {a}"
+        rc, _ = run_cli(monkeypatch, capsys, ["db-init", "-d", spec])
+        assert rc == 0
+        assert not os.path.exists(tmp_path / "null")
+        assert os.path.exists(os.path.join(a, "_schema.json"))
+        rc, _ = run_cli(monkeypatch, capsys, ["db-cleanup", "-d", spec])
+        assert rc == 0
+        assert not os.path.exists(a)
+        rc, _ = run_cli(monkeypatch, capsys, ["db-init", "-d", "null"])
+        assert rc == 0
+        assert not os.path.exists(tmp_path / "null")
+    finally:
+        os.chdir(cwd)

@@ -194,6 +194,8 @@ def test_fingerprint_index_inlist_pushdown(spark, tmp_path):
         F.md5(F.col("id").cast("string")).alias("th"),
         F.col("id").alias("doc_id"),
     )
+    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prior = spark.conf.get(conf_key)
     out = probe_index_new_keys(spark, idx_path, day, max_inlist=1000)
     plain = day.join(
         spark.read.parquet(idx_path), on="th", how="left_anti"
@@ -201,8 +203,24 @@ def test_fingerprint_index_inlist_pushdown(spark, tmp_path):
     assert {r["doc_id"] for r in out.collect()} == {
         r["doc_id"] for r in plain.collect()
     } == set(range(5000, 5050))
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "In(th, [" in plan, "IN-list not pushed to the index scan"
+    # The probe must not leak its raised IN-pushdown threshold into
+    # the session (every later scan would inherit it).
+    assert spark.conf.get(conf_key) == prior
+
+    # The internal probe scan pushes the literal IN list — assert it
+    # on the lazy probe frame, executed inside the same conf window
+    # probe_index_new_keys uses (the conf is read at action time).
+    from kcidb_spark.operators.bucketing import probe_index_hits
+
+    probe_keys = [r["th"] for r in day.select("th").distinct().collect()]
+    try:
+        spark.conf.set(conf_key, "1000")
+        hits = probe_index_hits(spark, idx_path, probe_keys)
+        assert hits.count() == 50
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "In(th, [" in plan, "IN-list not pushed to the index scan"
+    finally:
+        spark.conf.set(conf_key, prior)
 
     # Above the inline cap: broadcast-semi path, same result.
     out2 = probe_index_new_keys(spark, idx_path, day, max_inlist=10)

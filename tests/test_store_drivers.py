@@ -147,6 +147,19 @@ def test_mux_schema_version_lattice(spark, tmp_path):
         got = {r["id"] for r in member.table("tests").select("id").collect()}
         assert comp_ids <= got
 
+    # Direct compatibility also bounds the MINOR version (reference
+    # io_schema.is_compatible_directly): a report newer in minor than
+    # the mux schema is rejected up front, not in per-member field
+    # validation (ADVICE r7).
+    future_minor = {
+        "version": {
+            "major": STORE_VERSION[0], "minor": STORE_VERSION[1] + 6
+        },
+        "builds": [],
+    }
+    with pytest.raises(ValueError, match="upgrade"):
+        mux.load(future_minor)
+
 
 def test_driver_maintenance_surface(spark, tmp_path):
     """Every driver answers the full store surface the CLI db-* verbs

@@ -193,3 +193,33 @@ def test_encode_round_trip(spark, docs):
 def test_word_freqs(spark, docs):
     wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
     assert wf["interface"] == 3 and wf["the"] == 4
+
+
+def test_train_zero_rounds_returns_seed(spark, docs):
+    """n_rounds=0 must return the (truncated) seed vocabulary, not
+    raise NameError (ADVICE r7)."""
+    rows = unigram_train(docs, vocab_size=24, n_rounds=0).collect()
+    assert len(rows) > 0
+    pieces = {r["piece"] for r in rows}
+    corpus_chars = {c for _, t in CORPUS for c in t if c.isalnum()}
+    assert corpus_chars <= pieces
+
+
+def test_encode_preserves_id_type(spark, docs):
+    """unigram_encode keeps the id column's declared type through the
+    Python hop — a string-id store must not be cast to long
+    (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    rules = unigram_train(docs, vocab_size=24).collect()
+    vocab = [(r["piece"], r["logprob"]) for r in rules]
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    out = unigram_encode(sdocs, vocab)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {f"doc-{i}" for i, _ in CORPUS}
