@@ -486,64 +486,102 @@ def _ivf_oracle() -> str:
     """)
 
 
+def _ivf_nprobe_oracle(nprobe: int) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    cos_v_cv = cos.format(a="v", b="cv")
+    cos_qv_nv = cos.format(a="p.qv", b="m.v")
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, v AS qv FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= {nprobe}
+        )
+        SELECT q_id, n_id, sim FROM (
+            SELECT p.q_id, m.vec_id AS n_id, {cos_qv_nv} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {cos_qv_nv} DESC, m.vec_id
+                   ) AS rn
+            FROM probes p
+            JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+        ) WHERE rn <= {_IVF_K}
+    """)
+
+
 @register("ann_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor: coarse-quantize every
     vector to its nearest centroid (tiny centroid set → broadcast
-    cross join, zero shuffle for the assignment scan), then answer
-    queries by scanning ONLY their own cluster.  Search cost is
-    O(cluster), not O(corpus) — the standard inverted-file trade.
-    Centroids here are the first {_IVF_CENTROIDS} vectors
-    (deterministic stand-in for a k-means step).
+    cross join + map-side min_by partial agg, no corpus-wide sort),
+    then answer queries by scanning ONLY their own cluster.  Search
+    cost is O(cluster), not O(corpus) — the standard inverted-file
+    trade.  Centroids here are the first {_IVF_CENTROIDS} vectors
+    (deterministic stand-in for a k-means step).  nprobe=1 — the
+    fastest/lowest-recall point; ann_ivf_nprobe_topk is the recall
+    dial (tests/test_ann_recall.py measures the curve).
     """
-    from kcidb_spark.operators.similarity import dot_expr as _dot
+    from kcidb_spark.operators.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    # Norm precomputed per vector and carried (identical doubles):
-    # assignment + in-cluster search drop from 3 to 1 dot products
-    # per comparison.
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", F.expr(f"sqrt({_dot('v', 'v')})"))
-    cents = (
-        vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
-        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
-                F.col("nrm").alias("cn"))
     )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc("c_sim"), F.asc("c_id")
+    return ivf_topk(
+        vecs, _IVF_CENTROIDS, _IVF_QUERIES, _IVF_K, nprobe=1
     )
-    assign = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "c_id", "v", "nrm",
-            F.expr(f"round({_dot('v', 'cv')} / (nrm * cn), 4)")
-            .alias("c_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "c_id", "v", "nrm")
+
+
+_IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_nprobe_topk",
+    oracle=_ivf_nprobe_oracle(_IVF_NPROBE),
+    tags=("similarity", "ivf"),
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-cluster probing: each query probes its
+    {_IVF_NPROBE} nearest coarse clusters and ranks the union of
+    their members — the production recall dial (nprobe=1 misses true
+    neighbors that quantize across a Voronoi boundary; recall@k rises
+    monotonically with nprobe at O(nprobe·cluster) search cost,
+    measured in tests/test_ann_recall.py and SCALE.md).
+    """
+    from kcidb_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("c_id"),
-        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
-    )
-    m = assign.select(
-        F.col("vec_id").alias("n_id"), F.col("c_id"),
-        F.col("v").alias("nv"), F.col("nrm").alias("nn"),
-    )
-    w_rank = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    return (
-        m.join(F.broadcast(q), on="c_id")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id", "n_id",
-            F.expr(f"round({_dot('qv', 'nv')} / (qn * nn), 4)")
-            .alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _IVF_K)
-        .select("q_id", "n_id", "sim")
+    return ivf_topk(
+        vecs, _IVF_CENTROIDS, _IVF_QUERIES, _IVF_K, nprobe=_IVF_NPROBE
     )
 
 

@@ -442,6 +442,96 @@ def _adc_oracle() -> str:
     """)
 
 
+def _adc_nprobe_oracle(nprobe: int) -> str:
+    d2 = (
+        "list_dot_product(a, a) - 2 * list_dot_product(a, b)"
+        " + list_dot_product(b, b)"
+    )
+    d2_sub_cw = d2.replace("a, a", "sub, sub").replace(
+        "a, b", "sub, cw").replace("b, b", "cw, cw")
+    d2_v_cv = d2.replace("a, a", "v, v").replace(
+        "a, b", "v, cv").replace("b, b", "cv, cv")
+    d2_qsub_cw = d2.replace("a, a", "qsub, qsub").replace(
+        "a, b", "qsub, cw").replace("b, b", "cw, cw")
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_ADC_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY CAST(floor({_ADC_SCALE} * ({d2_v_cv}))
+                                    AS BIGINT), cents.c_id) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        qprobes AS (
+            SELECT q_id, c_id FROM (
+                SELECT vecs.vec_id AS q_id, cents.c_id,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY CAST(floor({_ADC_SCALE} * ({d2_v_cv}))
+                                    AS BIGINT), cents.c_id) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_ADC_QUERIES}
+            ) WHERE rn <= {nprobe}
+        ),
+        subs AS (
+            SELECT vec_id, s,
+                   v[s*{_ADC_DIMS}+1 : s*{_ADC_DIMS}+{_ADC_DIMS}] AS sub
+            FROM vecs CROSS JOIN (
+                SELECT unnest(generate_series(0, {_ADC_SUBS - 1})) AS s)
+        ),
+        cbook AS (
+            SELECT vec_id AS m, s, sub AS cw FROM subs
+            WHERE vec_id < {_ADC_CODES}
+        ),
+        codes AS (
+            SELECT vec_id, s, m FROM (
+                SELECT subs.vec_id, subs.s, cbook.m,
+                       row_number() OVER (
+                           PARTITION BY subs.vec_id, subs.s
+                           ORDER BY CAST(floor({_ADC_SCALE} * ({d2_sub_cw}))
+                                    AS BIGINT), cbook.m) AS rn
+                FROM subs JOIN cbook ON subs.s = cbook.s
+            ) WHERE rn = 1
+        ),
+        dt AS (
+            SELECT q.vec_id AS q_id, q.s, cbook.m,
+                   CAST(floor({_ADC_SCALE} * ({d2_qsub_cw})) AS BIGINT) AS d
+            FROM (SELECT vec_id, s, sub AS qsub FROM subs
+                  WHERE vec_id < {_ADC_QUERIES}) q
+            JOIN cbook ON q.s = cbook.s
+        ),
+        adc AS (
+            SELECT dt.q_id, codes.vec_id AS n_id,
+                   CAST(sum(dt.d) AS BIGINT) AS adc_micro
+            FROM codes
+            JOIN assign na ON codes.vec_id = na.vec_id
+            JOIN qprobes qa ON qa.c_id = na.c_id
+            JOIN dt ON dt.q_id = qa.q_id AND dt.s = codes.s
+                   AND dt.m = codes.m
+            WHERE codes.vec_id != qa.q_id
+            GROUP BY dt.q_id, codes.vec_id
+        )
+        SELECT q_id, n_id, adc_micro, rk FROM (
+            SELECT q_id, n_id, adc_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY adc_micro, n_id
+                   ) AS BIGINT) AS rk
+            FROM adc
+        ) WHERE rk <= {_ADC_K}
+    """)
+
+
 @register("ivf_pq_adc_topk", oracle=_adc_oracle(), tags=("similarity", "ivf"))
 def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search (Jégou et al. 2011, §IV): queries scan only their
@@ -460,6 +550,27 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8-term ADC sum is integer-associative — bit-identical under
     any aggregation order (a raw double sum would not be).
     """
+    return _adc_search(spark, sf_dir, nprobe=1)
+
+
+_ADC_NPROBE = 2
+
+
+@register(
+    "ivf_pq_adc_nprobe_topk",
+    oracle=_adc_nprobe_oracle(_ADC_NPROBE),
+    tags=("similarity", "ivf"),
+)
+def ivf_pq_adc_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search probing {_ADC_NPROBE} coarse clusters per
+    query — the recall dial on the compressed-domain path (same ADC
+    distance tables; the candidate set is the union of the probed
+    clusters' members, still O(nprobe·cluster) code lookups, never
+    the corpus)."""
+    return _adc_search(spark, sf_dir, nprobe=_ADC_NPROBE)
+
+
+def _adc_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     d2 = "{dot_aa} - 2 * {dot_ab} + {dot_bb}"
 
     def _d2(a: str, b: str) -> F.Column:
@@ -512,15 +623,32 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _d2("qsub", "cw").alias("d"),
         )
     )
-    q_assign = assign.filter(F.col("vec_id") < _ADC_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "c_id"
-    )
+    if nprobe == 1:
+        q_probe = assign.filter(F.col("vec_id") < _ADC_QUERIES).select(
+            F.col("vec_id").alias("q_id"), "c_id"
+        )
+    else:
+        # Top-nprobe centroids per QUERY — a window over the tiny
+        # query×centroid frame only (ordering (d, c_id) matches the
+        # min_by struct order of the nprobe=1 assignment).
+        w_probe = W.partitionBy("q_id").orderBy("d", "c_id")
+        q_probe = (
+            vecs.filter(F.col("vec_id") < _ADC_QUERIES)
+            .crossJoin(F.broadcast(cents))
+            .select(
+                F.col("vec_id").alias("q_id"), "c_id",
+                _d2("v", "cv").alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= nprobe)
+            .select("q_id", "c_id")
+        )
     n_codes = codes.join(assign, on="vec_id").withColumnRenamed(
         "vec_id", "n_id"
     )
     w_rank = W.partitionBy("q_id").orderBy("adc_micro", "n_id")
     return (
-        n_codes.join(F.broadcast(q_assign), on="c_id")
+        n_codes.join(F.broadcast(q_probe), on="c_id")
         .filter(F.col("n_id") != F.col("q_id"))
         .join(F.broadcast(dt), on=["q_id", "s", "m"])
         .groupBy("q_id", "n_id")

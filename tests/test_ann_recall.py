@@ -1,0 +1,85 @@
+"""ANN recall contract (VERDICT r7 #1): the one quality dimension of
+the similarity surface no hash check can see.  IVF probing loses true
+neighbors that quantize across a Voronoi boundary; the loss must (a)
+shrink monotonically as nprobe grows, (b) vanish exactly when every
+cluster is probed (nprobe = n_centroids ≡ exhaustive search), and
+(c) stay above measured floors at the operating points.  The sf0.01
+embeddings and the deterministic first-N centroids make every number
+below exactly reproducible — the floors are measured values with
+margin, not aspirations (measured curve: nprobe 1/2/4/8/16 →
+0.680/0.730/0.805/0.920/1.000; recorded in SCALE.md §ANN recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kcidb_spark.operators.similarity import cosine_topk, ivf_topk
+from kcidb_spark.tables import table
+from tests.conftest import SF_CORRECT
+
+_NQ = 20  # queries
+_K = 10  # neighbors per query
+_NC = 16  # coarse centroids
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["n_id"])
+    return out
+
+
+def _recall(bf: dict[int, set[int]], got: dict[int, set[int]]) -> float:
+    return sum(
+        len(bf[q] & got.get(q, set())) / len(bf[q]) for q in bf
+    ) / len(bf)
+
+
+def test_ivf_recall_curve(spark):
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bf = _topk_sets(
+        cosine_topk(emb.filter(F.col("vec_id") < _NQ), emb, k=_K)
+    )
+    assert len(bf) == _NQ and all(len(s) == _K for s in bf.values())
+
+    recalls = {
+        nprobe: _recall(
+            bf, _topk_sets(ivf_topk(vecs, _NC, _NQ, _K, nprobe=nprobe))
+        )
+        for nprobe in (1, 2, 4, 8, _NC)
+    }
+    # (a) monotone non-decreasing in nprobe.
+    curve = [recalls[n] for n in (1, 2, 4, 8, _NC)]
+    assert curve == sorted(curve), f"recall not monotone: {recalls}"
+    # (b) probing every cluster IS brute force.
+    assert recalls[_NC] == 1.0, recalls
+    # (c) measured floors with margin (deterministic data + centroids,
+    # so these are stable; a probe-routing bug craters them).
+    assert recalls[1] >= 0.5, recalls
+    assert recalls[4] >= 0.7, recalls
+    assert recalls[8] >= 0.85, recalls
+
+
+def test_ivf_nprobe_full_equals_bruteforce_rows(spark):
+    """At nprobe = n_centroids the per-query result ROWS (ids and
+    rounded sims, not just the id sets) must equal the brute-force
+    top-k — same ranking window, same tie-breaks."""
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bf = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") < _NQ), emb, k=_K
+        ).collect()
+    }
+    iv = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in ivf_topk(vecs, _NC, _NQ, _K, nprobe=_NC).collect()
+    }
+    assert bf == iv
