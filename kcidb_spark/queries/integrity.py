@@ -944,7 +944,13 @@ def f_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # answers in test_sketches.py instead.
 
 
-@register("sketch_distinct_users", oracle=None, tags=("A", "sketch"))
+@register(
+    "sketch_distinct_users",
+    oracle=None,
+    tags=("A", "sketch"),
+    schema="event_type string, approx_users bigint, exact_users bigint,"
+    " rel_err_pct double",
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via HyperLogLog++
     (``approx_count_distinct``, rsd=2%) next to the exact count —
@@ -972,7 +978,13 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_value_quantiles", oracle=None, tags=("A", "sketch"))
+@register(
+    "sketch_value_quantiles",
+    oracle=None,
+    tags=("A", "sketch"),
+    schema="event_type string, approx_p50 double, approx_p95 double,"
+    " exact_p50 double, exact_p95 double",
+)
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value quantiles via the Greenwald-Khanna sketch
     (``percentile_approx``, accuracy 1/ε=10000) — the re-aggregable

@@ -712,6 +712,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(corpus_hits, on="th", how="left_anti").select("doc_id", "th")
 
 
+@register(
+    "dedup_incremental_indexed",
+    oracle=dedent(f"""
+        WITH d AS (
+            SELECT doc_id, md5({_NORM_SQL}) AS th,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS g
+            FROM documents
+        )
+        SELECT doc_id, th FROM d
+        WHERE g < '4' AND NOT EXISTS (
+            SELECT 1 FROM d c WHERE c.g >= '4' AND c.th = d.th)
+    """),
+    tags=("dedup", "pipeline", "index"),
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental routed through the PERSISTED fingerprint
+    index: the already-ingested corpus's fingerprints live in a
+    range-partitioned parquet index with per-file-sized footer blooms
+    (operators/bucketing.write_fingerprint_index), and the day batch
+    probes it with a literal IN predicate PUSHED INTO the index scan
+    (probe_index_new_keys) — row groups whose stats/blooms exclude
+    every probe key are never read.  Same anti-join semantics as
+    dedup_incremental (identical oracle); what changes is WHERE the
+    pruning happens: at the scan instead of after it.  At 100 TB the
+    per-ingest index cost drops from "scan the index" to "read the
+    row groups whose blooms fire".  The pushed-IN plan itself is
+    asserted in tests/test_skew_bucketing.py; this entry pins the
+    RESULT against the cross-engine oracle.
+    """
+    import os
+    import tempfile
+
+    from kcidb_spark.operators.bucketing import (
+        probe_index_new_keys,
+        write_fingerprint_index,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    with_h = docs.select(
+        "doc_id",
+        F.md5(_norm_text(F.col("text"))).alias("th"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("g"),
+    )
+    new = with_h.filter(F.col("g") < "4").select("doc_id", "th")
+    corpus = with_h.filter(F.col("g") >= "4").select("th").distinct()
+    # Deterministic per-sf index path (overwrite mode — rebuilding is
+    # the honest cost of this entry; a real pipeline writes the index
+    # once per ingest cycle and probes it many times).
+    idx_path = os.path.join(
+        tempfile.gettempdir(),
+        "kcidb_spark_fpindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_fingerprint_index(corpus, idx_path, key="th")
+    return probe_index_new_keys(spark, idx_path, new, key="th").select(
+        "doc_id", "th"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality gate: drop the per-language bottom quartile (integer-exact)
 # ---------------------------------------------------------------------------
@@ -941,6 +1000,8 @@ def bpe_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark loop must reproduce a pure-Python reference BPE trainer
     # rule-for-rule, tie-breaks included.
     tags=("pipeline", "tokenize", "iterative"),
+    schema="rank int, round int, left string, right string,"
+    " merged string, pair_freq bigint",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL BPE tokenizer training (Sennrich et al., arXiv:1508.07909)
@@ -964,6 +1025,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trainer pinned piece-for-piece against an independent
     # pure-Python reference.
     tags=("pipeline", "tokenize", "iterative"),
+    schema="rank int, piece string, logprob double, count bigint",
 )
 def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (SentencePiece's unigram model,

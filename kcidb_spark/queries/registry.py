@@ -18,6 +18,10 @@ class Query:
     tags: tuple[str, ...] = ()
     #: Queries worth timing in bench.py (headline set).
     bench: bool = field(default=True)
+    #: Declared output schema (Spark DDL) — REQUIRED for oracle-less
+    #: queries, where no cross-engine column check exists; pinned on
+    #: empty input by tests/test_empty_corpus.py.
+    schema: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -28,13 +32,22 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = True,
+    schema: str | None = None,
 ):
     """Decorator adding a Spark query (+ optional DuckDB oracle) to REGISTRY."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, tags=tags, bench=bench)
+        if oracle is None and schema is None:
+            raise ValueError(
+                f"query {name!r} has neither oracle nor declared schema —"
+                " oracle-less queries must pin their output schema"
+            )
+        REGISTRY[name] = Query(
+            name=name, spark=fn, oracle=oracle, tags=tags, bench=bench,
+            schema=schema,
+        )
         return fn
 
     return deco

@@ -47,6 +47,69 @@ def test_every_query_survives_empty_corpus(spark, empty_sf):
     assert not failures, "\n".join(failures)
 
 
+def test_empty_corpus_schema_matches_declaration(spark, empty_sf):
+    """Schema pin for the ORACLE-LESS queries (r7 verdict #7): the
+    rows-only trainers/sketches have no cross-engine column check, so
+    their registration must DECLARE an output schema (register()
+    enforces this) and the empty-input result must match it exactly —
+    names, types, and order.  Together with
+    test_empty_corpus_schema_matches_oracle this makes the zero-row
+    schema assertion total over the registry."""
+    from pyspark.sql.types import StructType
+
+    failures = []
+    covered = 0
+    for name, q in sorted(REGISTRY.items()):
+        if q.oracle is not None:
+            continue
+        covered += 1
+        try:
+            declared = StructType.fromDDL(q.schema)
+            got = q.spark(spark, empty_sf).schema
+            # Names + types + order; nullability flags are
+            # planner-dependent, not part of the contract.
+            if [(f.name, f.dataType) for f in got] != [
+                (f.name, f.dataType) for f in declared
+            ]:
+                failures.append(
+                    f"{name}: got {got.simpleString()}"
+                    f" declared {declared.simpleString()}"
+                )
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+        finally:
+            release_persisted()
+    assert covered >= 4  # the rows-only quartet at minimum
+    assert not failures, "\n".join(failures)
+
+
+def test_declared_schema_matches_real_input(spark):
+    """The declared DDL must describe the REAL output too, not just
+    the degenerate empty case — otherwise the pin could drift from
+    production shape while staying self-consistent on zero rows."""
+    from pyspark.sql.types import StructType
+
+    failures = []
+    for name, q in sorted(REGISTRY.items()):
+        if q.schema is None:
+            continue
+        try:
+            declared = StructType.fromDDL(q.schema)
+            got = q.spark(spark, "/root/testdata/sf0.001").schema
+            if [(f.name, f.dataType) for f in got] != [
+                (f.name, f.dataType) for f in declared
+            ]:
+                failures.append(
+                    f"{name}: got {got.simpleString()}"
+                    f" declared {declared.simpleString()}"
+                )
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+        finally:
+            release_persisted()
+    assert not failures, "\n".join(failures)
+
+
 def test_empty_corpus_schema_matches_oracle(spark, empty_sf):
     """Schema parity on EMPTY input (r6 verdict #8): the classic
     empty-relation divergence is a query whose column set is derived
