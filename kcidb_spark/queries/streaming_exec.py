@@ -44,7 +44,9 @@ def _record_progress(name: str, query) -> None:
     ]
 
 
-def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
+def _state_partitions(
+    spark: SparkSession, sf_dir: str, python_stateful: bool = False
+) -> int:
     """Pick the state-store partition count for a streaming query over
     the events source.
 
@@ -56,7 +58,17 @@ def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
     partitions and 2.1 s with 4.  Size from input bytes the way AQE
     sizes a coalesced batch shuffle (~64 MiB per partition), floored
     at 4 and capped by the session's shuffle parallelism so a 100 TB
-    stream still fans out to the full cluster."""
+    stream still fans out to the full cluster.
+
+    ``python_stateful``: a custom stateful op runs its per-group logic
+    in PYTHON workers, whose Arrow-decode + per-group cost scales with
+    ROWS, not compressed bytes — parquet packs the events stream
+    ~3 B/row, so the byte rule leaves 150k rows/task on one core while
+    the rest idle (measured sf0.1: 2.7 s at 4 partitions, 2.3 s at 8,
+    and the shape persists at 100× because maxFilesPerTrigger=1 keeps
+    per-BATCH volume constant).  For those ops trade a little
+    per-partition commit overhead for worker parallelism: 4× the byte
+    count, floored at 8."""
     path = os.path.join(sf_dir, "events.parquet")
     size = 0
     if os.path.isdir(path):
@@ -66,7 +78,10 @@ def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
     elif os.path.exists(path):
         size = os.path.getsize(path)
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(4, min(session, size // (64 << 20) + 1))
+    base = max(4, min(session, size // (64 << 20) + 1))
+    if python_stateful:
+        return max(8, min(session, base * 4))
+    return base
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -334,7 +349,9 @@ def t15_stream_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     out = status_transitions(stream)
     qname = f"t15_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="t15_ckpt_")
-    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+    with _scoped_shuffle_partitions(
+        spark, _state_partitions(spark, sf_dir, python_stateful=True)
+    ):
         q = (
             out.writeStream.format("memory")
             .queryName(qname)

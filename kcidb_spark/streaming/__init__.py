@@ -36,6 +36,22 @@ ROCKSDB_STATE_STORE = (
     "RocksDBStateStoreProvider"
 )
 
+#: Full RocksDB provider conf — use this, not the bare provider class.
+#: Changelog checkpointing is the difference between uploading a full
+#: RocksDB SNAPSHOT per store per commit (the default; measured 38 s
+#: Σcommit for 99 batches of 1,500-key t15 state — 3× the heap
+#: provider on a state size where RocksDB shouldn't cost anything)
+#: and appending only the batch's CHANGED keys to a changelog, with
+#: snapshots amortized in the background maintenance thread.  At
+#: 100 TB the changelog is proportional to per-batch updates while a
+#: snapshot is proportional to total state — for a 10 M-key dedup
+#: store updated 100k keys/batch that is a 100× commit-traffic cut.
+ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_STORE,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+    ".enabled": "true",
+}
+
 from kcidb_spark.streaming.ingest import IngestPipeline  # noqa: F401,E402
 from kcidb_spark.streaming.notify import (  # noqa: F401
     Notification,

@@ -50,34 +50,73 @@ _STATE_SCHEMA = "ts_us LONG, status STRING"
 
 
 def _emit_transitions(key, pdfs, prev):
-    """Shared transition loop: (key tuple, iterator of pandas chunks,
-    (prev_ts, prev_status) or (None, None)) → (output DataFrame,
-    new state tuple)."""
+    """Shared transition detector: (key tuple, iterator of pandas
+    chunks, (prev_ts, prev_status) or (None, None)) → (output
+    DataFrame, new state tuple).
+
+    Vectorized (r7 verdict #5): the stateful path's cost is per-KEY
+    Python overhead × |keys| per micro-batch, so the comparison is a
+    numpy shift-compare over the whole group instead of a per-row
+    Python loop (~400 rows/key × 1,500 keys = 600k interpreted
+    iterations per batch before; one array op now), chunk concat is
+    skipped for the common single-chunk delivery, and groups with no
+    transition return a zero-copy empty frame."""
+    import numpy as np
     import pandas as pd
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    chunks = list(pdfs)
+    batch = (
+        chunks[0]
+        if len(chunks) == 1
+        else pd.concat(chunks, ignore_index=True)
+    )
     # Deterministic within-batch sequence; mergesort = stable.
     batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
-    prev_ts, prev_status = prev
-    out_prev: list = []
-    out_curr: list = []
-    out_ts: list = []
-    for ts, status in zip(batch["ts_us"], batch["status"]):
-        if prev_status is not None and status != prev_status:
-            out_prev.append(prev_status)
-            out_curr.append(status)
-            out_ts.append(int(ts))
-        prev_status = status
-        prev_ts = int(ts)
+    _, prev_status = prev
+    status = batch["status"].to_numpy(dtype=object)
+    ts = batch["ts_us"].to_numpy()
+    n = len(status)
+    if n == 0:
+        return _EMPTY_OUT(), prev
+    shifted = np.empty(n, dtype=object)
+    shifted[0] = prev_status
+    shifted[1:] = status[:-1]
+    if prev_status is None:
+        mask = np.not_equal(status, shifted)
+        mask[0] = False
+    else:
+        mask = np.not_equal(status, shifted)
+    new_state = (int(ts[-1]), status[-1])
+    if not mask.any():
+        return _EMPTY_OUT(), new_state
     out = pd.DataFrame(
         {
-            "user_id": pd.array([key[0]] * len(out_ts), dtype="int64"),
-            "prev_status": pd.array(out_prev, dtype="object"),
-            "status": pd.array(out_curr, dtype="object"),
-            "ts_us": pd.array(out_ts, dtype="int64"),
+            "user_id": np.full(int(mask.sum()), key[0], dtype="int64"),
+            "prev_status": shifted[mask],
+            "status": status[mask],
+            "ts_us": ts[mask].astype("int64"),
         }
     )
-    return out, (prev_ts, prev_status)
+    return out, new_state
+
+
+def _EMPTY_OUT():
+    """Schema-correct empty output frame (built once per worker)."""
+    import pandas as pd
+
+    global _EMPTY_CACHE
+    try:
+        return _EMPTY_CACHE
+    except NameError:
+        _EMPTY_CACHE = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "prev_status": pd.array([], dtype="object"),
+                "status": pd.array([], dtype="object"),
+                "ts_us": pd.array([], dtype="int64"),
+            }
+        )
+        return _EMPTY_CACHE
 
 
 def transform_with_state_available() -> bool:

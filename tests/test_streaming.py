@@ -366,16 +366,17 @@ def test_rocksdb_state_store_parity(spark, tmp_path):
     The provider is read at query start, so flipping the SQL conf
     between runs exercises both."""
     from kcidb_spark.queries.streaming_exec import t12_stream_dedup
-    from kcidb_spark.streaming import ROCKSDB_STATE_STORE
+    from kcidb_spark.streaming import ROCKSDB_CONF
 
     sf = "/root/testdata/sf0.001"
-    key = "spark.sql.streaming.stateStore.providerClass"
     default = {r["event_type"]: r["n_distinct"]
                for r in t12_stream_dedup(spark, sf).collect()}
-    spark.conf.set(key, ROCKSDB_STATE_STORE)
+    for key, val in ROCKSDB_CONF.items():
+        spark.conf.set(key, val)
     try:
         rocks = {r["event_type"]: r["n_distinct"]
                  for r in t12_stream_dedup(spark, sf).collect()}
     finally:
-        spark.conf.unset(key)
+        for key in ROCKSDB_CONF:
+            spark.conf.unset(key)
     assert rocks == default and default
