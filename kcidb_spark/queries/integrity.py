@@ -979,6 +979,49 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_union_rollup",
+    oracle=None,
+    tags=("A", "sketch"),
+    schema="event_type string, union_users bigint, direct_users bigint,"
+    " exact_users bigint",
+)
+def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-ROLLUP path behind the sketches' 100 TB claim, made
+    explicit: per-(type, day) HLL sketches (Apache DataSketches,
+    ``hll_sketch_agg``) are built as binary columns — the shape a
+    daily rollup table persists — then merged across days with
+    ``hll_union_agg`` AFTER a repartition (the storage/stage boundary
+    a real rollup crosses), so re-aggregation never rescans raw
+    events.  Emits the union-of-partials estimate next to the
+    single-shot sketch estimate and the exact count: union == direct
+    EXACTLY (HLL union at equal lgConfigK is lossless), both inside
+    the error envelope vs exact (test_sketches.py pins both claims;
+    SCALE.md measures them at 100x)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    unioned = (
+        daily.repartition("event_type")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(False))
+            ).alias("union_users")
+        )
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("direct_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+    return unioned.join(direct, on="event_type").select(
+        "event_type", "union_users", "direct_users", "exact_users"
+    )
+
+
+@register(
     "sketch_value_quantiles",
     oracle=None,
     tags=("A", "sketch"),

@@ -33,6 +33,23 @@ def test_quantile_sketch_rank_error(spark):
             assert abs(a - e) / denom <= 0.10, r
 
 
+def test_hll_union_rollup_lossless_and_bounded(spark):
+    """The explicit stored-rollup path (sketch_hll_union_rollup):
+    union-of-daily-partials must equal the single-shot sketch EXACTLY
+    (HLL union at equal lgConfigK is lossless — a routing/merge bug
+    breaks equality immediately), and both must sit within the error
+    envelope of the exact distinct count."""
+    rows = REGISTRY["sketch_hll_union_rollup"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["union_users"] == r["direct_users"], r
+        assert r["exact_users"] > 0
+        assert (
+            abs(r["union_users"] - r["exact_users"]) / r["exact_users"]
+            <= 0.10
+        ), r
+
+
 def test_hll_is_mergeable_across_partitions(spark):
     """The scale claim: the sketch agg partial-aggregates (map-side
     combine) — its physical plan must show a partial aggregation, not
