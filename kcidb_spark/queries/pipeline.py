@@ -716,6 +716,103 @@ def ann_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_TOPK_PLANES = 4  # 16 buckets over ~500 sf0.01 vectors
+_LSH_TOPK_Q = 20
+_LSH_TOPK_K = 10
+
+
+def _lsh_topk_oracle(multiprobe: int) -> str:
+    from kcidb_spark.operators.similarity import hyperplanes
+
+    terms = []
+    for i, plane in enumerate(hyperplanes(_LSH_TOPK_PLANES, 64)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    offs = [0] + [1 << i for i in range(multiprobe)]
+    cos = (
+        "round(list_dot_product(p.qv, m.v)"
+        " / (sqrt(list_dot_product(p.qv, p.qv))"
+        "    * sqrt(list_dot_product(m.v, m.v))), 4)"
+    )
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        b AS (
+            SELECT vec_id, v, CAST({total} AS BIGINT) AS bucket
+            FROM vecs
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, v AS qv, xor(bucket, off) AS pb
+            FROM b CROSS JOIN (
+                SELECT unnest({offs!r}) AS off)
+            WHERE vec_id < {_LSH_TOPK_Q}
+        )
+        SELECT q_id, n_id, sim FROM (
+            SELECT p.q_id, m.vec_id AS n_id, {cos} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {cos} DESC, m.vec_id
+                   ) AS rn
+            FROM probes p
+            JOIN b m ON m.bucket = p.pb AND m.vec_id <> p.q_id
+        ) WHERE rn <= {_LSH_TOPK_K}
+    """)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_lsh_topk_oracle(0),
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN search end-to-end: rank only the query's own
+    sign-bucket — the fastest/lowest-recall point of the hyperplane
+    family (ann_lsh_buckets is the histogram of the same bucketing;
+    this is the search it enables).  ann_lsh_multiprobe_topk is the
+    recall dial; tests/test_ann_recall.py measures both against
+    brute force."""
+    from kcidb_spark.operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return lsh_topk(
+        vecs, _LSH_TOPK_Q, _LSH_TOPK_K,
+        multiprobe=0, n_planes=_LSH_TOPK_PLANES,
+    )
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=_lsh_topk_oracle(_LSH_TOPK_PLANES),
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search (Lv et al., VLDB 2007): each query also
+    probes every bucket at Hamming distance 1 — neighbors that fall
+    on the other side of one hyperplane (the dominant LSH failure
+    mode) come back without building more hash tables.  Probe set is
+    deterministic (all single-bit flips), so the DuckDB oracle
+    recomputes it exactly."""
+    from kcidb_spark.operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return lsh_topk(
+        vecs, _LSH_TOPK_Q, _LSH_TOPK_K,
+        multiprobe=_LSH_TOPK_PLANES, n_planes=_LSH_TOPK_PLANES,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing.  The decode stub is deterministic (payload =
 # UTF-8 text bytes), so the non-binary rollup IS oracle-checkable: the

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kcidb_spark.operators.similarity import cosine_topk, ivf_topk
+from kcidb_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from kcidb_spark.tables import table
 from tests.conftest import SF_CORRECT
 
@@ -62,6 +62,40 @@ def test_ivf_recall_curve(spark):
     assert recalls[1] >= 0.5, recalls
     assert recalls[4] >= 0.7, recalls
     assert recalls[8] >= 0.85, recalls
+
+
+def test_lsh_multiprobe_recall_curve(spark):
+    """Same contract for the hyperplane family: recall@10 must rise
+    monotonically with the number of Hamming-1 probes (each probe
+    recovers neighbors that fell on the other side of one
+    hyperplane), and the measured floors hold.  LSH trades much more
+    recall for speed than IVF at equal candidate budget — the curve
+    being LOW is expected and honest (4 planes, 16 buckets, ~31
+    candidates/probe over ~500 vectors); what must never happen is
+    multiprobe *reducing* recall."""
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bf = _topk_sets(
+        cosine_topk(emb.filter(F.col("vec_id") < _NQ), emb, k=_K)
+    )
+    recalls = {
+        mp: _recall(
+            bf,
+            _topk_sets(
+                lsh_topk(vecs, _NQ, _K, multiprobe=mp, n_planes=4)
+            ),
+        )
+        for mp in (0, 1, 2, 4)
+    }
+    curve = [recalls[m] for m in (0, 1, 2, 4)]
+    assert curve == sorted(curve), f"recall not monotone: {recalls}"
+    # Measured on the sf0.01 embeddings (deterministic planes):
+    # 0 probes ≈ single-bucket baseline; 4 probes must beat it by the
+    # boundary-neighbor margin.
+    assert recalls[4] > recalls[0], recalls
+    assert recalls[4] >= 0.3, recalls
 
 
 def test_ivf_nprobe_full_equals_bruteforce_rows(spark):
