@@ -1042,3 +1042,42 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", spread=True)
     return unigram_train(docs, vocab_size=64, n_rounds=2)
+
+
+@register(
+    "unigram_encode_pieces",
+    # No SQL oracle (Viterbi segmentation under a trained vocabulary
+    # is not SQL-expressible) — segmentation optimality is pinned
+    # against brute-force enumeration in tests/test_unigram.py; this
+    # entry's declared schema is pinned by test_empty_corpus.py and
+    # the per-doc piece hash makes any segmentation drift visible in
+    # the driver's rows-only value record.
+    tags=("pipeline", "tokenize"),
+    schema="doc_id bigint, n_pieces int, pieces_hash string",
+)
+def unigram_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE under the trained unigram vocabulary — the other half
+    of the tokenizer lifecycle (unigram_train_vocab learns it, this
+    applies it corpus-wide): train the same 64-piece vocabulary, then
+    Viterbi-segment every document.  Emits the per-doc piece count
+    and an md5 over the piece sequence (compact, deterministic — the
+    full pieces array would dominate the result without adding
+    information).
+
+    Scale shape: the vocabulary is driver-held by definition (it IS
+    the tokenizer), broadcast to an Arrow-batched ``mapInPandas``
+    with a per-worker word→segmentation memo (Zipf makes the memo hit
+    rate ≈ 1); the JVM side tokenizes, Python only segments — zero
+    shuffle at any corpus size."""
+    from kcidb_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    vocab = [
+        (r["piece"], r["logprob"])
+        for r in unigram_train(docs, vocab_size=64, n_rounds=2).collect()
+    ]
+    return unigram_encode(docs, vocab).select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws("\u0001", "pieces")).alias("pieces_hash"),
+    )
