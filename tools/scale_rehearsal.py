@@ -427,11 +427,58 @@ def run_queries(sf_dir: str, label: str, spark, names) -> dict:
     return out
 
 
+
+def synthesize_rich_corpus(spark, out_dir: str, n_words: int = 100_000,
+                           freq_top: int = 2_000) -> None:
+    """Zipf corpus with ``n_words`` DISTINCT words — the trainer
+    envelope the replicated sf0.1 corpus cannot provide (its word
+    table saturates deep BPE at 134 rules; SCALE.md r7).  Word ``r``
+    is the first 10 hex chars of md5(r) — a 16-letter alphabet with
+    dense 2-gram reuse across distinct words, so pair counts stay
+    above min_pair_freq for thousands of merges — with Zipf-ish
+    frequency ceil(freq_top / r).  Assembled into ~200-word documents
+    so the trainers run their real corpus path (normalize → tokenize
+    → word table), not a pre-cooked table."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_SYNTH_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    toks = (
+        spark.range(1, n_words + 1)
+        .select(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 10)
+            .alias("word"),
+            F.explode(
+                F.expr(f"sequence(1, int(ceil({freq_top} / id)))")
+            ).alias("copy"),
+        )
+    )
+    (
+        toks.withColumn(
+            "doc_id",
+            (F.abs(F.hash("word", "copy")) % F.lit(n_words // 100))
+            .cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("word")).alias("text"))
+        .select(
+            "doc_id", "text",
+            F.lit("xx").alias("lang"), F.lit("synth").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    open(os.path.join(out_dir, "_SYNTH_DONE"), "w").close()
+
+
 def main() -> None:
     suite = "dedup"
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
-                            "bpe"):
+                            "bpe", "tokenizer", "sketch"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -454,7 +501,7 @@ def main() -> None:
         }
         result["ratios"] = _ratios(result["base"], result["scaled"], QUERIES)
     elif suite == "streaming":
-        from kcidb_spark.streaming import ROCKSDB_STATE_STORE
+        from kcidb_spark.streaming import ROCKSDB_CONF
 
         scaled_dir = f"/tmp/kcidb_scale/stream{k}x"
         synthesize_streaming(spark, k, scaled_dir)
@@ -466,16 +513,18 @@ def main() -> None:
         result["ratios"] = _ratios(
             result["base"], result["scaled"], STREAM_QUERIES
         )
-        # Same scaled volume under the RocksDB provider: state size,
-        # commit overhead, per-batch walls for the off-heap path.
-        key = "spark.sql.streaming.stateStore.providerClass"
-        spark.conf.set(key, ROCKSDB_STATE_STORE)
+        # Same scaled volume under the RocksDB provider (WITH changelog
+        # checkpointing — see ROCKSDB_CONF): state size, commit
+        # overhead, per-batch walls for the off-heap path.
+        for key, val in ROCKSDB_CONF.items():
+            spark.conf.set(key, val)
         try:
             result["scaled_rocksdb"] = run_streaming(
                 scaled_dir, f"{k}x-rocksdb", spark
             )
         finally:
-            spark.conf.unset(key)
+            for key in ROCKSDB_CONF:
+                spark.conf.unset(key)
     elif suite == "similarity":
         # Reuses the dedup suite's synthesized corpus (embeddings ×K).
         scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
@@ -537,6 +586,257 @@ def main() -> None:
                 result["batch256"]["wall_s"] / result["seq8"]["wall_s"], 2
             )
         }
+    elif suite == "tokenizer":
+        # Trainer envelopes (r7 verdict #2/#3): BPE past corpus
+        # saturation on a rich word distribution, and the unigram
+        # trainer at Kx corpus volume with a 32k-piece vocabulary.
+        import pickle
+
+        from pyspark.sql import functions as F
+
+        from kcidb_spark.operators.bpe import bpe_train
+        from kcidb_spark.operators.unigram import (
+            _count_pieces,
+            oov_cost,
+            word_freqs,
+        )
+
+        rich_dir = "/tmp/kcidb_scale/rich_words"
+        synthesize_rich_corpus(spark, rich_dir)
+        rich = spark.read.parquet(
+            os.path.join(rich_dir, "documents.parquet")
+        )
+        n_rich_words = (
+            word_freqs(rich).count()
+        )
+        result = {"k": k, "rich_distinct_words": n_rich_words}
+
+        # --- BPE deep merges: 3 points to test wall = a + rounds*b ---
+        for label, n in (("bpe256", 256), ("bpe1024", 1024),
+                         ("bpe2048", 2048)):
+            t0 = time.perf_counter()
+            rules = bpe_train(rich, n_merges=n, batch_size=64).collect()
+            result[label] = {
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "n_rules": len(rules),
+                "n_rounds": 1 + max(
+                    (r["round"] for r in rules), default=-1
+                ),
+            }
+            print(label, result[label], flush=True)
+        # Linearity of the wall model (rounds x word-table shuffle):
+        # the middle point's residual against the line through the
+        # endpoints, as a fraction of its wall.
+        p1, p2, p3 = result["bpe256"], result["bpe1024"], result["bpe2048"]
+        if p3["n_rounds"] > p1["n_rounds"]:
+            slope = (p3["wall_s"] - p1["wall_s"]) / (
+                p3["n_rounds"] - p1["n_rounds"]
+            )
+            pred_mid = p1["wall_s"] + slope * (
+                p2["n_rounds"] - p1["n_rounds"]
+            )
+            result["bpe_wall_model"] = {
+                "per_round_s": round(slope, 3),
+                "mid_residual_frac": round(
+                    abs(p2["wall_s"] - pred_mid) / p2["wall_s"], 3
+                ),
+            }
+            print("bpe_wall_model", result["bpe_wall_model"], flush=True)
+
+        # --- unigram at Kx volume, 32k vocab: per-phase walls ---
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        for label, corpus_path, vocab in (
+            ("unigram_rich_32k", os.path.join(rich_dir,
+                                              "documents.parquet"), 32_000),
+            ("unigram_%dx_32k" % k, os.path.join(scaled_dir,
+                                                 "documents.parquet"),
+             32_000),
+        ):
+            import math as _math
+
+            docs = spark.read.parquet(corpus_path)
+            mpl = 6
+            t0 = time.perf_counter()
+            words = word_freqs(docs).localCheckpoint()
+            n_words_tbl = words.count()
+            scan_s = round(time.perf_counter() - t0, 2)
+            # Seed (mirrors unigram_train): substring explosion +
+            # driver-held top table.
+            t0 = time.perf_counter()
+            subs = words.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        f"flatten(transform(sequence(1, length(word)),"
+                        f" i -> transform(sequence(1, least({mpl},"
+                        f" length(word) - i + 1)),"
+                        f" l -> substring(word, i, l))))"
+                    )
+                ).alias("piece"),
+            ).groupBy("piece").agg(F.sum("freq").alias("n"))
+            top = subs.orderBy(F.desc("n"), "piece").limit(
+                4 * vocab
+            ).collect()
+            chars = {r["piece"]: r["n"]
+                     for r in subs.filter(F.length("piece") == 1).collect()}
+            seed = {r["piece"]: r["n"] for r in top}
+            seed.update(chars)
+            seed_s = round(time.perf_counter() - t0, 2)
+            total = sum(seed.values())
+            costs = {p: -_math.log(c / total)
+                     for p, c in seed.items() if c > 0}
+            rounds = []
+            counted = dict(seed)
+            for _ in range(3):
+                bc_bytes = len(pickle.dumps((costs, mpl)))
+                t0 = time.perf_counter()
+                counted = {
+                    r["piece"]: r["n"]
+                    for r in _count_pieces(words, costs, mpl).collect()
+                }
+                em_s = round(time.perf_counter() - t0, 2)
+                for ch in chars:
+                    counted.setdefault(ch, 1)
+                multi = sorted(
+                    ((p, c) for p, c in counted.items() if len(p) > 1),
+                    key=lambda pc: (-pc[1], pc[0]),
+                )
+                n_chars_v = sum(1 for p in counted if len(p) == 1)
+                target_multi = max(0, vocab - n_chars_v)
+                if len(multi) > target_multi:
+                    drop = max(
+                        1, int((len(multi) - target_multi) * 0.25)
+                    )
+                    multi = multi[: max(target_multi, len(multi) - drop)]
+                counted = {p: c for p, c in multi} | {
+                    p: c for p, c in counted.items() if len(p) == 1
+                }
+                total = sum(counted.values())
+                costs = {p: -_math.log(c / total)
+                         for p, c in counted.items() if c > 0}
+                rounds.append({
+                    "em_wall_s": em_s,
+                    "broadcast_bytes": bc_bytes,
+                    "vocab_after": len(counted),
+                })
+            result[label] = {
+                "corpus_scan_s": scan_s,
+                "word_table_rows": n_words_tbl,
+                "seed_s": seed_s,
+                "seed_pieces": len(seed),
+                "em_rounds": rounds,
+            }
+            print(label, result[label], flush=True)
+        result["ratios"] = {}
+    elif suite == "sketch":
+        # Sketch re-aggregability at Kx (r7 verdict #8): per-day HLL
+        # partials PERSISTED to parquet, read back, unioned — the
+        # stored-rollup path — vs the single-shot sketch and the
+        # exact count, with walls for each.  Distinct-user
+        # cardinality scales with K (unlike the streaming synth,
+        # which pins it), so the sketch works for its living.
+        from pyspark.sql import functions as F
+
+        from kcidb_spark.tables import table as _table
+
+        scaled = f"/tmp/kcidb_scale/sketch{k}x"
+        if not os.path.exists(os.path.join(scaled, "_SYNTH_DONE")):
+            os.makedirs(scaled, exist_ok=True)
+            base = _table(spark, BASE_SF, "events")
+            n_users = 1_500
+            reps = spark.range(k).select(F.col("id").alias("rep"))
+            (
+                base.crossJoin(reps)
+                .select(
+                    "event_type", "ts",
+                    (F.col("user_id") + F.col("rep") * n_users)
+                    .alias("user_id"),
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(os.path.join(scaled, "events.parquet"))
+            )
+            open(os.path.join(scaled, "_SYNTH_DONE"), "w").close()
+        ev = spark.read.parquet(os.path.join(scaled, "events.parquet"))
+        n_rows = ev.count()
+        result = {"k": k, "rows": n_rows}
+
+        t0 = time.perf_counter()
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        result["exact"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "values": exact,
+        }
+
+        t0 = time.perf_counter()
+        direct = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                ).alias("n")
+            )
+            .collect()
+        }
+        result["direct_sketch"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "max_rel_err": round(
+                max(
+                    abs(direct[t] - exact[t]) / exact[t] for t in exact
+                ),
+                4,
+            ),
+        }
+
+        # The rollup table: one sketch per (type, day), persisted.
+        rollup_path = os.path.join(scaled, "rollup.parquet")
+        t0 = time.perf_counter()
+        (
+            ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+            .write.mode("overwrite")
+            .parquet(rollup_path)
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        rollup = spark.read.parquet(rollup_path)
+        rollup_rows = rollup.count()
+        rollup_bytes = sum(
+            os.path.getsize(os.path.join(r, n))
+            for r, _, ns in os.walk(rollup_path) for n in ns
+        )
+        t0 = time.perf_counter()
+        merged = {
+            r["event_type"]: r["n"]
+            for r in rollup.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg("sk", F.lit(False))
+                ).alias("n")
+            )
+            .collect()
+        }
+        result["rollup"] = {
+            "build_wall_s": build_s,
+            "rows": rollup_rows,
+            "bytes": rollup_bytes,
+            "merge_wall_s": round(time.perf_counter() - t0, 2),
+            "union_equals_direct": merged == direct,
+            "max_rel_err": round(
+                max(
+                    abs(merged[t] - exact[t]) / exact[t] for t in exact
+                ),
+                4,
+            ),
+        }
+        print(json.dumps(result, indent=1), flush=True)
+        result["ratios"] = {}
     else:
         base_c = 2_000
         result = {
