@@ -1081,3 +1081,83 @@ def unigram_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         F.md5(F.concat_ws("\u0001", "pieces")).alias("pieces_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle → shard assignment (the training-data
+# writer's last step)
+# ---------------------------------------------------------------------------
+
+_SHARD_SEED = "r8"
+_N_SHARDS = 8
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "shard_global_shuffle",
+    oracle=dedent(f"""
+        SELECT doc_id, shard_id, shuffle_key,
+               CAST(row_number() OVER (
+                   PARTITION BY shard_id
+                   ORDER BY shuffle_key, doc_id
+               ) AS BIGINT) AS pos
+        FROM (
+            SELECT doc_id,
+                   md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR))
+                       AS shuffle_key,
+                   CAST((instr('{_HEX}', substring(md5('{_SHARD_SEED}:'
+                            || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + (instr('{_HEX}', substring(md5('{_SHARD_SEED}:'
+                            || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                        AS BIGINT) % {_N_SHARDS} AS shard_id
+            FROM documents
+        )
+    """),
+    tags=("pipeline", "shuffle"),
+)
+def shard_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle → (shard_id, pos): the
+    final step of training-data prep.  Source corpora are highly
+    order-correlated (crawl batches, per-site runs); training wants
+    i.i.d.-looking example order, and the order must be REPRODUCIBLE
+    (resume a run, re-produce a dataset card) — so the permutation
+    key is ``md5(seed:doc_id)``, never ``rand()``.
+
+    Shard = first two key hex digits (mapped through ``instr`` — the
+    one hex→int construct with identical name/semantics in both
+    engines) mod n_shards; position = per-shard rank over the key.
+    At 100 TB this is exactly one hash-partitioned exchange on
+    shard_id with partition-local sorts (the window never spans
+    shards), and n_shards scales with the cluster, not the corpus —
+    each shard's sort is bounded by corpus/n_shards.  A writer then
+    emits shard files with ``partitionBy(shard_id)`` + the in-shard
+    order already materialized."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(_SHARD_SEED + ":"), F.col("doc_id").cast("string"))
+    )
+    w_pos = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn(
+            "shard_id",
+            (
+                (
+                    F.expr(f"instr('{_HEX}', substring(shuffle_key, 1, 1))")
+                    - 1
+                )
+                * 16
+                + (
+                    F.expr(f"instr('{_HEX}', substring(shuffle_key, 2, 1))")
+                    - 1
+                )
+            ).cast("long")
+            % _N_SHARDS,
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            "shuffle_key",
+            F.row_number().over(w_pos).cast("long").alias("pos"),
+        )
+    )

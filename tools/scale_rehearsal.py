@@ -171,11 +171,22 @@ STREAM_QUERIES = [
 SIMILARITY_QUERIES = [
     "knn_cosine_bruteforce",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
+    "ann_ivf_nprobe_topk",
     "ivf_pq_adc_topk",
+    "ivf_pq_adc_nprobe_topk",
     "pq_encode",
     "dedup_embedding_cosine",
     "vec_quantize_int8",
+]
+
+LM_QUERIES = [
+    "lm_bigram_surprisal",
+    "lm_surprisal_filter",
+    "shard_global_shuffle",
+    "unigram_encode_pieces",
 ]
 
 
@@ -478,7 +489,7 @@ def main() -> None:
     suite = "dedup"
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
-                            "bpe", "tokenizer", "sketch"):
+                            "bpe", "tokenizer", "sketch", "lm"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -525,6 +536,21 @@ def main() -> None:
         finally:
             for key in ROCKSDB_CONF:
                 spark.conf.unset(key)
+    elif suite == "lm":
+        # LM quality gate + shuffle/encode family at Kx corpus volume
+        # (round 8): the scoring join explodes every bigram INSTANCE,
+        # so volume scales with the corpus while the broadcast model
+        # tables stay Zipf/top-K bounded — the rehearsal checks the
+        # walls stay corpus-linear and the broadcasts stay flat.
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "base": run_queries(BASE_SF, "sf0.1", spark, LM_QUERIES),
+            "scaled": run_queries(scaled_dir, f"{k}x", spark, LM_QUERIES),
+        }
+        result["ratios"] = _ratios(result["base"], result["scaled"],
+                                   LM_QUERIES)
     elif suite == "similarity":
         # Reuses the dedup suite's synthesized corpus (embeddings ×K).
         scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
