@@ -22,6 +22,7 @@ from kcidb_spark.queries import ranking  # noqa: F401,E402
 from kcidb_spark.queries import mixing  # noqa: F401,E402
 from kcidb_spark.queries import integrity  # noqa: F401,E402
 from kcidb_spark.queries import lm  # noqa: F401,E402
+from kcidb_spark.queries import dsir  # noqa: F401,E402
 from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
 
 

@@ -1,0 +1,225 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) scores raw documents by how target-like they are
+under two cheap bag-of-hashed-ngrams models — one fit on a trusted
+TARGET slice, one on the RAW pool — and keeps documents with the
+highest importance weight ``log p_target(x) - log p_raw(x)``.  It is
+the standard pretraining-corpus selection recipe when you have a
+small high-quality exemplar set and a 100 TB crawl.
+
+Engine mapping (Spark-first, two corpus scans total — the same
+two-pass shape as the paper's implementation):
+
+* pass 1 (model fit): explode unigram+bigram features, hash each into
+  one of ``_N_BUCKETS`` buckets (md5-prefix mod — deterministic and
+  engine-identical, see ``sample_by_hash``), then ONE
+  partial-aggregated shuffle keyed on the bucket id produces BOTH
+  models' counts (`cr` over the pool, `ct` over the target slice via
+  a conditional count) — the model is a ≤4096-row table;
+* pass 2 (scoring): the per-bucket log-ratio table broadcasts to a
+  map-side join against the re-exploded corpus, followed by one
+  doc-keyed aggregation.  No corpus-sized shuffle carries text.
+
+Float doctrine (queries/ranking.py): the two ``log2`` calls and their
+difference happen once per BUCKET (≤4096 rows) and are immediately
+quantized to integer MICRO-BITS; every per-document aggregate after
+that is order-independent BIGINT arithmetic, so results are
+bit-identical across engines and partitionings.
+
+Add-one smoothing over the bucket space keeps every ratio finite
+(DSIR §2.2 does the same); ``_N_BUCKETS`` is sized so the sf0.01
+gate corpus actually produces hash collisions — the oracle certifies
+the collision semantics, not just the happy path.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
+from kcidb_spark.queries.registry import register
+from kcidb_spark.tables import table
+
+#: Hashed-feature space size.  DSIR uses 10k buckets at web scale;
+#: 4096 guarantees collisions on the 500-doc gate corpus.
+_N_BUCKETS = 4096
+
+#: The trusted target slice: English documents stand in for the
+#: "quality exemplar" distribution on the synthetic corpus.
+_TARGET_LANG = "en"
+
+_WEIGHTS_SQL = dedent(f"""
+    toks AS (
+        SELECT doc_id, lang, source,
+               string_split({_NORM_SQL}, ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, source, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, lang, source,
+               unnest(list_transform(generate_series(1, length(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks
+    ),
+    bucketed AS (
+        SELECT doc_id, lang, source,
+               CAST(concat('0x', substring(md5(g), 1, 6)) AS BIGINT)
+                   % {_N_BUCKETS} AS b
+        FROM grams
+    ),
+    counts AS (
+        SELECT b,
+               count(*) AS cr,
+               count(CASE WHEN lang = '{_TARGET_LANG}' THEN 1 END) AS ct
+        FROM bucketed GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS n_r,
+               CAST(sum(ct) AS BIGINT) AS n_t
+        FROM counts
+    ),
+    lam AS (
+        SELECT b,
+               CAST(round((log2((ct + 1.0) / (n_t + {_N_BUCKETS}.0))
+                         - log2((cr + 1.0) / (n_r + {_N_BUCKETS}.0)))
+                    * 1000000) AS BIGINT) AS lam_micros
+        FROM counts CROSS JOIN tot
+    ),
+    weights AS (
+        SELECT doc_id, lang, source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lam_micros) AS BIGINT) AS weight_micros
+        FROM bucketed JOIN lam USING (b)
+        GROUP BY doc_id, lang, source
+    )
+""")
+
+
+def importance_weights(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weight in integer micro-bits.
+
+    ``weight_micros = Σ_grams [log2 p̂_target(bucket) − log2
+    p̂_raw(bucket)]`` with add-one smoothing over the bucket space;
+    positive means "more target-like than the pool average".  The
+    per-bucket ratio is quantized BEFORE the per-doc sum (integer
+    micro-bits), so the sum is order-independent.
+    """
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.split(_norm_text(F.col("text")), " ").alias("t"),
+    )
+    uni = toks.select("doc_id", "lang", "source", F.explode("t").alias("g"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id", "lang", "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("g"),
+        )
+    )
+    bucketed = uni.unionByName(bi).select(
+        "doc_id", "lang", "source",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 6), 16, 10).cast("long")
+            % _N_BUCKETS
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == _TARGET_LANG, 1)).alias("ct"),
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
+    )
+    denom_t = F.col("n_t") + F.lit(float(_N_BUCKETS))
+    denom_r = F.col("n_r") + F.lit(float(_N_BUCKETS))
+    lam = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log2((F.col("ct") + F.lit(1.0)) / denom_t)
+                    - F.log2((F.col("cr") + F.lit(1.0)) / denom_r)
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lam_micros"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam_micros").alias("weight_micros"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=dedent(f"""
+        WITH {_WEIGHTS_SQL}
+        SELECT doc_id, lang, source, n_grams, weight_micros
+        FROM weights
+    """),
+    tags=("pipeline", "sampling", "dsir"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every pool document's target-likeness under hashed
+    unigram+bigram models fit on the 'en' target slice vs the whole
+    pool — DSIR's importance weight, in engine-exact micro-bits."""
+    return importance_weights(table(spark, sf_dir, "documents", spread=True))
+
+
+@register(
+    "dsir_select_per_source",
+    oracle=dedent(f"""
+        WITH {_WEIGHTS_SQL}
+        SELECT doc_id, lang, source, weight_micros, rk FROM (
+            SELECT doc_id, lang, source, weight_micros,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY weight_micros DESC, doc_id
+                   ) AS BIGINT) AS rk,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM weights
+        ) WHERE rk <= cnt // 5
+    """),
+    tags=("pipeline", "sampling", "dsir"),
+)
+def dsir_select_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step: keep each source's top ⌊n/5⌋ documents by
+    importance weight — a per-domain selection budget, so no single
+    crawl domain monopolizes the selected corpus and the ranking
+    window stays PARTITIONED (never a global sort) at any scale.
+    Deterministic top-k (weight desc, doc_id tie-break) is the
+    reproducible variant of the paper's Gumbel resampling; the
+    boundary is integer rank arithmetic, never a float quantile."""
+    scored = importance_weights(
+        table(spark, sf_dir, "documents", spread=True)
+    )
+    w_rank = W.partitionBy("source").orderBy(
+        F.desc("weight_micros"), "doc_id"
+    )
+    w_all = W.partitionBy("source")
+    return (
+        scored.select(
+            "doc_id", "lang", "source", "weight_micros",
+            F.row_number().over(w_rank).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("cnt"),
+        )
+        .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
+        .select("doc_id", "lang", "source", "weight_micros", "rk")
+    )
