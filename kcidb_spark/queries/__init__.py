@@ -62,13 +62,30 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    "jaccard_estimate_minhash",  # signature packing rework (round 6)
-    # state-partition sizing + dir-aware source rework (round 6)
-    "t11_stream_tumbling",
-    "t12_stream_dedup",
-    "t13_stream_stream_join",
-    # adaptive hyperplane count (round 6) — bucket set changed
-    "dedup_embedding_cosine",
+    # The round-6 rework entries all re-certified in r7; this round
+    # targets the STALEST certifications instead — every query whose
+    # last gate-of-record row is r3/r4 (VERDICT r7 "Next round" #6),
+    # so nothing in the registry stays certified-but-unchecked for
+    # more than ~4 rounds.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "s2_scan_ts_window",
+    "q7_nation_volume",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q22_idle_customers",
+    "u4_multiset_ops",
+    "u5_union_by_name",
+    "w_ntile_quartiles",
+    "w_range_frame_sum",
+    "w_rank_ratios",
+    "w_value_picks",
+    "f_array_hof",
 )
 
 
