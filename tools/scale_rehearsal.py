@@ -187,6 +187,8 @@ LM_QUERIES = [
     "lm_surprisal_filter",
     "shard_global_shuffle",
     "unigram_encode_pieces",
+    "dsir_importance_weights",
+    "dsir_select_per_source",
 ]
 
 
