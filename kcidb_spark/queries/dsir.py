@@ -40,6 +40,7 @@ from textwrap import dedent
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kcidb_spark.cache import scoped_persist
 from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
@@ -113,29 +114,43 @@ def importance_weights(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", "source",
         F.split(_norm_text(F.col("text")), " ").alias("t"),
     )
-    uni = toks.select("doc_id", "lang", "source", F.explode("t").alias("g"))
-    bi = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            "doc_id", "lang", "source",
-            F.explode(
+    # Unigrams and bigrams assembled IN-ROW and exploded once — a
+    # UNION of two explode branches would scan the corpus twice per
+    # pass (Spark does not fuse union legs over one parquet scan);
+    # concat halves the 100 TB IO.  Same multiset as the oracle's
+    # UNION ALL, and the gate hash is order-insensitive.
+    grams = toks.select(
+        "doc_id", "lang", "source",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                # sequence(1, 0) DESCENDS in Spark (the BPE footgun,
+                # operators/bpe.py) — one-word docs need the explicit
+                # empty-array branch.
                 F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> concat(t[i - 1], ' ', t[i]))"
-                )
-            ).alias("g"),
-        )
+                    "if(size(t) < 2, array(),"
+                    " transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i])))"
+                ),
+            )
+        ).alias("g"),
     )
-    bucketed = uni.unionByName(bi).select(
+    bucketed = grams.select(
         "doc_id", "lang", "source",
         (
             F.conv(F.substring(F.md5("g"), 1, 6), 16, 10).cast("long")
             % _N_BUCKETS
         ).alias("b"),
     )
-    counts = bucketed.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == _TARGET_LANG, 1)).alias("ct"),
+    # ≤4096-row model table, persisted because TWO consumers (the
+    # totals aggregate and the log-ratio projection) would otherwise
+    # each recompute its lineage — a full corpus scan (repo idiom:
+    # kcidb_spark/cache.py, released by every harness post-action).
+    counts = scoped_persist(
+        bucketed.groupBy("b").agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count(F.when(F.col("lang") == _TARGET_LANG, 1)).alias("ct"),
+        )
     )
     tot = counts.agg(
         F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
