@@ -62,30 +62,40 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    # The round-6 rework entries all re-certified in r7; this round
-    # targets the STALEST certifications instead — every query whose
-    # last gate-of-record row is r3/r4 (VERDICT r7 "Next round" #6),
-    # so nothing in the registry stays certified-but-unchecked for
-    # more than ~4 rounds.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "s2_scan_ts_window",
-    "q7_nation_volume",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q22_idle_customers",
-    "u4_multiset_ops",
-    "u5_union_by_name",
-    "w_ntile_quartiles",
-    "w_range_frame_sum",
-    "w_rank_ratios",
-    "w_value_picks",
-    "f_array_hof",
+    # Round 9: the two LM queries changed implementation (per-language
+    # bounded model — VERDICT r8 finding #1) and must re-certify; the
+    # rest is the now-STALEST certified slice, whose gate-of-record
+    # rows date to r5 (VERDICT r8 "Next round" #7), so nothing stays
+    # certified-but-unchecked for more than ~4 rounds.
+    "lm_bigram_surprisal",
+    "lm_surprisal_filter",
+    "j1_exists_semi",
+    "j2_not_exists_anti",
+    "j3_closure_parents_children",
+    "a1_revision_rollup",
+    "a3_dedup_latest",
+    "a8_status_histogram",
+    "a9_pivot_status",
+    "a4_first_last_modified",
+    "w_running_total",
+    "w_sessionize",
+    "o3_topk_orders",
+    "u1_union_distinct",
+    "u2_intersect",
+    "u3_except",
+    "f12_regex_extract",
+    "f_scalar_suite",
+    "a11_cube_rollup",
+    "f8_date_extract",
+    "q6_forecast_revenue",
+    "dedup_exact",
+    "dedup_near_normalized",
+    "minhash_signature",
+    "text_token_stats",
+    "text_quality_score",
+    "token_freq_topk",
+    "knn_cosine_bruteforce",
+    "constraints_check",
 )
 
 

@@ -7,20 +7,34 @@ Gopher/MassiveText keep the same shape.  This module is the
 engine-native version: an interpolated bigram model TRAINED AND
 APPLIED inside the same lazy DAG, no external model artifact.
 
+CCNet fidelity (both §3 of the paper): the model is fit PER LANGUAGE
+(`lang` is part of every model key — one global model would penalize
+minority-language bigrams), and the vocabulary is CLOSED — every
+token outside a per-language top-V vocabulary folds to a single
+``<unk>`` symbol BEFORE any count is taken, exactly how a shipped
+KenLM handles OOV.  ``<unk>`` cannot collide with a real token: the
+normalizer (queries/pipeline.py ``_norm_text``) maps text onto
+``[a-z0-9 ]`` only.
+
+Scale shape (100 TB): every model table is BOUNDED BY CONFIGURATION,
+not by corpus size — vocabulary ≤ #langs × V rows, bigram table ≤
+#langs × K rows, per-language totals = #langs rows — so all four
+scoring joins broadcast no matter how many distinct tokens the crawl
+grows (the round-8 version broadcast the UNPRUNED unigram table,
+which is corpus-growing; VERDICT r8 finding #1).  Model selection
+(top-V / top-K per language) ranks the AGGREGATED count tables —
+distinct-token-sized, not corpus-sized — through a salted two-phase
+window (per-(lang, salt) top-N, then per-lang top-N over the ≤
+SALTS·N survivors), so no single task ever sorts a whole language's
+vocabulary.  Three corpus scans total: unigram fit, bigram fit over
+the vocab-mapped pairs, scoring.
+
 Float doctrine (see queries/ranking.py): every probability is built
 from IEEE basic ops on integer counts (bit-identical across engines);
 the single transcendental (``log2``) is immediately quantized to
 integer MICRO-BITS per bigram, and every aggregate after that point
 is integer arithmetic — sums are order-independent BIGINTs, the
 filter boundary is ``rank > count div 10``, never a float quantile.
-
-Scale shape (100 TB): the bigram table is pruned to a top-K
-(deterministic count-desc tie-broken order — the same reason CCNet
-ships a PRUNED KenLM), so the scoring join broadcasts a bounded
-model; the unigram table is Zipf-bounded.  Training is two
-partial-aggregated shuffles over exploded tokens; scoring is
-broadcast joins + one doc-keyed aggregation.  The decile filter
-partitions its window per language — never a global window.
 """
 
 from __future__ import annotations
@@ -30,23 +44,52 @@ from textwrap import dedent
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kcidb_spark.cache import scoped_persist
 from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
 
-#: Bigram-table prune size.  Small enough to actually PRUNE on the
-#: sf0.01 gate corpus so the oracle certifies the prune semantics,
-#: not just the happy path.
-_TOP_K_BIGRAMS = 5_000
+#: Per-language vocabulary size (top-V by count, word tie-break).
+#: Deliberately small enough to actually PRUNE on the 31-token-per-
+#: language gate corpus, so the oracle certifies the <unk> fold — the
+#: production dial is ~50k.
+_TOP_V_UNIGRAMS = 24
+
+#: Per-language bigram-table prune size.  The mapped gate corpus has
+#: ~620 distinct bigrams per language, so 500 really prunes and the
+#: pruned-bigram backoff path is oracle-certified too.
+_TOP_K_BIGRAMS = 500
+
+#: OOV fold symbol — outside the normalizer's [a-z0-9] alphabet.
+_UNK = "<unk>"
+
+#: Salt fan-out for the two-phase top-N model selection.
+_RANK_SALTS = 16
 
 _SCORE_SQL = dedent(f"""
     toks AS (
         SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS t
         FROM documents
     ),
-    words AS (SELECT unnest(t) AS w FROM toks),
-    uni AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
-    tot AS (SELECT count(*) AS n_total FROM words),
+    words AS (SELECT lang, unnest(t) AS w FROM toks),
+    ucnt AS (SELECT lang, w, count(*) AS cw FROM words GROUP BY lang, w),
+    vocab AS (
+        SELECT lang, w, cw FROM (
+            SELECT lang, w, cw,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cw DESC, w) AS rk
+            FROM ucnt
+        ) WHERE rk <= {_TOP_V_UNIGRAMS}
+    ),
+    ltot AS (
+        SELECT u.lang,
+               CAST(sum(u.cw) AS BIGINT) AS n_total,
+               CAST(coalesce(sum(u.cw) FILTER (WHERE v.w IS NULL), 0)
+                    AS BIGINT) AS unk_cnt
+        FROM ucnt u
+        LEFT JOIN vocab v ON u.lang = v.lang AND u.w = v.w
+        GROUP BY u.lang
+    ),
     pp AS (
         SELECT doc_id, lang,
                unnest(list_transform(generate_series(1, length(t) - 1),
@@ -55,23 +98,37 @@ _SCORE_SQL = dedent(f"""
                                      i -> t[i + 1])) AS w2
         FROM toks
     ),
+    ppm AS (
+        SELECT pp.doc_id, pp.lang,
+               CASE WHEN v1.w IS NULL THEN '{_UNK}' ELSE pp.w1 END AS w1,
+               CASE WHEN v2.w IS NULL THEN '{_UNK}' ELSE pp.w2 END AS w2,
+               coalesce(v1.cw, lt.unk_cnt) AS c1,
+               coalesce(v2.cw, lt.unk_cnt) AS c2,
+               lt.n_total
+        FROM pp
+        LEFT JOIN vocab v1 ON pp.lang = v1.lang AND pp.w1 = v1.w
+        LEFT JOIN vocab v2 ON pp.lang = v2.lang AND pp.w2 = v2.w
+        JOIN ltot lt ON pp.lang = lt.lang
+    ),
     bi AS (
-        SELECT w1, w2, count(*) AS c12 FROM pp GROUP BY w1, w2
-        ORDER BY c12 DESC, w1, w2 LIMIT {_TOP_K_BIGRAMS}
+        SELECT lang, w1, w2, c12 FROM (
+            SELECT lang, w1, w2, count(*) AS c12,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, w1, w2) AS rk
+            FROM ppm GROUP BY lang, w1, w2
+        ) WHERE rk <= {_TOP_K_BIGRAMS}
     ),
     scored AS (
-        SELECT pp.doc_id, pp.lang,
+        SELECT ppm.doc_id, ppm.lang,
                CAST(round(-log2(
                    CASE WHEN bi.c12 IS NOT NULL
-                        THEN 0.8 * bi.c12 / u1.cw
-                             + 0.2 * u2.cw / tot.n_total
-                        ELSE 0.2 * u2.cw / tot.n_total END
+                        THEN 0.8 * bi.c12 / ppm.c1
+                             + 0.2 * ppm.c2 / ppm.n_total
+                        ELSE 0.2 * ppm.c2 / ppm.n_total END
                ) * 1000000) AS BIGINT) AS nll
-        FROM pp
-        LEFT JOIN bi ON pp.w1 = bi.w1 AND pp.w2 = bi.w2
-        JOIN uni u1 ON pp.w1 = u1.w
-        JOIN uni u2 ON pp.w2 = u2.w
-        CROSS JOIN tot
+        FROM ppm
+        LEFT JOIN bi ON ppm.lang = bi.lang
+                    AND ppm.w1 = bi.w1 AND ppm.w2 = bi.w2
     ),
     docs_scored AS (
         SELECT doc_id, lang,
@@ -83,68 +140,160 @@ _SCORE_SQL = dedent(f"""
 """)
 
 
+def _top_per_lang(counts: DataFrame, n: int, order_cols, salt_cols) -> DataFrame:
+    """Deterministic per-language top-``n`` of an aggregated count
+    table, in two salted phases so no task sorts a whole language.
+
+    ``order_cols`` must be a TOTAL order within each language (count
+    desc + key tie-break), which makes the result identical to a
+    single per-lang ``row_number`` — every global top-n row survives
+    its salt's top-n — and lets the oracle use the plain one-window
+    form.  Input is distinct-key-sized (the aggregate of the corpus),
+    so phase 1 bounds each sort to ~|vocab| / ``_RANK_SALTS``.
+    """
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(_RANK_SALTS))
+    )
+    w1 = W.partitionBy("lang", "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk", "_salt")
+    )
+    w2 = W.partitionBy("lang").orderBy(*order_cols)
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def doc_surprisal(docs: DataFrame) -> DataFrame:
-    """Per-document mean bigram surprisal under an interpolated
-    bigram LM trained on the same corpus.
+    """Per-document mean bigram surprisal under per-language
+    interpolated bigram LMs trained on the same corpus.
 
-    Model: ``p(w2|w1) = 0.8·c(w1,w2)/c(w1) + 0.2·c(w2)/N`` when the
-    bigram survives the top-K prune, else the backoff term alone —
-    the unigram interpolation makes every probability nonzero without
-    add-k's vocabulary-size constant, and the prune is what a shipped
-    model would have anyway (CCNet's KenLM is pruned for the same
-    reason).
+    Model (per language): fold tokens outside the top-V vocabulary to
+    ``<unk>``, then ``p(w2|w1) = 0.8·c(w1,w2)/c(w1) + 0.2·c(w2)/N``
+    when the mapped bigram survives the per-language top-K prune,
+    else the backoff term alone — the unigram interpolation makes
+    every probability nonzero without add-k's vocabulary-size
+    constant, and both prunes are what a shipped model has anyway
+    (CCNet's KenLM is pruned for the same reason).
 
-    Every count join broadcasts (bigram table K-bounded, unigram
-    Zipf-bounded, N a 1-row frame); per-bigram surprisal is quantized
-    to integer micro-bits BEFORE the per-doc sum, so the aggregation
-    is order-independent and the result engine-exact.
+    Every model-side join broadcasts a CONFIGURATION-bounded table
+    (vocab ≤ langs·V, bigrams ≤ langs·K, totals = langs) — the
+    unigram lookup rides the same vocab join as the <unk> fold, with
+    ``coalesce(cw, unk_cnt)``, so no corpus-growing table is ever
+    broadcast.  Per-bigram surprisal is quantized to integer
+    micro-bits BEFORE the per-doc sum, so the aggregation is
+    order-independent and the result engine-exact.
     """
     toks = docs.select(
         "doc_id", "lang", F.split(_norm_text(F.col("text")), " ").alias("t")
     )
-    words = toks.select(F.explode("t").alias("w"))
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    tot = words.agg(F.count(F.lit(1)).alias("n_total"))
-    pairs = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "lang", "b.w1", "b.w2")
+    words = toks.select("lang", F.explode("t").alias("w"))
+    # Corpus scan 1: per-language unigram counts (distinct-token-sized;
+    # persisted — two consumers below would each rescan the corpus).
+    ucnt = scoped_persist(
+        words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw"))
     )
-    bi = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .orderBy(F.desc("c12"), "w1", "w2")
-        .limit(_TOP_K_BIGRAMS)
+    vocab = scoped_persist(
+        _top_per_lang(
+            ucnt, _TOP_V_UNIGRAMS, (F.desc("cw"), "w"), ("w",)
+        )
+    )
+    ltot = (
+        ucnt.join(
+            F.broadcast(vocab.select("lang", "w", F.lit(True).alias("_inv"))),
+            ["lang", "w"],
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("cw").alias("n_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_inv").isNull(), F.col("cw"))), F.lit(0)
+            ).alias("unk_cnt"),
+        )
+    )
+
+    def mapped_pairs() -> DataFrame:
+        """(doc_id, lang, w1, w2, c1, c2, n_total) with the <unk> fold
+        and unigram counts resolved by broadcast joins against the
+        bounded vocab — re-built per consumer; each build is one
+        corpus scan plus map-side joins."""
+        pairs = (
+            toks.filter(F.size("t") >= 2)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                    )
+                ).alias("b"),
+            )
+            .select("doc_id", "lang", "b.w1", "b.w2")
+        )
+        return (
+            pairs.join(
+                F.broadcast(
+                    vocab.select(
+                        "lang",
+                        F.col("w").alias("w1"),
+                        F.col("cw").alias("cw1"),
+                    )
+                ),
+                ["lang", "w1"],
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    vocab.select(
+                        "lang",
+                        F.col("w").alias("w2"),
+                        F.col("cw").alias("cw2"),
+                    )
+                ),
+                ["lang", "w2"],
+                "left",
+            )
+            .join(F.broadcast(ltot), "lang")
+            .select(
+                "doc_id",
+                "lang",
+                F.when(F.col("cw1").isNull(), F.lit(_UNK))
+                .otherwise(F.col("w1"))
+                .alias("w1"),
+                F.when(F.col("cw2").isNull(), F.lit(_UNK))
+                .otherwise(F.col("w2"))
+                .alias("w2"),
+                F.coalesce("cw1", "unk_cnt").alias("c1"),
+                F.coalesce("cw2", "unk_cnt").alias("c2"),
+                "n_total",
+            )
+        )
+
+    # Corpus scan 2: per-language bigram counts over the MAPPED pairs
+    # (vocabulary is closed, so c12 ≤ c1 and every p ≤ 1).
+    bi = _top_per_lang(
+        mapped_pairs().groupBy("lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        ),
+        _TOP_K_BIGRAMS,
+        (F.desc("c12"), "w1", "w2"),
+        ("w1", "w2"),
     )
     backoff = F.lit(0.2) * F.col("c2") / F.col("n_total")
     p = F.when(
         F.col("c12").isNotNull(),
         F.lit(0.8) * F.col("c12") / F.col("c1") + backoff,
     ).otherwise(backoff)
+    # Corpus scan 3: scoring — broadcast model joins + one doc-keyed agg.
     return (
-        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(
-            F.broadcast(
-                uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
-            ),
-            "w1",
-        )
-        .join(
-            F.broadcast(
-                uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
-            ),
-            "w2",
-        )
-        .crossJoin(F.broadcast(tot))
+        mapped_pairs()
+        .join(F.broadcast(bi), ["lang", "w1", "w2"], "left")
         .select(
             "doc_id",
             "lang",
@@ -175,10 +324,11 @@ def doc_surprisal(docs: DataFrame) -> DataFrame:
 )
 def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document's mean bigram surprisal (integer
-    micro-bits) under the corpus-trained interpolated bigram LM —
-    the raw signal behind CCNet-style perplexity bucketing
-    (perplexity = 2^(avg_nll_micros/1e6); the monotone-equivalent
-    integer form is what crosses the engine boundary)."""
+    micro-bits) under its language's corpus-trained interpolated
+    bigram LM — the raw signal behind CCNet-style perplexity
+    bucketing (perplexity = 2^(avg_nll_micros/1e6); the
+    monotone-equivalent integer form is what crosses the engine
+    boundary)."""
     return doc_surprisal(table(spark, sf_dir, "documents", spread=True))
 
 
