@@ -34,6 +34,125 @@ from pyspark.sql import functions as F
 
 from kcidb_spark.operators.similarity import dot_expr
 
+_D2_INT_TMPL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+
+def d2_int_expr(a: str, b: str) -> str:
+    """SQL text: squared L2 distance of two array<bigint> columns —
+    pure BIGINT arithmetic, so the value is engine-exact (the float
+    mean update below is why the ITERATIVE trainer can't be
+    hash-gated; this integer form is how ann_ivf_kmeans_topk can)."""
+    return _D2_INT_TMPL.format(a=a, b=b)
+
+
+def kmeans_centroids_exact(
+    vecs: DataFrame, k: int, rounds: int
+) -> list[tuple[int, list[int]]]:
+    """Fixed-round Lloyd over INTEGER-quantized vectors; returns the
+    final centroids driver-held as ``[(c_id, [coord, ...]), ...]``.
+
+    ``vecs``: (id, q array<bigint>) — quantize non-negatively before
+    calling (translation doesn't change L2 argmins and keeps the
+    integer mean's truncation sign-free: Spark ``div`` truncates
+    toward zero, DuckDB ``//`` likewise for integers).  Every step is
+    exact BIGINT arithmetic — assignment is argmin of ``d2_int_expr``
+    with c_id tie-break, the mean update is ``sum(x) div count`` per
+    (cluster, dim) — so an oracle unrolling the same ``rounds`` in SQL
+    reproduces the centroids bit-for-bit (VERDICT r8 ask #2; contrast
+    :func:`kmeans_lloyd`, whose float means are ordering-dependent).
+
+    Init: the k lowest-id vectors.  Per round: one broadcast-join
+    assignment + one partial-agg mean over the persisted corpus —
+    centroids (k·dim BIGINTs) live on the driver between rounds, the
+    sanctioned control-plane collect (module docstring).  Clusters
+    that lose all members drop out, same as a grouped agg in any
+    engine."""
+    spark = vecs.sparkSession
+    schema = "c_id bigint, cq array<bigint>"
+    cents = [
+        (r["id"], list(r["q"]))
+        for r in vecs.filter(F.col("id") < k).collect()
+    ]
+    for _ in range(rounds):
+        cdf = spark.createDataFrame(cents, schema)
+        assign = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select(
+                "id", "q", "c_id",
+                F.expr(d2_int_expr("q", "cq")).alias("d2"),
+            )
+            .groupBy("id")
+            .agg(
+                F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
+                F.first("q").alias("q"),
+            )
+        )
+        rows = (
+            assign.select("c_id", F.posexplode("q").alias("pos", "x"))
+            .groupBy("c_id", "pos")
+            .agg(F.expr("cast(sum(x) div count(1) as bigint)").alias("m"))
+            .groupBy("c_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c_id", F.expr("transform(pm, s -> s.m)").alias("cq"))
+        ).collect()
+        cents = sorted((r["c_id"], list(r["cq"])) for r in rows)
+    return cents
+
+
+def ivf_kmeans_topk(
+    vecs: DataFrame,
+    n_centroids: int,
+    rounds: int,
+    n_queries: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF top-k with a k-means-trained coarse quantizer — the
+    composed train → index → probe path, integer-exact end to end.
+
+    ``vecs``: (id, q array<bigint>) quantized non-negative, persisted
+    by the caller (training and search both re-scan it).  Returns
+    (q_id, n_id, d2) — quantized squared-L2 distances (FAISS IVF's
+    native metric), BIGINT so cross-engine hashes match.  Search is
+    O(nprobe·cluster): the trained centroid table and the query probe
+    list broadcast; assignment is a map-side min_by partial agg."""
+    from pyspark.sql import Window as W
+
+    spark = vecs.sparkSession
+    cents = kmeans_centroids_exact(vecs, n_centroids, rounds)
+    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
+    scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
+        "id", "q", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2")
+    )
+    assign = scored_c.groupBy("id").agg(
+        F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
+        F.first("q").alias("q"),
+    )
+    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
+    probes = (
+        scored_c.filter(F.col("id") < n_queries)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("id").alias("q_id"), "c_id", F.col("q").alias("qq"))
+    )
+    m = assign.select(
+        F.col("id").alias("n_id"), "c_id", F.col("q").alias("nq")
+    )
+    w_rank = W.partitionBy("q_id").orderBy("d2", "n_id")
+    return (
+        m.join(F.broadcast(probes), "c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", F.expr(d2_int_expr("qq", "nq")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "d2")
+    )
+
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(id, c_id) nearest-centroid assignment: broadcast cross join +

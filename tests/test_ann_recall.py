@@ -12,6 +12,7 @@ margin, not aspirations (measured curve: nprobe 1/2/4/8/16 →
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kcidb_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
@@ -96,6 +97,82 @@ def test_lsh_multiprobe_recall_curve(spark):
     # boundary-neighbor margin.
     assert recalls[4] > recalls[0], recalls
     assert recalls[4] >= 0.3, recalls
+
+
+def _quantized(emb):
+    from kcidb_spark.queries.advanced import _KM_SCALE
+
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+        ).alias("q"),
+    )
+
+
+def test_ivf_kmeans_recall_curve(spark):
+    """Recall contract for the k-means-TRAINED coarse quantizer (the
+    static-centroid curve above doesn't transfer: trained Voronoi
+    cells have different boundary loss).  Brute force here is exact
+    top-k under the SAME quantized-L2 metric the trained path ranks
+    by, so nprobe = n_centroids must reproduce it row-for-row."""
+    from kcidb_spark.operators.clustering import (
+        d2_int_expr,
+        ivf_kmeans_topk,
+    )
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = _quantized(emb).persist()
+    try:
+        q = vecs.filter(F.col("id") < _NQ).select(
+            F.col("id").alias("q_id"), F.col("q").alias("qq")
+        )
+        w = F.row_number().over(
+            W.partitionBy("q_id").orderBy("d2", "n_id")
+        )
+        bf_df = (
+            vecs.select(F.col("id").alias("n_id"), F.col("q").alias("nq"))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("n_id") != F.col("q_id"))
+            .select(
+                "q_id", "n_id",
+                F.expr(d2_int_expr("qq", "nq")).alias("d2"),
+            )
+            .withColumn("rn", w)
+            .filter(F.col("rn") <= _K)
+            .select("q_id", "n_id", "d2")
+        )
+        bf = _topk_sets(bf_df)
+        assert len(bf) == _NQ and all(len(s) == _K for s in bf.values())
+        recalls = {
+            nprobe: _recall(
+                bf,
+                _topk_sets(
+                    ivf_kmeans_topk(vecs, _NC, 3, _NQ, _K, nprobe=nprobe)
+                ),
+            )
+            for nprobe in (1, 2, 4, _NC)
+        }
+        curve = [recalls[n] for n in (1, 2, 4, _NC)]
+        assert curve == sorted(curve), f"recall not monotone: {recalls}"
+        # Probing every trained cluster IS exhaustive search — rows,
+        # not just sets, must match (same metric, same tie-breaks).
+        full = {
+            (r["q_id"], r["n_id"], r["d2"])
+            for r in ivf_kmeans_topk(
+                vecs, _NC, 3, _NQ, _K, nprobe=_NC
+            ).collect()
+        }
+        assert full == {
+            (r["q_id"], r["n_id"], r["d2"]) for r in bf_df.collect()
+        }
+        # Measured floors on the sf0.01 embeddings (deterministic
+        # quantization + init, so stable).
+        assert recalls[1] >= 0.5, recalls
+        assert recalls[4] >= 0.7, recalls
+    finally:
+        vecs.unpersist()
 
 
 def test_ivf_nprobe_full_equals_bruteforce_rows(spark):
