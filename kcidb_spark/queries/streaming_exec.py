@@ -80,7 +80,10 @@ def _state_partitions(
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = max(4, min(session, size // (64 << 20) + 1))
     if python_stateful:
-        return max(8, min(session, base * 4))
+        # Floor of 8 for per-key Python parallelism, but never exceed
+        # the session's configured shuffle parallelism — on a tiny
+        # test session (< 8 shuffle partitions) the session cap wins.
+        return max(min(8, session), min(session, base * 4))
     return base
 
 

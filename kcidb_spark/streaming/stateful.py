@@ -81,11 +81,15 @@ def _emit_transitions(key, pdfs, prev):
     shifted = np.empty(n, dtype=object)
     shifted[0] = prev_status
     shifted[1:] = status[:-1]
-    if prev_status is None:
-        mask = np.not_equal(status, shifted)
-        mask[0] = False
-    else:
-        mask = np.not_equal(status, shifted)
+    # A transition needs a KNOWN previous status: suppress rows whose
+    # shifted value is None — the first-ever row for the key AND any
+    # row following a mid-batch null status (the pre-vectorization row
+    # loop skipped both; np.not_equal('x', None) alone would emit a
+    # spurious None->x row).
+    mask = np.not_equal(status, shifted)
+    mask &= np.frompyfunc(lambda s: s is not None, 1, 1)(shifted).astype(
+        bool
+    )
     new_state = (int(ts[-1]), status[-1])
     if not mask.any():
         return _EMPTY_OUT(), new_state

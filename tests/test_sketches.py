@@ -38,7 +38,19 @@ def test_hll_union_rollup_lossless_and_bounded(spark):
     union-of-daily-partials must equal the single-shot sketch EXACTLY
     (HLL union at equal lgConfigK is lossless — a routing/merge bug
     breaks equality immediately), and both must sit within the error
-    envelope of the exact distinct count."""
+    envelope of the exact distinct count.
+
+    Precondition for the EXACT equality (diagnosis aid if this ever
+    flakes): DataSketches answers with the HIP estimator for a sketch
+    that never passed through a union, but with the composite
+    estimator once merged.  Both sides here DO merge — Spark's
+    hash-agg always combines per-partition partials through the HLL
+    union, on the multi-partition inputs this query reads — so both
+    estimates come off the composite path and compare exactly.  If a
+    future engine change ever planned the direct side as a single
+    partial (no merge step), this assert would compare HIP vs
+    composite and could legitimately differ by a few counts; that is
+    an estimator-path change, not a data-loss bug."""
     rows = REGISTRY["sketch_hll_union_rollup"].spark(spark, SF).collect()
     assert rows
     for r in rows:

@@ -80,6 +80,34 @@ def test_transitions_across_micro_batches(spark, tmp_path):
     assert spark.table("t_transitions").count() == 2
 
 
+def test_null_status_never_a_known_prev():
+    """Mid-batch null statuses must not fabricate None->x transitions:
+    a transition needs a KNOWN previous status, so the row after a
+    null is suppressed (and the null row itself only emits if it
+    follows a known non-null status).  Direct unit drive of the
+    detector — the synthetic event feeds are non-null, so only a
+    crafted frame reaches this branch."""
+    import pandas as pd
+
+    from kcidb_spark.streaming.stateful import _emit_transitions
+
+    batch = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts_us": [10, 20, 30, 40],
+            "user_id": [7, 7, 7, 7],
+            "status": ["pass", None, "fail", "fail"],
+        }
+    )
+    out, state = _emit_transitions((7,), iter([batch]), (None, None))
+    # pass->None emits (prev known); None->fail suppressed (prev
+    # unknown); fail->fail no change; first row has no prev.
+    assert list(zip(out["prev_status"], out["status"])) == [
+        ("pass", None)
+    ]
+    assert state == (40, "fail")
+
+
 def test_engine_path_probe():
     # In this container google.protobuf is absent, so the operator must
     # select the applyInPandasWithState path; on a protobuf-equipped
