@@ -108,12 +108,24 @@ def probe_index_hits(
     return index.filter(F.col(key).isin(list(keys))).select(key).distinct()
 
 
+#: Largest key list inlined as a pushed IN predicate.  Bounded by the
+#: JVM, not by taste: parquet-mr expands an N-value IN into a
+#: left-deep Or tree and evaluates it by recursive visitor, so filter
+#: depth ≈ N stack frames per row group — on the default ~1 MB task
+#: thread stack the overflow point measures at ~1.0–1.2k values
+#: (reproduced: 1,000 evaluates, 1,250 throws StackOverflowError
+#: inside the scan).  512 keeps 2× headroom for whatever stack the
+#: task already spent; bigger probes take the broadcast-semi path,
+#: which prunes post-scan and has no depth anywhere.
+_MAX_INLIST = 512
+
+
 def probe_index_new_keys(
     spark: SparkSession,
     index_path: str,
     day: DataFrame,
     key: str = "th",
-    max_inlist: int = 10_000,
+    max_inlist: int = _MAX_INLIST,
 ) -> DataFrame:
     """Day-batch rows whose ``key`` is ABSENT from the stored index —
     the incremental-ingest dedup core, with the probe pushed INTO the
