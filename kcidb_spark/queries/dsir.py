@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from textwrap import dedent
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kcidb_spark.cache import scoped_persist
@@ -196,6 +196,117 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram+bigram models fit on the 'en' target slice vs the whole
     pool — DSIR's importance weight, in engine-exact micro-bits."""
     return importance_weights(table(spark, sf_dir, "documents", spread=True))
+
+
+#: Gate seed for the Gumbel resampling entry (any string works; the
+#: seed is part of the md5 preimage so every seed is a fresh sample).
+_GUMBEL_SEED = "r9"
+
+#: 2^24 + 1 — maps the 24-bit md5 prefix h to u = (h+1)/(2^24+1),
+#: strictly inside (0, 1) so both log2 calls below are finite.
+_U_DENOM = 16777217.0
+
+
+def gumbel_keys(
+    scored: DataFrame,
+    seed,
+    id_col: str = "doc_id",
+    weight_col: str = "weight_micros",
+) -> DataFrame:
+    """Append ``gumbel_micros``: a seeded, hash-deterministic Gumbel
+    perturbation of a log-space importance weight, such that a top-k
+    on the key samples WITHOUT replacement with probability ∝ weight
+    (the Gumbel-max trick, Vieira 2014; DSIR §3 selects by exactly
+    this resampling rather than a deterministic top-k).
+
+    Derivation of the integer form: with ``weight_micros = 1e6·log2 w``
+    and u ~ Uniform(0,1), the Gumbel-max key is ``log w + G``,
+    G = −ln(−ln u).  In base 2, G/ln 2 = −log2(−log2 u) − log2(ln 2);
+    the trailing constant is row-independent, so ranking by
+    ``weight_micros − round(1e6·log2(−log2 u))`` is EXACTLY ranking by
+    the real-valued Gumbel key — no approximation beyond the micro-bit
+    quantization every score in this repo already carries.  u comes
+    from the ``sample_by_hash`` idiom: the first 24 md5 bits of
+    ``seed:id`` mapped to (0,1), engine-identical and reproducible —
+    rerunning with the same seed reselects the same documents on any
+    cluster layout.
+
+    ``seed`` may be a Column (tests sweep hundreds of seeds in one
+    job by exploding a seed array).
+    """
+    seed_col = seed if isinstance(seed, Column) else F.lit(seed)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", seed_col, F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(_U_DENOM)
+    g = F.round(F.log2(-F.log2(u)) * F.lit(1000000.0)).cast("long")
+    return scored.withColumn("gumbel_micros", F.col(weight_col) - g)
+
+
+@register(
+    "dsir_gumbel_sample",
+    oracle=dedent(f"""
+        WITH {_WEIGHTS_SQL},
+        gum AS (
+            SELECT doc_id, lang, source, weight_micros,
+                   weight_micros - CAST(round(log2(-log2(
+                       (CAST(concat('0x', substring(
+                            md5('{_GUMBEL_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            1, 6)) AS BIGINT) + 1) / {_U_DENOM}
+                   )) * 1000000) AS BIGINT) AS gumbel_micros
+            FROM weights
+        )
+        SELECT doc_id, lang, source, weight_micros, gumbel_micros, rk
+        FROM (
+            SELECT doc_id, lang, source, weight_micros, gumbel_micros,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY gumbel_micros DESC, doc_id
+                   ) AS BIGINT) AS rk,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM gum
+        ) WHERE rk <= cnt // 5
+    """),
+    tags=("pipeline", "sampling", "dsir"),
+)
+def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper-faithful selection step: importance RESAMPLING — each
+    source keeps ⌊n/5⌋ documents drawn without replacement with
+    probability ∝ importance weight via seeded Gumbel-top-k
+    (:func:`gumbel_keys`), instead of ``dsir_select_per_source``'s
+    deterministic argmax.  Same partitioned-window scale shape (never
+    a global sort); the perturbed key is integer micro-bits, so the
+    whole sample is engine-exact and seed-reproducible."""
+    scored = importance_weights(
+        table(spark, sf_dir, "documents", spread=True)
+    )
+    keyed = gumbel_keys(scored, _GUMBEL_SEED)
+    w_rank = W.partitionBy("source").orderBy(
+        F.desc("gumbel_micros"), "doc_id"
+    )
+    w_all = W.partitionBy("source")
+    return (
+        keyed.select(
+            "doc_id", "lang", "source", "weight_micros", "gumbel_micros",
+            F.row_number().over(w_rank).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("cnt"),
+        )
+        .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
+        .select(
+            "doc_id", "lang", "source", "weight_micros",
+            "gumbel_micros", "rk",
+        )
+    )
 
 
 @register(

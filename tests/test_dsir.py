@@ -40,6 +40,54 @@ def test_selection_budget_per_source(spark):
         assert picked.get(src, 0) == n // 5, src
 
 
+def test_gumbel_selection_tracks_weights(spark):
+    """The Gumbel-top-k key must select ∝ weight: on a skewed fixture
+    (one doc with 4× the importance weight of each of two rivals,
+    i.e. +2e6 micro-bits in log2 space), the heavy doc wins the
+    per-seed argmax ≈ 4/(4+1+1) = 2/3 of the time.  300 seeds in ONE
+    job (seed swept as an exploded column); deterministic, so the
+    bound is a pin, not a flake."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.queries.dsir import gumbel_keys
+
+    n_seeds = 300
+    docs = spark.createDataFrame(
+        [("heavy", 2_000_000), ("light_a", 0), ("light_b", 0)],
+        "doc_id string, weight_micros long",
+    )
+    seeds = F.array([F.lit(f"s{i}") for i in range(n_seeds)])
+    swept = docs.withColumn("seed", F.explode(seeds))
+    keyed = gumbel_keys(swept, F.col("seed"))
+    wins = {
+        r["doc_id"]: r["wins"]
+        for r in keyed.groupBy("seed")
+        .agg(F.max_by("doc_id", F.struct("gumbel_micros", "doc_id")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("wins"))
+        .collect()
+    }
+    heavy = wins.get("heavy", 0)
+    # E[heavy] = 200/300; a ±3σ band (σ ≈ 8.2) spans ~176–224.
+    assert 170 <= heavy <= 230, wins
+    assert heavy > max(
+        wins.get("light_a", 0), wins.get("light_b", 0)
+    ) * 2
+
+
+def test_gumbel_same_seed_reproduces(spark):
+    """Same seed → byte-identical sample; different seed → a different
+    perturbation (the resample axis)."""
+    from kcidb_spark.queries.dsir import gumbel_keys
+
+    scored = REGISTRY["dsir_importance_weights"].spark(spark, SF)
+    a = sorted(gumbel_keys(scored, "x").collect())
+    b = sorted(gumbel_keys(scored, "x").collect())
+    c = sorted(gumbel_keys(scored, "y").collect())
+    assert a == b
+    assert a != c
+
+
 def test_model_join_broadcasts(spark):
     """The ≤4096-row log-ratio model must reach the scoring join as a
     broadcast — a shuffled model join would drag the exploded corpus
