@@ -318,6 +318,175 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _sentineled_events_dir(
+    spark: SparkSession, sf_dir: str, n_future_batches: int = 2
+) -> str:
+    """Copy the events source into a temp dir and append
+    ``n_future_batches`` single-file micro-batches of far-future
+    SENTINEL rows (negative user ids, one 'view' + one 'click' each so
+    BOTH join sides' watermark nodes see them).  File mtimes order the
+    batches: real data first, sentinels after — so a bounded drain
+    processes real rows, then watches the watermark leap past them.
+
+    Why two sentinel batches: a watermark computed at the end of batch
+    N takes effect in batch N+1, so state evicted by sentinel-1's
+    watermark is emitted while sentinel-2's batch runs — no reliance
+    on the engine scheduling a no-data micro-batch after the last
+    file."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = tempfile.mkdtemp(prefix="t16_src_")
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".parquet"):
+                dst = os.path.join(tmp, f"data_{name}")
+                shutil.copyfile(os.path.join(src, name), dst)
+                parts.append(dst)
+    else:
+        dst = os.path.join(tmp, "data_events.parquet")
+        shutil.copyfile(src, dst)
+        parts.append(dst)
+    schema = pq.read_schema(parts[0])
+    ts_type = schema.field("ts").type
+    # Sentinels sit 30/60/… days past the last real event: with a
+    # 1-hour watermark delay and a 6-hour join window, sentinel k's
+    # watermark clears every row up to sentinel k-1 by > 29 days.
+    tbl = pq.read_table(parts[0], columns=["ts"])
+    max_us = pa.compute.max(tbl["ts"].cast(pa.timestamp("us"))).value
+    now = time.time()
+    for dp in parts:
+        os.utime(dp, (now - 600, now - 600))
+    for k in range(n_future_batches):
+        ts_us = max_us + (k + 1) * 30 * 86_400_000_000
+        uid = -(2 * k + 1)
+        rows = pa.table(
+            {
+                "event_id": pa.array([-(10 + 2 * k), -(11 + 2 * k)],
+                                     pa.int64()),
+                "ts": pa.array([ts_us, ts_us], pa.timestamp("us")).cast(
+                    ts_type
+                ),
+                "user_id": pa.array([uid, uid - 1], pa.int64()),
+                "event_type": pa.array(["view", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ).select([f.name for f in schema])
+        path = os.path.join(tmp, f"sentinel_{k}.parquet")
+        pq.write_table(rows.cast(schema), path)
+        os.utime(path, (now - 300 + k, now - 300 + k))
+    return tmp
+
+
+def _outer_join_drain(
+    spark: SparkSession, sf_dir: str, advance_watermark: bool = True
+) -> DataFrame:
+    """Drain the watermarked LEFT-OUTER view→click stream-stream join
+    and return the sink contents (sentinel rows excluded)."""
+    _utc(spark)
+    src_dir = (
+        _sentineled_events_dir(spark, sf_dir)
+        if advance_watermark
+        else None
+    )
+
+    def side(event_type: str, prefix: str):
+        if src_dir is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            schema = spark.read.parquet(src_dir).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+        else:
+            stream = _events_stream(spark, sf_dir)
+        return (
+            stream.transform(_normalize_ts)
+            .filter(
+                (F.col("event_type") == event_type)
+                & (F.col("user_id") <= 50)
+            )
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("view", "view").join(
+        side("click", "click"),
+        F.expr(
+            "view_user = click_user"
+            " AND click_ts >= view_ts"
+            f" AND click_ts <= view_ts + INTERVAL {_SSJOIN_WINDOW}"
+        ),
+        "left_outer",
+    ).select(
+        "view_id",
+        F.col("click_id"),
+        F.col("view_user").alias("user_id"),
+    )
+    qname = f"t16_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="t16_ckpt_")
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_progress("t16_stream_outer_join", q)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if src_dir is not None:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    # Sentinel view rows carry negative user ids; real ids are ≥ 0.
+    return spark.table(qname).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "t16_stream_outer_join",
+    oracle=dedent("""
+        SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.event_type = 'view' AND a.user_id <= 50
+    """),
+    tags=("T4", "T7", "streaming"),
+)
+def t16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream join under the oracle gate
+    — the join form t13's ledger flagged as uncovered (SURVEY.md §8):
+    unmatched views must emit a null-padded row, and the engine emits
+    it only when the watermark proves no matching click can still
+    arrive (state eviction at ``view_ts + window`` vs the global
+    watermark).  A plain bounded drain therefore UNDER-emits — every
+    view in the final ``delay + window`` span is still buffered at
+    termination (tests/test_streaming_windows.py pins that early-drain
+    gap) — so the drain appends far-future sentinel micro-batches on
+    both sides (:func:`_sentineled_events_dir`) to push the watermark
+    past every real view's eviction point first, making the drained
+    result equal the batch LEFT JOIN oracle exactly.  A continuous
+    production run needs no sentinels: the next day's traffic IS the
+    watermark advance; the sentinel trick is the standard end-of-
+    backfill flush."""
+    return _outer_join_drain(spark, sf_dir, advance_watermark=True)
+
+
 @register(
     "t15_stream_status_transitions",
     oracle=dedent("""
