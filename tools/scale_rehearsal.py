@@ -128,6 +128,58 @@ def _stage_metrics(ui: str) -> dict[int, dict]:
     }
 
 
+def _parse_bytes(s: str) -> float:
+    units = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30,
+             "TiB": 2**40}
+    parts = s.strip().replace(",", "").split()
+    if len(parts) == 2 and parts[1] in units:
+        return float(parts[0]) * units[parts[1]]
+    try:
+        return float(parts[0])
+    except ValueError:
+        return 0.0
+
+
+def _sql_executions(ui: str) -> list[dict]:
+    app = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications")
+    )[0]["id"]
+    return json.load(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/sql"
+            "?details=true&planDescription=false&length=10000"
+        )
+    )
+
+
+def _broadcast_stats(ui: str, seen_ids: set) -> dict:
+    """Max BroadcastExchange size (rows / bytes) across SQL executions
+    not in ``seen_ids`` — the direct measurement behind every 'this
+    broadcast stays flat' claim (the stage REST metrics don't carry
+    broadcast bytes; the SQL metrics do, as 'data size')."""
+    n = rows_max = 0
+    bytes_max = 0.0
+    for e in _sql_executions(ui):
+        if e["id"] in seen_ids:
+            continue
+        for node in e.get("nodes", []):
+            if node.get("nodeName") != "BroadcastExchange":
+                continue
+            n += 1
+            for m in node.get("metrics", []):
+                if m["name"] == "data size":
+                    bytes_max = max(bytes_max, _parse_bytes(m["value"]))
+                elif m["name"] == "number of output rows":
+                    rows_max = max(
+                        rows_max, int(m["value"].replace(",", ""))
+                    )
+    return {
+        "n_broadcasts": n,
+        "max_rows": rows_max,
+        "max_kib": round(bytes_max / 2**10, 1),
+    }
+
+
 def run(sf_dir: str, label: str, spark) -> dict:
     from kcidb_spark.cache import release_persisted
     from kcidb_spark.queries import REGISTRY
@@ -442,7 +494,8 @@ def run_queries(sf_dir: str, label: str, spark, names) -> dict:
 
 
 def synthesize_rich_corpus(spark, out_dir: str, n_words: int = 100_000,
-                           freq_top: int = 2_000) -> None:
+                           freq_top: int = 2_000,
+                           langs: tuple = ("xx",)) -> None:
     """Zipf corpus with ``n_words`` DISTINCT words — the trainer
     envelope the replicated sf0.1 corpus cannot provide (its word
     table saturates deep BPE at 134 rules; SCALE.md r7).  Word ``r``
@@ -477,7 +530,11 @@ def synthesize_rich_corpus(spark, out_dir: str, n_words: int = 100_000,
         .agg(F.concat_ws(" ", F.collect_list("word")).alias("text"))
         .select(
             "doc_id", "text",
-            F.lit("xx").alias("lang"), F.lit("synth").alias("source"),
+            F.element_at(
+                F.array(*[F.lit(lg) for lg in langs]),
+                (F.col("doc_id") % len(langs) + 1).cast("int"),
+            ).alias("lang"),
+            F.lit("synth").alias("source"),
             F.length("text").cast("long").alias("n_chars"),
         )
         .repartition(32)
@@ -491,7 +548,7 @@ def main() -> None:
     suite = "dedup"
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
-                            "bpe", "tokenizer", "sketch", "lm"):
+                            "bpe", "tokenizer", "sketch", "lm", "vocab"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -538,6 +595,80 @@ def main() -> None:
         finally:
             for key in ROCKSDB_CONF:
                 spark.conf.unset(key)
+    elif suite == "vocab":
+        # VOCABULARY-growth rehearsal (VERDICT r8 "Next round" #5):
+        # volume replication holds distinct-token count constant — the
+        # blind axis that hid the r8 unpruned-unigram broadcast.  Here
+        # the corpus grows in DISTINCT tokens per decade (1e5 → 1e6 →
+        # 1e7 via the Zipf synthesizer, two languages so the
+        # per-language fit is exercised) while every LM/DSIR model
+        # broadcast must stay configuration-bounded: the measurement
+        # is the max BroadcastExchange 'data size' per query per
+        # decade, straight from the SQL metrics.
+        from kcidb_spark.cache import release_persisted
+        from kcidb_spark.queries import REGISTRY
+        from kcidb_spark.queries.pipeline import _norm_text
+
+        from pyspark.sql import functions as F
+
+        ui = "http://127.0.0.1:4040"
+        vocab_queries = [
+            "lm_bigram_surprisal",
+            "dsir_importance_weights",
+            "dsir_gumbel_sample",
+        ]
+        decades = [100_000, 1_000_000, 10_000_000]
+        if k != 10:  # optional CLI cap, e.g. `vocab 6` stops at 1e6
+            decades = [d for d in decades if d <= 10**k]
+        result = {"queries": vocab_queries, "decades": []}
+        for n in decades:
+            d = f"/tmp/kcidb_scale/vocab{n}"
+            synthesize_rich_corpus(
+                spark, d, n_words=n, langs=("en", "xx")
+            )
+            docs = spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            ntok = (
+                docs.select(
+                    F.explode(
+                        F.split(_norm_text(F.col("text")), " ")
+                    ).alias("w")
+                )
+                .agg(F.count_distinct("w").alias("n"))
+                .collect()[0]["n"]
+            )
+            row = {
+                "n_words": n,
+                "distinct_tokens": ntok,
+                "docs": docs.count(),
+                "per_query": {},
+            }
+            for name in vocab_queries:
+                seen = {e["id"] for e in _sql_executions(ui)}
+                before = _stage_metrics(ui)
+                t0 = time.perf_counter()
+                REGISTRY[name].spark(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                wall = round(time.perf_counter() - t0, 2)
+                release_persisted()
+                after = _stage_metrics(ui)
+                new = {
+                    s: v for s, v in after.items() if s not in before
+                }
+                row["per_query"][name] = {
+                    "wall_s": wall,
+                    "shuffle_write_mb": round(
+                        sum(v["shuffle_write"] for v in new.values())
+                        / 2**20, 2,
+                    ),
+                    "broadcast": _broadcast_stats(ui, seen),
+                }
+                print("vocab", n, name, row["per_query"][name],
+                      flush=True)
+            result["decades"].append(row)
+        result["ratios"] = {}
     elif suite == "lm":
         # LM quality gate + shuffle/encode family at Kx corpus volume
         # (round 8): the scoring join explodes every bigram INSTANCE,
