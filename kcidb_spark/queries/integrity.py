@@ -1021,6 +1021,149 @@ def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Heavy-hitter sketch capacity.  Above the distinct-user count of the
+#: test corpora, so the sketch is provably EXACT there (a frequent-
+#:items sketch with no evictions reports true counts) — the regime
+#: where equality assertions are legitimate; under-capacity behavior
+#: (count error ≤ εN) is property-tested separately.
+_TOPK_TRACKED = 4096
+
+
+@register(
+    "sketch_top_items",
+    oracle=None,
+    tags=("A", "sketch"),
+    schema="event_type string, item bigint, est_count bigint,"
+    " exact_count bigint",
+)
+def sketch_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per event type via the frequent-items sketch
+    (``approx_top_k``: Spark's SpaceSaving-family aggregate) — the
+    third leg of the approximate-rollup family (HLL = distinct,
+    KLL/GK = quantiles, this = frequency).  At 100 TB this is 'top
+    domains / top users / top tokens' without a full groupBy: the
+    sketch partial-aggregates map-side at ``maxItemsTracked`` entries
+    per partition and merges in the exchange, so the shuffle carries
+    sketches, not keys.  Each estimated item is emitted next to its
+    exact count; with capacity above the corpus's distinct-user count
+    the sketch evicts nothing and est == exact (test_sketches.py pins
+    that, plus the ≤ εN overcount guarantee when capacity is forced
+    below the heavy tail).  Rows-only under the gate: tie order at
+    the k-th rank is sketch-internal, so values may permute while the
+    row count stays fixed."""
+    ev = table(spark, sf_dir, "events")
+    est = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_top_k(user_id, 5, {_TOPK_TRACKED})"
+            ).alias("top")
+        )
+        .select(
+            "event_type",
+            F.explode("top").alias("e"),
+        )
+        .select(
+            "event_type",
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("est_count"),
+        )
+    )
+    exact = ev.groupBy("event_type", F.col("user_id").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, on=["event_type", "item"], how="left").select(
+        "event_type", "item", "est_count", "exact_count"
+    )
+
+
+@register(
+    "sketch_topk_union_rollup",
+    oracle=None,
+    tags=("A", "sketch"),
+    schema="event_type string, n_items bigint, union_eq_direct boolean,"
+    " union_eq_exact boolean",
+)
+def sketch_topk_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-rollup path for the FREQUENCY sketch, mirroring
+    sketch_hll_union_rollup: per-(type, day) frequent-items states
+    (``approx_top_k_accumulate`` — the binary-state shape a daily
+    rollup table persists) merged across days with
+    ``approx_top_k_combine`` after a repartition boundary, then
+    estimated.  In the exact regime (capacity ≥ distinct items, no
+    evictions) the combined estimate must equal both the single-shot
+    sketch and the exact per-item counts AS MAPS — set-compared here
+    (sort_array over (item, count) structs) because rank order among
+    equal counts is sketch-internal.  Under capacity pressure the
+    merge keeps the ≤ εN guarantee but equality becomes approximate;
+    this entry pins the lossless-rollup configuration, the one a real
+    daily pipeline should run in for its actual heavy hitters."""
+    ev = table(spark, sf_dir, "events")
+    k = _TOPK_TRACKED  # estimate everything tracked: full-map compare
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr(
+            f"approx_top_k_accumulate(user_id, {_TOPK_TRACKED})"
+        ).alias("sk")
+    )
+    unioned = (
+        daily.repartition("event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_top_k_estimate("
+                f"approx_top_k_combine(sk, {_TOPK_TRACKED}), {k})"
+            ).alias("union_top")
+        )
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr(
+            f"approx_top_k_estimate("
+            f"approx_top_k_accumulate(user_id, {_TOPK_TRACKED}), {k})"
+        ).alias("direct_top")
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("user_id").alias("item"),
+                    F.col("cnt").alias("count"),
+                )
+            ).alias("exact_top")
+        )
+    )
+    def canon(col: str):
+        # Canonical sorted array<struct<item:bigint,count:bigint>> so
+        # the equality compares values, not sketch-internal rank order
+        # or the engines' int-vs-bigint count typing.
+        return F.sort_array(
+            F.expr(
+                f"transform({col}, e -> struct("
+                "CAST(e.item AS BIGINT) AS item,"
+                " CAST(e.count AS BIGINT) AS count))"
+            )
+        )
+
+    return (
+        unioned.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.size("union_top").cast("long").alias("n_items"),
+            (canon("union_top") == canon("direct_top")).alias(
+                "union_eq_direct"
+            ),
+            (canon("union_top") == canon("exact_top")).alias(
+                "union_eq_exact"
+            ),
+        )
+    )
+
+
 @register(
     "sketch_value_quantiles",
     oracle=None,

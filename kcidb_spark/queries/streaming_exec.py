@@ -354,11 +354,20 @@ def _sentineled_events_dir(
         parts.append(dst)
     schema = pq.read_schema(parts[0])
     ts_type = schema.field("ts").type
-    # Sentinels sit 30/60/… days past the last real event: with a
-    # 1-hour watermark delay and a 6-hour join window, sentinel k's
-    # watermark clears every row up to sentinel k-1 by > 29 days.
-    tbl = pq.read_table(parts[0], columns=["ts"])
-    max_us = pa.compute.max(tbl["ts"].cast(pa.timestamp("us"))).value
+    # Sentinels sit 30/60/… days past the last real event (max taken
+    # across ALL part files): with a 1-hour watermark delay and a
+    # 6-hour join window, sentinel k's watermark clears every row up
+    # to sentinel k-1 by > 29 days.  An empty source has no max —
+    # anchor at the epoch; the join output is empty either way.
+    max_us = 0
+    for dp in parts:
+        m = pa.compute.max(
+            pq.read_table(dp, columns=["ts"])["ts"].cast(
+                pa.timestamp("us")
+            )
+        )
+        if m.is_valid:
+            max_us = max(max_us, m.value)
     now = time.time()
     for dp in parts:
         os.utime(dp, (now - 600, now - 600))

@@ -69,3 +69,64 @@ def test_hll_is_mergeable_across_partitions(spark):
     df = REGISTRY["sketch_distinct_users"].spark(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_count_distinct" in plan or "HashAggregate" in plan
+
+
+def test_topk_exact_regime_and_rollup(spark):
+    """Frequent-items sketch (approx_top_k family): with capacity
+    above the distinct-item count nothing is ever evicted, so (a)
+    every estimated count equals the exact count, and (b) the
+    stored-rollup path (per-day accumulate → combine → estimate)
+    equals both the single-shot sketch and the exact map — the
+    lossless configuration a daily pipeline runs in."""
+    rows = REGISTRY["sketch_top_items"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_count"] is not None, r
+        assert r["est_count"] == r["exact_count"], r
+    roll = REGISTRY["sketch_topk_union_rollup"].spark(spark, SF).collect()
+    assert roll
+    for r in roll:
+        assert r["union_eq_direct"] and r["union_eq_exact"], r
+        assert r["n_items"] > 0
+
+
+def test_topk_under_capacity_overcount_bound(spark):
+    """Under capacity pressure the sketch keeps the SpaceSaving
+    guarantee: estimated counts only OVERcount, by at most the
+    smallest tracked count (≤ N/capacity), and every true heavy
+    hitter above that bound is still reported."""
+    from pyspark.sql import functions as F
+
+    n, cap, k = 20_000, 64, 10
+    # Zipf-ish: item i appears ~ n/(i+1) times over a long tail.
+    df = spark.range(n).select(
+        F.floor(
+            F.pow(F.lit(2.0), (F.col("id") % 14).cast("double"))
+            * F.rand(seed=7)
+        ).cast("long").alias("item")
+    )
+    est = {
+        r["e"]["item"]: r["e"]["count"]
+        for r in df.agg(
+            F.expr(f"approx_top_k(item, {k}, {cap})").alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .collect()
+    }
+    exact = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(exact) > cap  # capacity pressure is real
+    bound = n // cap  # SpaceSaving: error ≤ N/capacity
+    for item, c in est.items():
+        assert c >= exact[item], (item, c, exact[item])  # never under
+        assert c - exact[item] <= bound, (item, c, exact[item], bound)
+    # Every true top item whose count clears the error bound by a
+    # margin must be present in the sketch's top-k report.
+    kth = sorted(exact.values(), reverse=True)[k - 1]
+    for item, c in exact.items():
+        if c > kth + bound:
+            assert item in est, (item, c)
