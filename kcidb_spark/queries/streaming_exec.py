@@ -550,6 +550,137 @@ def t15_stream_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "t17_stream_incremental_dedup",
+    oracle=dedent("""
+        WITH d AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                           ' ', 'g'))) AS th,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS g
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, th,
+                   row_number() OVER (PARTITION BY th
+                                      ORDER BY g, doc_id) AS rn
+            FROM d WHERE g < '4'
+        )
+        SELECT doc_id, th FROM ranked r
+        WHERE rn = 1 AND NOT EXISTS (
+            SELECT 1 FROM d c WHERE c.g >= '4' AND c.th = r.th)
+    """),
+    tags=("T2", "T3", "streaming", "dedup", "index"),
+)
+def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST CYCLE as a continuous pipeline: day batches arrive
+    as micro-batches and each one (a) dedups within itself, (b) probes
+    the PERSISTED fingerprint index for already-ingested duplicates
+    (operators/bucketing.probe_index_new_keys — bloom-pruned scan or
+    broadcast-semi, same as the batch entries), and (c) APPENDS its
+    accepted fingerprints to the index so later batches dedup against
+    it — ``foreachBatch``, the reference loader's micro-batch merge
+    shape (T2/T3: the probe-then-append loop is idempotent on replay
+    because a re-probed duplicate finds its own fingerprint).  Four
+    deterministic micro-batches (doc-id-hash prefix '0'..'3', file
+    mtimes pin arrival order); the drained accept set must equal the
+    batch oracle's first-occurrence semantics EXACTLY: min doc_id
+    within a batch, earliest batch across batches, nothing already in
+    the corpus index.  At 100 TB each iteration reads only the row
+    groups whose blooms fire, and the index grows by one
+    range-partitioned file per cycle (compaction = fpindex_build)."""
+    import glob
+    import shutil
+    import time
+
+    from kcidb_spark.operators.bucketing import (
+        probe_index_new_keys,
+        write_fingerprint_index,
+    )
+    from kcidb_spark.queries.mixing import _fp_split
+
+    new, corpus = _fp_split(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="t17_idx_")
+    write_fingerprint_index(corpus, idx_dir, key="th")
+
+    # Stage the four day batches as single parquet files with ordered
+    # mtimes (the file source schedules by modification time).
+    watch_dir = tempfile.mkdtemp(prefix="t17_in_")
+    stage_dir = tempfile.mkdtemp(prefix="t17_stage_")
+    now = time.time()
+    batches = ("0", "1", "2", "3")
+    for i, gch in enumerate(batches):
+        stage = os.path.join(stage_dir, f"b{gch}")
+        (
+            new.filter(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 1
+                )
+                == gch
+            )
+            .select("doc_id", "th")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(watch_dir, f"batch_{gch}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (now - 400 + 10 * i, now - 400 + 10 * i))
+
+    out_dir = tempfile.mkdtemp(prefix="t17_out_")
+    shutil.rmtree(out_dir)  # foreachBatch appends; start absent
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # (a) within-batch dedup: deterministic min doc_id per th
+        # (null fingerprints pass through untouched, like the
+        # anti-join they stand in for).
+        daily = batch_df.groupBy("th").agg(
+            F.min("doc_id").alias("doc_id")
+        ).select("doc_id", "th")
+        # (b) probe the persisted index (bloom-pruned / semi-join).
+        kept = probe_index_new_keys(sess, idx_dir, daily, key="th")
+        kept = kept.persist()
+        try:
+            # (c) accept + append fingerprints for later batches.
+            kept.write.mode("append").parquet(out_dir)
+            (
+                kept.select("th")
+                .filter(F.col("th").isNotNull())
+                .coalesce(1)
+                .write.mode("append")
+                .option("parquet.bloom.filter.enabled#th", "true")
+                .option(
+                    "parquet.bloom.filter.expected.ndv#th", "1000000"
+                )
+                .parquet(idx_dir)
+            )
+        finally:
+            kept.unpersist()
+
+    schema = "doc_id long, th string"
+    ckpt = tempfile.mkdtemp(prefix="t17_ckpt_")
+    with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_progress("t17_stream_incremental_dedup", q)
+    for d in (ckpt, idx_dir, watch_dir, stage_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    # out_dir stays: the returned frame reads it lazily (the accepted
+    # set is corpus-sized — never driver-collected); one small tmp dir
+    # per invocation, reclaimed by tmp cleaning.
+    return spark.read.parquet(out_dir).select("doc_id", "th")
+
+
+@register(
     "t14_stream_dedup_watermarked",
     oracle=dedent("""
         SELECT event_type,
