@@ -1215,3 +1215,53 @@ def shard_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_pos).cast("long").alias("pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: two-dimensional scan pruning (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from kcidb_spark.operators.layout import zorder_key_sql
+
+    zexpr = zorder_key_sql("user_id", "(epoch_us(ts) // 1000000)")
+    return dedent(f"""
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_sec,
+               CAST({zexpr} AS BIGINT) AS zkey
+        FROM events
+    """)
+
+
+@register(
+    "zorder_key_assign",
+    oracle=_zorder_oracle(),
+    tags=("layout", "scan"),
+)
+def zorder_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) key over (user_id, event-time seconds) — the
+    write-side layout key behind two-dimensional parquet pruning
+    (Delta/Iceberg ZORDER BY, hypertable chunking): range-partitioning
+    and sorting by this key makes every file a small rectangle of the
+    (user, time) plane, so footer min/max stats prune box queries on
+    EITHER dimension (operators/layout.py; candidate-file counts
+    measured straight from parquet footers in tests/test_layout.py).
+    The interleave is five shift-or-mask steps per column, pure long
+    arithmetic in whole-stage codegen, bit-identical in DuckDB —
+    epoch seconds via integer floor-division of microseconds, never a
+    float epoch() cast."""
+    from kcidb_spark.operators.layout import zorder_key
+    from kcidb_spark.queries.relational import _utc
+
+    _utc(spark)
+    ev = table(spark, sf_dir, "events")
+    t_sec = F.unix_timestamp("ts").alias("t_sec")
+    return ev.select(
+        "event_id",
+        "user_id",
+        t_sec,
+        zorder_key(F.col("user_id"), F.unix_timestamp("ts")).alias(
+            "zkey"
+        ),
+    )
