@@ -1029,6 +1029,78 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(connected_components(pairs))
 
 
+@register(
+    "split_leakage_safe",
+    oracle=dedent(f"""
+        WITH RECURSIVE {_CAND_SQL},
+        edges AS (
+            SELECT a AS u, b AS v FROM cand
+            UNION
+            SELECT b AS u, a AS v FROM cand
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.cluster, d.doc_id) AS cluster_id,
+               CASE WHEN substring(md5('split:' ||
+                        CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)),
+                        1, 1) < 'c'
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """),
+    tags=("pipeline", "sampling", "components"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split WITHOUT near-duplicate leakage: hash-splitting
+    individual documents puts ~2·p·(1−p) of every near-dup pair across
+    the train/val boundary — the quiet eval contamination every large
+    corpus ships with — so the split key here is the document's
+    near-dup CLUSTER representative (min doc_id of its LSH connected
+    component, singletons = themselves), making whole components land
+    on one side (~75/25 via the md5 first-hex rule of sample_by_hash).
+    Composition of certified parts: the LSH candidate graph + min-label
+    components of dedup_cluster_components, then one join back to the
+    corpus — left to AQE unhinted because the component table is
+    corpus-proportional in the worst case (a near-dup-heavy crawl),
+    not broadcast-sized.  tests/test_components.py pins the invariant
+    the hash can't state: no candidate pair ever straddles splits."""
+    from kcidb_spark.operators.components import connected_components
+    from kcidb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sig = scoped_persist(minhash_signatures(docs, n_hashes=8))
+    pairs = scoped_persist(lsh_candidate_pairs(sig, n_hashes=8, n_bands=2))
+    comp = connected_components(pairs)
+    rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_id"),
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), rep.cast("string"))),
+                    1,
+                    1,
+                )
+                < "c",
+                F.lit("train"),
+            )
+            .otherwise(F.lit("val"))
+            .alias("split"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # A15 — exact per-group quantiles (beyond the reference; SURVEY §2.4)
 # ---------------------------------------------------------------------------

@@ -62,3 +62,43 @@ def test_star_long_chain_few_rounds(spark):
     comp = connected_components_star(pairs, max_iter=12).collect()
     assert len(comp) == 200
     assert {r["cluster"] for r in comp} == {0}
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """split_leakage_safe's contract the value hash can't state: no
+    LSH candidate pair may have its two documents in different
+    splits (that pair IS the train→val contamination channel), and
+    both splits must be non-trivially populated."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kcidb_spark.queries import REGISTRY
+    from kcidb_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    split = REGISTRY["split_leakage_safe"].spark(spark, sf)
+    docs = table(spark, sf, "documents", spread=True)
+    sig = minhash_signatures(docs, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, n_bands=2)
+    sa = split.select(
+        F.col("doc_id").alias("a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(sa, "a").join(sb, "b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert pairs.count() > 0  # the guard is exercised, not vacuous
+    assert straddling == 0
+    by_split = {r["split"]: r["n"] for r in
+                split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert set(by_split) == {"train", "val"}
+    n = sum(by_split.values())
+    assert 0.6 < by_split["train"] / n < 0.9  # ~75/25 by the hex rule
