@@ -549,6 +549,50 @@ def t15_stream_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(qname)
 
 
+def ingest_dedup_batch(
+    batch_df: DataFrame, idx_dir: str, out_dir: str
+) -> None:
+    """One ingest-cycle iteration (the t17 foreachBatch body, exposed
+    for the replay test): dedup the batch within itself, probe the
+    persisted fingerprint index, append acceptances to the output and
+    their fingerprints to the index.
+
+    REPLAY-IDEMPOTENT in the order written: fingerprints are appended
+    only after the acceptances commit, and a replayed batch's
+    documents then find their OWN fingerprints in the index — kept is
+    empty, nothing double-appends (tests/test_streaming_windows.py
+    pins this).  A crash between the two appends re-accepts the batch
+    on replay; production closes that last gap by writing both under
+    one transactional commit (Delta/Iceberg) or keying the output
+    path by batchId — the probe logic is unchanged either way."""
+    from kcidb_spark.operators.bucketing import probe_index_new_keys
+    from pyspark.sql import functions as F  # noqa: F811 — worker scope
+
+    sess = batch_df.sparkSession
+    # (a) within-batch dedup: deterministic min doc_id per th (null
+    # fingerprints pass through untouched, like the anti-join they
+    # stand in for).
+    daily = batch_df.groupBy("th").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", "th")
+    # (b) probe the persisted index (bloom-pruned / semi-join).
+    kept = probe_index_new_keys(sess, idx_dir, daily, key="th").persist()
+    try:
+        # (c) accept + append fingerprints for later batches.
+        kept.write.mode("append").parquet(out_dir)
+        (
+            kept.select("th")
+            .filter(F.col("th").isNotNull())
+            .coalesce(1)
+            .write.mode("append")
+            .option("parquet.bloom.filter.enabled#th", "true")
+            .option("parquet.bloom.filter.expected.ndv#th", "1000000")
+            .parquet(idx_dir)
+        )
+    finally:
+        kept.unpersist()
+
+
 @register(
     "t17_stream_incremental_dedup",
     oracle=dedent("""
@@ -592,10 +636,7 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time
 
-    from kcidb_spark.operators.bucketing import (
-        probe_index_new_keys,
-        write_fingerprint_index,
-    )
+    from kcidb_spark.operators.bucketing import write_fingerprint_index
     from kcidb_spark.queries.mixing import _fp_split
 
     new, corpus = _fp_split(spark, sf_dir)
@@ -631,32 +672,7 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir)  # foreachBatch appends; start absent
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        # (a) within-batch dedup: deterministic min doc_id per th
-        # (null fingerprints pass through untouched, like the
-        # anti-join they stand in for).
-        daily = batch_df.groupBy("th").agg(
-            F.min("doc_id").alias("doc_id")
-        ).select("doc_id", "th")
-        # (b) probe the persisted index (bloom-pruned / semi-join).
-        kept = probe_index_new_keys(sess, idx_dir, daily, key="th")
-        kept = kept.persist()
-        try:
-            # (c) accept + append fingerprints for later batches.
-            kept.write.mode("append").parquet(out_dir)
-            (
-                kept.select("th")
-                .filter(F.col("th").isNotNull())
-                .coalesce(1)
-                .write.mode("append")
-                .option("parquet.bloom.filter.enabled#th", "true")
-                .option(
-                    "parquet.bloom.filter.expected.ndv#th", "1000000"
-                )
-                .parquet(idx_dir)
-            )
-        finally:
-            kept.unpersist()
+        ingest_dedup_batch(batch_df, idx_dir, out_dir)
 
     schema = "doc_id long, th string"
     ckpt = tempfile.mkdtemp(prefix="t17_ckpt_")

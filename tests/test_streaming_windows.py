@@ -136,3 +136,42 @@ def test_outer_join_early_drain_under_emits(spark):
     early_matched, early_nulls = split(early)
     assert early_matched == full_matched
     assert early_nulls < full_nulls, (len(early_nulls), len(full_nulls))
+
+
+def test_ingest_cycle_replay_is_idempotent(spark, tmp_path):
+    """T3's exactly-once claim for the index-backed ingest loop
+    (t17): replaying an already-committed batch re-accepts NOTHING,
+    because the batch's own fingerprints are now in the index — the
+    probe is the dedup ledger.  A fresh later batch still flows."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.bucketing import write_fingerprint_index
+    from kcidb_spark.queries.streaming_exec import ingest_dedup_batch
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    corpus = spark.createDataFrame(
+        [("c1",), ("c2",)], "th string"
+    )
+    write_fingerprint_index(corpus, idx, key="th")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "c1"), (4, "b")],
+        "doc_id long, th string",
+    )
+    ingest_dedup_batch(batch, idx, out)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    # within-batch dedup kept min doc_id for 'a'; corpus dup dropped.
+    assert first == [(1, "a"), (4, "b")]
+    ingest_dedup_batch(batch, idx, out)  # replay: nothing re-accepted
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == first
+    later = spark.createDataFrame(
+        [(9, "a"), (10, "z")], "doc_id long, th string"
+    )
+    ingest_dedup_batch(later, idx, out)  # 'a' already ingested
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == first + [(10, "z")]
