@@ -62,6 +62,14 @@ def _formatted(spark, name: str) -> str:
         ("q22_idle_customers", ["LeftAnti", "BroadcastNestedLoopJoin"]),
         # BPE pair top-k never global-sorts.
         ("bpe_adjacent_pairs", ["TakeOrderedAndProject"]),
+        # Z-order key assignment is a pure projection: one scan, the
+        # interleave entirely inside a codegen stage.
+        ("zorder_key_assign", ["codegen id"]),
+        # Gumbel resampling keeps the bounded-model broadcast (the
+        # per-source window's limit is a column — cnt div 5 — so the
+        # WindowGroupLimit rewrite can't apply; the window itself is
+        # partition-bounded, swept by test_no_unpartitioned_corpus_windows).
+        ("dsir_gumbel_sample", ["BroadcastHashJoin"]),
     ],
 )
 def test_plan_shape(spark, name, needles):
@@ -89,6 +97,14 @@ def test_column_pruning(spark):
         "l_tax",
         "l_shipdate",
     }, cols
+
+
+def test_zorder_no_exchange(spark):
+    """The layout KEY is free: assigning Morton keys must add no
+    Exchange — the one shuffle the layout pays is the writer's
+    repartitionByRange, priced separately in zorder_layout."""
+    plan = _formatted(spark, "zorder_key_assign")
+    assert "Exchange" not in plan, plan[:2000]
 
 
 def test_a8_single_events_scan(spark):
