@@ -80,8 +80,10 @@ def _normalize(col: Column, lo: int, hi: int) -> Column:
     11-bit user id contributes nothing above bit 22 while a 31-bit
     epoch owns the top of the key — the classic z-order pitfall), so
     the layout normalizes every dimension to the same width first,
-    exactly what table formats' ZORDER implementations do.  Integer
-    arithmetic: (x−lo)·65535 div span, overflow-safe to 2^47."""
+    exactly what table formats' ZORDER implementations do.
+    (x−lo)·65535 / span with a truncating cast — the double division
+    is exact below 2^53 and the numerator caps at ~2^47, so this is
+    floor division in effect."""
     span = max(1, hi - lo)
     return (
         (col.cast("long") - F.lit(lo))

@@ -585,6 +585,59 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_stored_probe",
+    oracle=_ivf_nprobe_oracle(_IVF_NPROBE),
+    tags=("similarity", "ivf", "index", "layout"),
+)
+def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a PERSISTED inverted file: the corpus
+    assignments are written once as parquet PARTITIONED BY cluster id
+    (one directory per coarse cluster — the storage layout an ANN
+    serving tier keeps between queries), and the probe then reads
+    ONLY the nprobe·|queries| probed clusters via partition pruning —
+    the directories of unprobed clusters are never listed into the
+    scan (tests/test_plans.py pins the PartitionFilters).  Same
+    result as ann_ivf_nprobe_topk (identical oracle); what changes is
+    WHERE the O(nprobe·cluster) bound is enforced: at STORAGE, so a
+    100 TB corpus answers a query batch by reading gigabytes, not the
+    table.  The probed-cluster id set is the collected probe list —
+    ≤ queries × nprobe ids, control-plane-sized like the k-means
+    centroids.  Index build cost (one partitioned write) is inside
+    this wall, mirroring fpindex_build's honest accounting."""
+    import shutil
+    import tempfile as _tf
+
+    from kcidb_spark.operators.similarity import ivf_parts, ivf_rank
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign, q_probe = ivf_parts(
+        vecs, _IVF_CENTROIDS, _IVF_QUERIES, _IVF_NPROBE
+    )
+    store = _tf.mkdtemp(prefix="ivf_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    assign.write.mode("overwrite").partitionBy("c_id").parquet(store)
+    q_probe = scoped_persist(q_probe)
+    probed = sorted(
+        r["c_id"] for r in q_probe.select("c_id").distinct().collect()
+    )
+    members = (
+        spark.read.parquet(store)
+        # Partition-column literal IN → directory-level pruning.
+        .filter(F.col("c_id").isin(probed))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.col("c_id").cast("long").alias("c_id"),
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+        )
+    )
+    return ivf_rank(members, q_probe, _IVF_K)
+
+
 # --- k-means-trained IVF: the composed train → index → probe path ---
 
 #: Fixed Lloyd round count — unrolled verbatim in the oracle's CTEs.

@@ -194,3 +194,60 @@ def test_ivf_nprobe_full_equals_bruteforce_rows(spark):
         for r in ivf_topk(vecs, _NC, _NQ, _K, nprobe=_NC).collect()
     }
     assert bf == iv
+
+
+def test_stored_ivf_prunes_unprobed_partitions(spark, tmp_path):
+    """The persisted inverted file must enforce O(nprobe·cluster) at
+    STORAGE: with 16 cluster directories and one query probing 2, the
+    scan plans exactly 2 partitions — and the stored-probe answer
+    equals the in-DAG ivf_topk answer row-for-row."""
+    import re
+
+    from kcidb_spark.operators.similarity import (
+        ivf_parts,
+        ivf_rank,
+        ivf_topk,
+    )
+
+    vecs = spark.range(400).selectExpr(
+        "id AS vec_id",
+        # (id+1): id=0 would be the all-zero vector (norm 0).
+        "transform(sequence(1, 8), i ->"
+        " cast(sin((id + 1) * i * 0.7) as double)) AS v",
+    )
+    n_cents, n_q, k, nprobe = 16, 1, 3, 2
+    assign, q_probe = ivf_parts(vecs, n_cents, n_q, nprobe)
+    store = str(tmp_path / "ivf")
+    assign.write.mode("overwrite").partitionBy("c_id").parquet(store)
+    probed = sorted(
+        r["c_id"] for r in q_probe.select("c_id").distinct().collect()
+    )
+    assert len(probed) == nprobe
+    members = (
+        spark.read.parquet(store)
+        .filter(F.col("c_id").isin(probed))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.col("c_id").cast("long").alias("c_id"),
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+        )
+    )
+    got = ivf_rank(members, q_probe, k)
+    # The store really has one directory per cluster…
+    import os
+
+    dirs = [d for d in os.listdir(store) if d.startswith("c_id=")]
+    assert len(dirs) == n_cents
+    # …and the scan carries a PARTITION filter (directory-level, not
+    # row-level) listing exactly the probed ids — Spark's partition
+    # pruning then lists only those directories.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[c_id#\d+ IN \(([0-9,]+)\)", plan)
+    assert m, plan[:2000]
+    assert sorted(int(x) for x in m.group(1).split(",")) == probed
+    want = {
+        tuple(r)
+        for r in ivf_topk(vecs, n_cents, n_q, k, nprobe=nprobe).collect()
+    }
+    assert {tuple(r) for r in got.collect()} == want
