@@ -319,7 +319,7 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sentineled_events_dir(
-    spark: SparkSession, sf_dir: str, n_future_batches: int = 2
+    sf_dir: str, n_future_batches: int = 2
 ) -> str:
     """Copy the events source into a temp dir and append
     ``n_future_batches`` single-file micro-batches of far-future
@@ -400,9 +400,7 @@ def _outer_join_drain(
     and return the sink contents (sentinel rows excluded)."""
     _utc(spark)
     src_dir = (
-        _sentineled_events_dir(spark, sf_dir)
-        if advance_watermark
-        else None
+        _sentineled_events_dir(sf_dir) if advance_watermark else None
     )
 
     def side(event_type: str, prefix: str):
