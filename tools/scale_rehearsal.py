@@ -35,6 +35,7 @@ QUERIES = [
     "jaccard_estimate_minhash",
     "simhash_hamming_pairs",
     "dedup_cluster_components",
+    "split_leakage_safe",
     "dedup_embedding_cosine",
     "semdedup_prune",
     "pipeline_clean_corpus",
@@ -218,6 +219,7 @@ STREAM_QUERIES = [
     "t13_stream_stream_join",
     "t14_stream_dedup_watermarked",
     "t15_stream_status_transitions",
+    "t16_stream_outer_join",
 ]
 
 SIMILARITY_QUERIES = [
