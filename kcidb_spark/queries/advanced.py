@@ -625,12 +625,16 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["c_id"] for r in q_probe.select("c_id").distinct().collect()
     )
     members = (
-        spark.read.parquet(store)
+        # Explicit schema: partition-column values parse as LONG (not
+        # inferred int), and an EMPTY store (no partition dirs to
+        # infer from) still reads as a schema-correct empty frame.
+        spark.read.schema(assign.schema)
+        .parquet(store)
         # Partition-column literal IN → directory-level pruning.
         .filter(F.col("c_id").isin(probed))
         .select(
             F.col("vec_id").alias("n_id"),
-            F.col("c_id").cast("long").alias("c_id"),
+            "c_id",
             F.col("v").alias("nv"),
             F.col("nrm").alias("nn"),
         )
