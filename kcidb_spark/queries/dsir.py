@@ -349,3 +349,117 @@ def dsir_select_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
         .select("doc_id", "lang", "source", "weight_micros", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# The full selection stack, composed and certified end-to-end
+# ---------------------------------------------------------------------------
+
+#: Seed for the composed pipeline's resampling (distinct from the
+#: standalone entry's so the two samples are independent draws).
+_SELECT_SEED = "sel9"
+
+
+def _select_corpus_oracle() -> str:
+    from kcidb_spark.queries.lm import _SCORE_SQL as _LM_SQL
+
+    return dedent(f"""
+        WITH lmg AS (
+            WITH {_LM_SQL}
+            SELECT doc_id, lang, avg_nll_micros FROM (
+                SELECT doc_id, lang, avg_nll_micros,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY avg_nll_micros DESC, doc_id
+                       ) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM docs_scored
+            ) WHERE rk > cnt // 10
+        ),
+        dw AS (
+            WITH {_WEIGHTS_SQL}
+            SELECT doc_id, source, weight_micros FROM weights
+        ),
+        joined AS (
+            SELECT l.doc_id, l.lang, d.source, l.avg_nll_micros,
+                   d.weight_micros,
+                   d.weight_micros - CAST(round(log2(-log2(
+                       (CAST(concat('0x', substring(
+                            md5('{_SELECT_SEED}:'
+                                || CAST(l.doc_id AS VARCHAR)),
+                            1, 6)) AS BIGINT) + 1) / {_U_DENOM}
+                   )) * 1000000) AS BIGINT) AS gumbel_micros
+            FROM lmg l JOIN dw d ON l.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, source, avg_nll_micros, weight_micros,
+               gumbel_micros, rk
+        FROM (
+            SELECT doc_id, lang, source, avg_nll_micros, weight_micros,
+                   gumbel_micros,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY gumbel_micros DESC, doc_id
+                   ) AS BIGINT) AS rk,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM joined
+        ) WHERE rk <= cnt // 5
+    """)
+
+
+@register(
+    "pipeline_select_corpus",
+    oracle=_select_corpus_oracle(),
+    tags=("pipeline", "sampling", "lm", "dsir"),
+)
+def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole selection stack in one certified DAG — what a corpus
+    curation run actually executes: (1) CCNet-style per-language LM
+    decile gate drops each language's highest-surprisal 10%
+    (queries/lm.py — bounded per-language models, <unk>-folded), (2)
+    DSIR importance weights score the survivors' target-likeness
+    (bounded 4096-bucket model), (3) seeded Gumbel-top-k resampling
+    keeps each source's ⌊n/5⌋ with probability ∝ weight.  Every
+    stage's model is configuration-bounded and broadcast; the only
+    corpus-keyed exchanges are the doc_id join of the two score sets
+    and the partitioned per-source selection window.  The DuckDB
+    oracle nests each module's CTE block in its own scope and replays
+    the composition exactly — the end-to-end result is hash-certified,
+    not just the stages."""
+    from kcidb_spark.queries.lm import doc_surprisal
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    scored = doc_surprisal(docs)
+    w_rank = W.partitionBy("lang").orderBy(
+        F.desc("avg_nll_micros"), "doc_id"
+    )
+    w_all = W.partitionBy("lang")
+    survivors = (
+        scored.select(
+            "doc_id", "lang", "avg_nll_micros",
+            F.row_number().over(w_rank).alias("_rk"),
+            F.count(F.lit(1)).over(w_all).alias("_cnt"),
+        )
+        .filter(F.col("_rk") > F.floor(F.col("_cnt") / 10))
+        .drop("_rk", "_cnt")
+    )
+    weights = importance_weights(docs).select(
+        "doc_id", "source", "weight_micros"
+    )
+    keyed = gumbel_keys(survivors.join(weights, "doc_id"), _SELECT_SEED)
+    w_sel = W.partitionBy("source").orderBy(
+        F.desc("gumbel_micros"), "doc_id"
+    )
+    w_src = W.partitionBy("source")
+    return (
+        keyed.select(
+            "doc_id", "lang", "source", "avg_nll_micros",
+            "weight_micros", "gumbel_micros",
+            F.row_number().over(w_sel).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(w_src).alias("cnt"),
+        )
+        .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
+        .select(
+            "doc_id", "lang", "source", "avg_nll_micros",
+            "weight_micros", "gumbel_micros", "rk",
+        )
+    )
