@@ -36,6 +36,7 @@ QUERIES = [
     "simhash_hamming_pairs",
     "dedup_cluster_components",
     "split_leakage_safe",
+    "t17_stream_incremental_dedup",
     "dedup_embedding_cosine",
     "semdedup_prune",
     "pipeline_clean_corpus",
