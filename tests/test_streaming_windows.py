@@ -175,3 +175,59 @@ def test_ingest_cycle_replay_is_idempotent(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(out).collect()
     ) == first + [(10, "z")]
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """T3 across RESTARTS: a second AvailableNow drain from the SAME
+    checkpoint must process only files that arrived since the first
+    drain (the source ledger lives in the checkpoint), and the
+    complete-mode sink must equal the batch answer over everything —
+    the recovery semantics a production ingest relies on after a
+    deploy or crash."""
+    indir = tmp_path / "ev"
+    _write_events(indir, EVENTS[:3])
+
+    def drain(qname):
+        stream = spark.readStream.schema(SCHEMA).json(str(indir))
+        q = (
+            windowed_counts(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            p if isinstance(p, dict) else json.loads(str(p))
+            for p in (q.recentProgress or [])
+        ]
+
+    p1 = drain("restart_a")
+    rows1 = sum(p["numInputRows"] for p in p1)
+    assert rows1 == 3
+    # New file lands while the query is DOWN.
+    lines = [
+        json.dumps({"event_id": 100 + i, "ts": ts, "user_id": uid,
+                    "event_type": et, "value": v})
+        for i, (ts, uid, et, v) in enumerate(EVENTS[3:])
+    ]
+    (indir / "batch1.json").write_text("\n".join(lines))
+    p2 = drain("restart_b")
+    rows2 = sum(p["numInputRows"] for p in p2)
+    assert rows2 == len(EVENTS) - 3  # ONLY the new file's rows
+    got = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in spark.table("restart_b").collect()
+    }
+    batch = spark.read.schema(SCHEMA).json(str(indir))
+    expect = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in windowed_counts(batch).collect()
+    }
+    assert got == expect
