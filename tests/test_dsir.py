@@ -95,3 +95,42 @@ def test_model_join_broadcasts(spark):
     df = REGISTRY["dsir_importance_weights"].spark(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gumbel_key_matches_pure_python_reference(spark):
+    """Third-party witness for engine-exactness: replicate the Gumbel
+    key in pure Python (hashlib md5 + math.log2 + HALF_UP decimal
+    rounding, the semantics of Spark ROUND) over 300 random ids and
+    weights — Spark, DuckDB (the oracle gate) and this reference must
+    all agree bit-for-bit."""
+    import hashlib
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.queries.dsir import _U_DENOM, gumbel_keys
+
+    rng = random.Random(99)
+    rows = [
+        (f"doc{rng.randrange(10**9)}", rng.randrange(-5_000_000, 5_000_000))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, weight_micros long")
+    got = {
+        r["doc_id"]: r["gumbel_micros"]
+        for r in gumbel_keys(df, "fuzz").collect()
+    }
+
+    def ref(doc_id, w):
+        h = int(hashlib.md5(f"fuzz:{doc_id}".encode()).hexdigest()[:6], 16)
+        u = (h + 1) / _U_DENOM
+        x = math.log2(-math.log2(u)) * 1_000_000.0
+        g = int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        return w - g
+
+    for doc_id, w in rows:
+        assert got[doc_id] == ref(doc_id, w), (doc_id, w)
