@@ -26,8 +26,11 @@ which is corpus-growing; VERDICT r8 finding #1).  Model selection
 distinct-token-sized, not corpus-sized — through a salted two-phase
 window (per-(lang, salt) top-N, then per-lang top-N over the ≤
 SALTS·N survivors), so no single task ever sorts a whole language's
-vocabulary.  Three corpus scans total: unigram fit, bigram fit over
-the vocab-mapped pairs, scoring.
+vocabulary.  Three corpus scans total for the bigram gate (unigram
+fit, bigram fit over the vocab-mapped pairs, scoring); four for the
+trigram form (one more for the triple counts) — see
+:func:`doc_trigram_surprisal` for how the bounded-model rule iterates
+to higher orders (each pruned row carries its own denominator).
 
 Float doctrine (see queries/ranking.py): every probability is built
 from IEEE basic ops on integer counts (bit-identical across engines);
@@ -168,6 +171,39 @@ def _top_per_lang(counts: DataFrame, n: int, order_cols, salt_cols) -> DataFrame
     )
 
 
+def _model_parts(docs: DataFrame):
+    """(toks, vocab, ltot): the per-language closed-vocabulary model
+    base shared by the bigram and trigram scorers — corpus scan 1
+    (unigram counts) + the salted top-V prune + the totals/OOV-mass
+    aggregate.  vocab and the persisted ucnt behind it are released
+    by the harness post-action like every scoped persist."""
+    toks = docs.select(
+        "doc_id", "lang", F.split(_norm_text(F.col("text")), " ").alias("t")
+    )
+    words = toks.select("lang", F.explode("t").alias("w"))
+    ucnt = scoped_persist(
+        words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vocab = scoped_persist(
+        _top_per_lang(ucnt, _TOP_V_UNIGRAMS, (F.desc("cw"), "w"), ("w",))
+    )
+    ltot = (
+        ucnt.join(
+            F.broadcast(vocab.select("lang", "w", F.lit(True).alias("_inv"))),
+            ["lang", "w"],
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("cw").alias("n_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_inv").isNull(), F.col("cw"))), F.lit(0)
+            ).alias("unk_cnt"),
+        )
+    )
+    return toks, vocab, ltot
+
+
 def doc_surprisal(docs: DataFrame) -> DataFrame:
     """Per-document mean bigram surprisal under per-language
     interpolated bigram LMs trained on the same corpus.
@@ -188,34 +224,7 @@ def doc_surprisal(docs: DataFrame) -> DataFrame:
     micro-bits BEFORE the per-doc sum, so the aggregation is
     order-independent and the result engine-exact.
     """
-    toks = docs.select(
-        "doc_id", "lang", F.split(_norm_text(F.col("text")), " ").alias("t")
-    )
-    words = toks.select("lang", F.explode("t").alias("w"))
-    # Corpus scan 1: per-language unigram counts (distinct-token-sized;
-    # persisted — two consumers below would each rescan the corpus).
-    ucnt = scoped_persist(
-        words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw"))
-    )
-    vocab = scoped_persist(
-        _top_per_lang(
-            ucnt, _TOP_V_UNIGRAMS, (F.desc("cw"), "w"), ("w",)
-        )
-    )
-    ltot = (
-        ucnt.join(
-            F.broadcast(vocab.select("lang", "w", F.lit(True).alias("_inv"))),
-            ["lang", "w"],
-            "left",
-        )
-        .groupBy("lang")
-        .agg(
-            F.sum("cw").alias("n_total"),
-            F.coalesce(
-                F.sum(F.when(F.col("_inv").isNull(), F.col("cw"))), F.lit(0)
-            ).alias("unk_cnt"),
-        )
-    )
+    toks, vocab, ltot = _model_parts(docs)
 
     def mapped_pairs() -> DataFrame:
         """(doc_id, lang, w1, w2, c1, c2, n_total) with the <unk> fold
@@ -370,4 +379,293 @@ def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") > F.floor(F.col("cnt") / 10))
         .select("doc_id", "lang", "avg_nll_micros", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated TRIGRAM gate: the same doctrine, one order deeper
+# ---------------------------------------------------------------------------
+
+#: Per-language trigram-table prune size.  Like the bigram K, chosen
+#: so the gate corpus actually prunes (its mapped trigram vocabulary
+#: per language exceeds this) and the pruned-path backoff is
+#: oracle-certified; the production dial is millions.
+_TOP_K_TRIGRAMS = 1000
+
+_TRI_SCORE_SQL = dedent(f"""
+    toks AS (
+        SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS t
+        FROM documents
+    ),
+    words AS (SELECT lang, unnest(t) AS w FROM toks),
+    ucnt AS (SELECT lang, w, count(*) AS cw FROM words GROUP BY lang, w),
+    vocab AS (
+        SELECT lang, w, cw FROM (
+            SELECT lang, w, cw,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cw DESC, w) AS rk
+            FROM ucnt
+        ) WHERE rk <= {_TOP_V_UNIGRAMS}
+    ),
+    ltot AS (
+        SELECT u.lang,
+               CAST(sum(u.cw) AS BIGINT) AS n_total,
+               CAST(coalesce(sum(u.cw) FILTER (WHERE v.w IS NULL), 0)
+                    AS BIGINT) AS unk_cnt
+        FROM ucnt u
+        LEFT JOIN vocab v ON u.lang = v.lang AND u.w = v.w
+        GROUP BY u.lang
+    ),
+    pp AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, length(t) - 1),
+                                     i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, length(t) - 1),
+                                     i -> t[i + 1])) AS w2
+        FROM toks
+    ),
+    ppm AS (
+        SELECT pp.doc_id, pp.lang,
+               CASE WHEN v1.w IS NULL THEN '{_UNK}' ELSE pp.w1 END AS w1,
+               CASE WHEN v2.w IS NULL THEN '{_UNK}' ELSE pp.w2 END AS w2
+        FROM pp
+        LEFT JOIN vocab v1 ON pp.lang = v1.lang AND pp.w1 = v1.w
+        LEFT JOIN vocab v2 ON pp.lang = v2.lang AND pp.w2 = v2.w
+    ),
+    pc AS (
+        SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM ppm GROUP BY lang, w1, w2
+    ),
+    bi AS (
+        SELECT lang, w1, w2, c12 FROM (
+            SELECT lang, w1, w2, c12,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c12 DESC, w1, w2) AS rk
+            FROM pc
+        ) WHERE rk <= {_TOP_K_BIGRAMS}
+    ),
+    tp AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, length(t) - 2),
+                                     i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, length(t) - 2),
+                                     i -> t[i + 1])) AS w2,
+               unnest(list_transform(generate_series(1, length(t) - 2),
+                                     i -> t[i + 2])) AS w3
+        FROM toks
+    ),
+    tpm AS (
+        SELECT tp.doc_id, tp.lang,
+               CASE WHEN v1.w IS NULL THEN '{_UNK}' ELSE tp.w1 END AS w1,
+               CASE WHEN v2.w IS NULL THEN '{_UNK}' ELSE tp.w2 END AS w2,
+               CASE WHEN v3.w IS NULL THEN '{_UNK}' ELSE tp.w3 END AS w3,
+               coalesce(v2.cw, lt.unk_cnt) AS c2,
+               coalesce(v3.cw, lt.unk_cnt) AS c3,
+               lt.n_total
+        FROM tp
+        LEFT JOIN vocab v1 ON tp.lang = v1.lang AND tp.w1 = v1.w
+        LEFT JOIN vocab v2 ON tp.lang = v2.lang AND tp.w2 = v2.w
+        LEFT JOIN vocab v3 ON tp.lang = v3.lang AND tp.w3 = v3.w
+        JOIN ltot lt ON tp.lang = lt.lang
+    ),
+    tc AS (
+        SELECT lang, w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+        FROM tpm GROUP BY lang, w1, w2, w3
+    ),
+    tri AS (
+        SELECT t.lang, t.w1, t.w2, t.w3, t.c123, pc.c12
+        FROM (
+            SELECT lang, w1, w2, w3, c123 FROM (
+                SELECT lang, w1, w2, w3, c123,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY c123 DESC, w1, w2, w3) AS rk
+                FROM tc
+            ) WHERE rk <= {_TOP_K_TRIGRAMS}
+        ) t
+        JOIN pc ON pc.lang = t.lang AND pc.w1 = t.w1 AND pc.w2 = t.w2
+    ),
+    scored3 AS (
+        SELECT tpm.doc_id, tpm.lang,
+               CAST(round(-log2(
+                   (CASE WHEN tri.c123 IS NOT NULL
+                         THEN 0.7 * tri.c123 / tri.c12 ELSE 0 END)
+                   + (CASE WHEN b2.c12 IS NOT NULL
+                           THEN 0.2 * b2.c12 / tpm.c2 ELSE 0 END)
+                   + 0.1 * tpm.c3 / tpm.n_total
+               ) * 1000000) AS BIGINT) AS nll
+        FROM tpm
+        LEFT JOIN tri ON tri.lang = tpm.lang AND tri.w1 = tpm.w1
+                     AND tri.w2 = tpm.w2 AND tri.w3 = tpm.w3
+        LEFT JOIN bi b2 ON b2.lang = tpm.lang AND b2.w1 = tpm.w2
+                       AND b2.w2 = tpm.w3
+    ),
+    tri_scored AS (
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(nll) AS BIGINT) AS sum_nll_micros,
+               CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micros
+        FROM scored3 GROUP BY doc_id, lang
+    )
+""")
+
+
+def doc_trigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean TRIGRAM surprisal under per-language
+    interpolated trigram LMs — the bigram gate's doctrine one order
+    deeper (a shipped CCNet-style gate is a pruned 5-gram; this is
+    the recipe at n=3, and the same construction iterates):
+
+    ``p(w3|w1,w2) = 0.7·c123/c12 [trigram survives top-K3]
+                  + 0.2·c23/c2   [suffix bigram survives top-K2]
+                  + 0.1·c3/N``
+
+    The bounded-model rule that makes it broadcast-safe at ANY corpus
+    size: every pruned model row carries ITS OWN denominator (the
+    trigram table stores c123 AND its prefix-pair count c12, attached
+    at fit time by an aggregate-to-aggregate join BEFORE broadcast;
+    the suffix term's denominator c2 is the unigram count the mapped
+    triple already carries from the vocab fold) — so scoring joins
+    three configuration-bounded tables and nothing corpus-growing
+    ever broadcasts.  Four corpus scans: unigram fit, pair counts,
+    triple counts, scoring."""
+    toks, vocab, ltot = _model_parts(docs)
+
+    def mapped(n: int, with_counts: bool) -> DataFrame:
+        fields = ", ".join(
+            f"t[i - 1 + {j}] AS w{j + 1}" for j in range(n)
+        )
+        rows = (
+            toks.filter(F.size("t") >= n)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> struct({fields}))"
+                    )
+                ).alias("g"),
+            )
+            .select(
+                "doc_id", "lang",
+                *[F.col(f"g.w{j + 1}") for j in range(n)],
+            )
+        )
+        for j in range(1, n + 1):
+            rows = rows.join(
+                F.broadcast(
+                    vocab.select(
+                        "lang",
+                        F.col("w").alias(f"w{j}"),
+                        F.col("cw").alias(f"cw{j}"),
+                    )
+                ),
+                ["lang", f"w{j}"],
+                "left",
+            )
+        rows = rows.join(F.broadcast(ltot), "lang")
+        sel = ["doc_id", "lang"] + [
+            F.when(F.col(f"cw{j}").isNull(), F.lit(_UNK))
+            .otherwise(F.col(f"w{j}"))
+            .alias(f"w{j}")
+            for j in range(1, n + 1)
+        ]
+        if with_counts:
+            sel += [
+                F.coalesce(f"cw{j}", "unk_cnt").alias(f"c{j}")
+                for j in range(1, n + 1)
+            ] + ["n_total"]
+        return rows.select(*sel)
+
+    # Corpus scan 2: mapped-pair counts (distinct-bigram-sized
+    # aggregate; persisted — the bigram prune AND the trigram table's
+    # denominator join both consume it).
+    pc = scoped_persist(
+        mapped(2, with_counts=False)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    bi = _top_per_lang(
+        pc, _TOP_K_BIGRAMS, (F.desc("c12"), "w1", "w2"), ("w1", "w2")
+    )
+    # Corpus scan 3: mapped-triple counts → top-K3 → attach each
+    # surviving trigram's OWN denominator (prefix pair count) while
+    # still aggregate-sized, before any broadcast.
+    tc = (
+        mapped(3, with_counts=False)
+        .groupBy("lang", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    tri = (
+        pc.join(
+            F.broadcast(
+                _top_per_lang(
+                    tc,
+                    _TOP_K_TRIGRAMS,
+                    (F.desc("c123"), "w1", "w2", "w3"),
+                    ("w1", "w2", "w3"),
+                )
+            ),
+            ["lang", "w1", "w2"],
+        )
+        .select("lang", "w1", "w2", "w3", "c123", "c12")
+    )
+    bi23 = bi.select(
+        "lang",
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c12").alias("c23"),
+    )
+    term1 = F.when(
+        F.col("c123").isNotNull(),
+        F.lit(0.7) * F.col("c123") / F.col("c12"),
+    ).otherwise(F.lit(0.0))
+    term2 = F.when(
+        F.col("c23").isNotNull(),
+        F.lit(0.2) * F.col("c23") / F.col("c2"),
+    ).otherwise(F.lit(0.0))
+    term3 = F.lit(0.1) * F.col("c3") / F.col("n_total")
+    # Corpus scan 4: scoring — three broadcast model joins + one
+    # doc-keyed aggregation of integer micro-bits.
+    return (
+        mapped(3, with_counts=True)
+        .join(F.broadcast(tri), ["lang", "w1", "w2", "w3"], "left")
+        .join(F.broadcast(bi23), ["lang", "w2", "w3"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(-F.log2(term1 + term2 + term3) * F.lit(1000000.0))
+            .cast("long")
+            .alias("nll"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("nll").alias("sum_nll_micros"),
+        )
+        .withColumn(
+            "avg_nll_micros", F.expr("sum_nll_micros div n_trigrams")
+        )
+    )
+
+
+@register(
+    "lm_trigram_surprisal",
+    oracle=dedent(f"""
+        WITH {_TRI_SCORE_SQL}
+        SELECT doc_id, lang, n_trigrams, sum_nll_micros, avg_nll_micros
+        FROM tri_scored
+    """),
+    tags=("pipeline", "quality", "lm"),
+)
+def lm_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's mean trigram surprisal (integer
+    micro-bits) under its language's interpolated trigram LM — the
+    higher-order form of lm_bigram_surprisal, certifying that the
+    bounded-model construction (per-pruned-row denominators) iterates
+    to deeper n-grams without ever broadcasting a corpus-growing
+    table."""
+    return doc_trigram_surprisal(
+        table(spark, sf_dir, "documents", spread=True)
     )

@@ -129,3 +129,61 @@ def test_unk_cannot_collide(spark):
     release_persisted()
     assert {r.doc_id for r in out} == {"d0", "d1"}
     assert _UNK == "<unk>"
+
+
+def test_trigram_model_joins_all_broadcast(spark):
+    """Same scale contract as the bigram gate, one order deeper: the
+    trigram/suffix-bigram/vocab model joins must ALL broadcast (each
+    pruned model row carries its own denominator, so nothing
+    corpus-growing reaches an exchange-keyed join)."""
+    df = REGISTRY["lm_trigram_surprisal"].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_persisted()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_trigram_prunes_are_exercised(spark):
+    """The gate corpus must overflow BOTH prunes (top-K trigrams, the
+    backoff's top-K suffix bigrams) so the oracle certifies the
+    pruned paths, not just the happy path."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.queries.lm import (
+        _TOP_K_TRIGRAMS,
+        _model_parts,
+        doc_trigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks, vocab, ltot = _model_parts(docs)
+    # Distinct MAPPED trigrams per language must exceed the prune.
+    out = doc_trigram_surprisal(docs)
+    try:
+        out.collect()  # runs the full path
+        tri_distinct = (
+            toks.filter(F.size("t") >= 3)
+            .select(
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2), i ->"
+                        " struct(t[i-1] AS a, t[i] AS b, t[i+1] AS c))"
+                    )
+                ).alias("g"),
+            )
+            .select("lang", "g.*")
+            .distinct()
+            .groupBy("lang")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+    finally:
+        release_persisted()
+    # Raw distinct >= mapped distinct; the fold only shrinks it, but
+    # the margin here is wide (thousands vs the 1000 prune).
+    assert tri_distinct > _TOP_K_TRIGRAMS
