@@ -62,40 +62,49 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    # Round 9: the two LM queries changed implementation (per-language
-    # bounded model — VERDICT r8 finding #1) and must re-certify; the
-    # rest is the now-STALEST certified slice, whose gate-of-record
-    # rows date to r5 (VERDICT r8 "Next round" #7), so nothing stays
-    # certified-but-unchecked for more than ~4 rounds.
-    "lm_bigram_surprisal",
+    # Round 10: the six selection gates were REWRITTEN onto the
+    # distributed stratified rank (operators/rank.py — VERDICT r9
+    # finding #1) and must re-certify; the rest is the now-STALEST
+    # certified slice, whose gate-of-record rows date to r6 (VERDICT
+    # r9 "Next round" #7), so nothing stays certified-but-unchecked
+    # for more than ~4 rounds.
     "lm_surprisal_filter",
-    "j1_exists_semi",
-    "j2_not_exists_anti",
-    "j3_closure_parents_children",
-    "a1_revision_rollup",
-    "a3_dedup_latest",
-    "a8_status_histogram",
-    "a9_pivot_status",
-    "a4_first_last_modified",
-    "w_running_total",
-    "w_sessionize",
-    "o3_topk_orders",
-    "u1_union_distinct",
-    "u2_intersect",
-    "u3_except",
-    "f12_regex_extract",
-    "f_scalar_suite",
-    "a11_cube_rollup",
-    "f8_date_extract",
-    "q6_forecast_revenue",
-    "dedup_exact",
-    "dedup_near_normalized",
-    "minhash_signature",
-    "text_token_stats",
-    "text_quality_score",
-    "token_freq_topk",
-    "knn_cosine_bruteforce",
-    "constraints_check",
+    "quality_percentile_filter",
+    "dsir_select_per_source",
+    "dsir_gumbel_sample",
+    "pipeline_select_corpus",
+    "pipeline_assemble_corpus",
+    "a10_two_level_grouping",
+    "a12_latest_per_key",
+    "a6_status_priority_rollup",
+    "ann_ivf_topk",
+    "contamination_ngram",
+    "dedup_cluster_components",
+    "dedup_substring_spans",
+    "doc_chunking",
+    "doc_fingerprint_winnow",
+    "f_string_suite",
+    "jaccard_verify_pairs",
+    "lang_id_ngram",
+    "lsh_candidate_pairs",
+    "lsh_candidate_pairs_capped",
+    "multimodal_features",
+    "o4_chunk_pagination",
+    "p7_json_extract",
+    "pii_redact",
+    "pipeline_clean_corpus",
+    "quality_gopher_rules",
+    "quality_token_rarity",
+    "sample_by_hash",
+    "simhash_fingerprint",
+    "simhash_hamming_pairs",
+    "t8_tumbling_window",
+    "text_char_diversity",
+    "text_repetition",
+    "token_count_bpe",
+    "vec_l2_norm",
+    "vec_quantize_int8",
+    "w_lead_lag_gaps",
 )
 
 

@@ -37,10 +37,11 @@ from __future__ import annotations
 
 from textwrap import dedent
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcidb_spark.cache import scoped_persist
+from kcidb_spark.operators.rank import stratified_row_number
 from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
@@ -291,17 +292,16 @@ def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents", spread=True)
     )
     keyed = gumbel_keys(scored, _GUMBEL_SEED)
-    w_rank = W.partitionBy("source").orderBy(
-        F.desc("gumbel_micros"), "doc_id"
-    )
-    w_all = W.partitionBy("source")
-    return (
+    ranked = stratified_row_number(
         keyed.select(
-            "doc_id", "lang", "source", "weight_micros", "gumbel_micros",
-            F.row_number().over(w_rank).cast("long").alias("rk"),
-            F.count(F.lit(1)).over(w_all).alias("cnt"),
-        )
-        .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
+            "doc_id", "lang", "source", "weight_micros", "gumbel_micros"
+        ),
+        "source",
+        "gumbel_micros",
+        descending=True,
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
         .select(
             "doc_id", "lang", "source", "weight_micros",
             "gumbel_micros", "rk",
@@ -336,17 +336,14 @@ def dsir_select_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = importance_weights(
         table(spark, sf_dir, "documents", spread=True)
     )
-    w_rank = W.partitionBy("source").orderBy(
-        F.desc("weight_micros"), "doc_id"
+    ranked = stratified_row_number(
+        scored.select("doc_id", "lang", "source", "weight_micros"),
+        "source",
+        "weight_micros",
+        descending=True,
     )
-    w_all = W.partitionBy("source")
     return (
-        scored.select(
-            "doc_id", "lang", "source", "weight_micros",
-            F.row_number().over(w_rank).cast("long").alias("rk"),
-            F.count(F.lit(1)).over(w_all).alias("cnt"),
-        )
-        .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
+        ranked.filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
         .select("doc_id", "lang", "source", "weight_micros", "rk")
     )
 
@@ -429,15 +426,14 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", spread=True)
     scored = doc_surprisal(docs)
-    w_rank = W.partitionBy("lang").orderBy(
-        F.desc("avg_nll_micros"), "doc_id"
-    )
-    w_all = W.partitionBy("lang")
     survivors = (
-        scored.select(
-            "doc_id", "lang", "avg_nll_micros",
-            F.row_number().over(w_rank).alias("_rk"),
-            F.count(F.lit(1)).over(w_all).alias("_cnt"),
+        stratified_row_number(
+            scored.select("doc_id", "lang", "avg_nll_micros"),
+            "lang",
+            "avg_nll_micros",
+            descending=True,
+            rk_col="_rk",
+            cnt_col="_cnt",
         )
         .filter(F.col("_rk") > F.floor(F.col("_cnt") / 10))
         .drop("_rk", "_cnt")
@@ -446,18 +442,17 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "weight_micros"
     )
     keyed = gumbel_keys(survivors.join(weights, "doc_id"), _SELECT_SEED)
-    w_sel = W.partitionBy("source").orderBy(
-        F.desc("gumbel_micros"), "doc_id"
-    )
-    w_src = W.partitionBy("source")
-    return (
+    ranked = stratified_row_number(
         keyed.select(
             "doc_id", "lang", "source", "avg_nll_micros",
             "weight_micros", "gumbel_micros",
-            F.row_number().over(w_sel).cast("long").alias("rk"),
-            F.count(F.lit(1)).over(w_src).alias("cnt"),
-        )
-        .filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
+        ),
+        "source",
+        "gumbel_micros",
+        descending=True,
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.floor(F.col("cnt") / 5))
         .select(
             "doc_id", "lang", "source", "avg_nll_micros",
             "weight_micros", "gumbel_micros", "rk",

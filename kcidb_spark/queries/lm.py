@@ -360,24 +360,24 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gate itself: drop each language's ⌊n/10⌋ highest-surprisal
     documents (gibberish, boilerplate soup, wrong-language residue
-    rank at the top).  Per-language window — relative thresholds
-    self-calibrate across strata and the window stays partitioned at
-    any corpus size; the boundary is pure integer rank arithmetic
-    (see quality_percentile_filter)."""
+    rank at the top).  Relative thresholds self-calibrate across
+    strata; the boundary is pure integer rank arithmetic (see
+    quality_percentile_filter).  The rank is DISTRIBUTED
+    (operators/rank.py): bucketed two-phase row_number, so no task
+    ever sorts a whole language — at crawl scale one language is half
+    the corpus and a lang-partitioned window would be a single-task
+    multi-TB sort (VERDICT r9 finding #1)."""
+    from kcidb_spark.operators.rank import stratified_row_number
+
     scored = doc_surprisal(table(spark, sf_dir, "documents", spread=True))
-    w_rank = W.partitionBy("lang").orderBy(
-        F.desc("avg_nll_micros"), "doc_id"
+    ranked = stratified_row_number(
+        scored.select("doc_id", "lang", "avg_nll_micros"),
+        "lang",
+        "avg_nll_micros",
+        descending=True,
     )
-    w_all = W.partitionBy("lang")
     return (
-        scored.select(
-            "doc_id",
-            "lang",
-            "avg_nll_micros",
-            F.row_number().over(w_rank).cast("long").alias("rk"),
-            F.count(F.lit(1)).over(w_all).alias("cnt"),
-        )
-        .filter(F.col("rk") > F.floor(F.col("cnt") / 10))
+        ranked.filter(F.col("rk") > F.floor(F.col("cnt") / 10))
         .select("doc_id", "lang", "avg_nll_micros", "rk")
     )
 

@@ -1,0 +1,146 @@
+"""Distributed stratified rank: exactness + the no-stratum-sort pin.
+
+VERDICT r9 finding #1: the six per-stratum selection gates ranked with
+``row_number() OVER (PARTITION BY lang_or_source ORDER BY score, id)``
+— every row of a stratum funnels to ONE reducer.  operators/rank.py
+replaces that with the bucketed two-phase construction; these tests
+pin (a) bit-exact equivalence to the naive window on adversarial
+distributions, and (b) the PLAN property that no ``row_number`` in any
+of the six gates partitions by the stratum alone while sorting the
+selection score — the exact shape that becomes a multi-TB single-task
+sort when one language is half the crawl.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Row, Window as W
+from pyspark.sql import functions as F
+
+from kcidb_spark.operators.rank import stratified_row_number
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive(df, stratum, score, descending, tiebreak="doc_id"):
+    order = F.desc(score) if descending else F.asc(score)
+    w_rank = W.partitionBy(stratum).orderBy(order, tiebreak)
+    w_all = W.partitionBy(stratum)
+    return df.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("doc_id", "rk", "cnt").collect()
+    )
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("n_buckets", [1, 3, 1024])
+def test_matches_naive_window(spark, descending, n_buckets):
+    """Equivalence across bucket counts, heavy score ties (ties span
+    bucket boundaries in value space but share a bucket by
+    construction), a single-row stratum, and a constant-score stratum
+    (the documented kmax == kmin degenerate case)."""
+    from kcidb_spark.cache import release_persisted
+
+    rows = [
+        Row(doc_id=f"d{i:04d}", lang="en", score=(i * 7) % 13)
+        for i in range(200)
+    ]
+    rows += [
+        Row(doc_id=f"x{i:04d}", lang="de", score=5) for i in range(40)
+    ]
+    rows += [Row(doc_id="solo", lang="fr", score=-3)]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    got = stratified_row_number(
+        df, "lang", "score", descending=descending, n_buckets=n_buckets
+    )
+    want = _naive(df, "lang", "score", descending)
+    try:
+        assert _rows(got) == _rows(want)
+    finally:
+        release_persisted()
+
+
+def test_negative_and_wide_scores(spark):
+    """Micro-bit-scale magnitudes and negative values bucket safely."""
+    from kcidb_spark.cache import release_persisted
+
+    rows = [
+        Row(doc_id=f"d{i}", lang="en", score=(i - 50) * 1_000_003)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    got = stratified_row_number(df, "lang", "score", descending=True)
+    want = _naive(df, "lang", "score", True)
+    try:
+        assert _rows(got) == _rows(want)
+    finally:
+        release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# Plan pins: the six gates must never sort a whole stratum
+# ---------------------------------------------------------------------------
+
+#: query name -> (stratum, selection score) of its gate window(s).
+_GATES = {
+    "lm_surprisal_filter": [("lang", "avg_nll_micros")],
+    "quality_percentile_filter": [("lang", "n_chars")],
+    "dsir_select_per_source": [("source", "weight_micros")],
+    "dsir_gumbel_sample": [("source", "gumbel_micros")],
+    "pipeline_select_corpus": [
+        ("lang", "avg_nll_micros"),
+        ("source", "gumbel_micros"),
+    ],
+    "pipeline_assemble_corpus": [("lang", "n_chars")],
+}
+
+
+def _bad_pattern(stratum: str, score: str) -> re.Pattern:
+    # windowspecdefinition(lang#12, avg_nll_micros#34L DESC ... —
+    # partition spec is exactly the stratum, first sort key the score:
+    # the single-task whole-stratum sort.
+    return re.compile(
+        rf"windowspecdefinition\({stratum}#\d+,\s*{score}#\d+L?\s+(ASC|DESC)"
+    )
+
+
+def _good_pattern(stratum: str, score: str) -> re.Pattern:
+    # ...(lang#12, _bkt#56L, avg_nll_micros#34L DESC... — the
+    # distributed form: partition extended by the range bucket.
+    return re.compile(
+        rf"windowspecdefinition\({stratum}#\d+,\s*_bkt#\d+L?,"
+        rf"\s*{score}#\d+L?\s+(ASC|DESC)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_GATES))
+def test_gate_plans_never_sort_a_stratum(spark, name):
+    from kcidb_spark.cache import release_persisted
+    from kcidb_spark.queries import REGISTRY
+
+    df = REGISTRY[name].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_persisted()
+    for stratum, score in _GATES[name]:
+        assert not _bad_pattern(stratum, score).search(plan), (
+            f"{name}: row_number sorts the whole {stratum} stratum"
+        )
+        assert _good_pattern(stratum, score).search(plan), (
+            f"{name}: expected bucket-extended rank window on "
+            f"({stratum}, _bkt, {score})"
+        )
