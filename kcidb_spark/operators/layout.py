@@ -98,11 +98,30 @@ def zorder_layout(
     """Write ``df`` z-ordered on (``a``, ``b``): one cheap min/max agg
     to price the normalization, one range exchange on the Morton key,
     sorted within partitions so row groups inside a file are
-    rectangles too, then parquet with ordinary footer stats."""
+    rectangles too, then parquet with ordinary footer stats.
+
+    Layout keys must be non-null: min/max skip nulls, so an empty
+    frame (or an all-null key column) has no bounds — raise rather
+    than TypeError deep in the cast (ADVICE r9).  Rows with a null
+    ``a`` or ``b`` among non-null ones get a null Morton key and
+    range-partition into the nulls-first file, OUTSIDE the rectangle
+    guarantee — reject them too so the property holds for every file.
+    """
     bounds = df.agg(
-        F.min(a), F.max(a), F.min(b), F.max(b)
+        F.min(a), F.max(a), F.min(b), F.max(b),
+        F.count(F.lit(1)).alias("_n"),
+        F.count(a).alias("_na"),
+        F.count(b).alias("_nb"),
     ).collect()[0]
-    a_lo, a_hi, b_lo, b_hi = (int(v) for v in bounds)
+    if bounds["_n"] == 0:
+        raise ValueError("zorder_layout: empty input frame")
+    if bounds["_na"] < bounds["_n"] or bounds["_nb"] < bounds["_n"]:
+        raise ValueError(
+            f"zorder_layout: null values in layout column(s) "
+            f"{a!r}/{b!r} — null keys have no Morton position; filter "
+            f"or impute them before laying out"
+        )
+    a_lo, a_hi, b_lo, b_hi = (int(v) for v in bounds[:4])
     keyed = df.withColumn(
         "_z",
         zorder_key(

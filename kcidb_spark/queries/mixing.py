@@ -727,13 +727,19 @@ def _fp_split(spark: SparkSession, sf_dir: str):
     return new, corpus
 
 
-def _fp_index_path(sf_dir: str) -> str:
+def _fp_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-owned index location: keyed by applicationId so a
+    concurrent process building the same sf's index cannot
+    mode=overwrite a directory this session's probe scan is reading,
+    and external tmp cleaning of another session's tree cannot break
+    this one's cached probe (ADVICE r9)."""
     import os
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(),
         "kcidb_spark_fpindex",
+        spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)),
     )
 
@@ -746,7 +752,7 @@ _FP_INDEX_BUILT: set = set()
 
 
 def _ensure_fp_index(spark: SparkSession, sf_dir: str) -> str:
-    idx_path = _fp_index_path(sf_dir)
+    idx_path = _fp_index_path(spark, sf_dir)
     from kcidb_spark.operators.bucketing import write_fingerprint_index
 
     _, corpus = _fp_split(spark, sf_dir)
@@ -817,7 +823,7 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.bucketing import probe_index_new_keys
 
     new, _ = _fp_split(spark, sf_dir)
-    idx_path = _fp_index_path(sf_dir)
+    idx_path = _fp_index_path(spark, sf_dir)
     if (spark.sparkContext.applicationId, idx_path) not in _FP_INDEX_BUILT:
         idx_path = _ensure_fp_index(spark, sf_dir)
     return probe_index_new_keys(spark, idx_path, new, key="th").select(

@@ -121,6 +121,32 @@ class _scoped_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
 
 
+def _restores_nanos_conf(fn):
+    """Save/restore ``spark.sql.legacy.parquet.nanosAsLong`` around an
+    events-stream drain.  The drains set it true at stream
+    construction (file-source micro-batches re-read parquet footers,
+    so the conf must hold through the whole drain), but left set it
+    silently retypes any LATER batch read of nanos-typed parquet in
+    the shared session from timestamp to long (ADVICE r9).  Drains
+    are synchronous, so entry-save / exit-restore is race-free — the
+    same scoping probe_index_new_keys applies to its threshold conf.
+    The returned frame reads a memory sink (or the drain's own
+    staged micros parquet), never the nanos source, so restoring at
+    return cannot retype the result."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        saved = spark.conf.get(key, "false")
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            spark.conf.set(key, saved)
+
+    return wrapper
+
+
 @register(
     "t11_stream_tumbling",
     oracle=dedent(f"""
@@ -134,6 +160,7 @@ class _scoped_shuffle_partitions:
     """),
     tags=("T1", "T2", "streaming"),
 )
+@_restores_nanos_conf
 def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute tumbling windows computed BY THE STREAMING ENGINE:
     file source → micro-batches (maxFilesPerTrigger caps each batch,
@@ -200,6 +227,7 @@ def t11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
     tags=("T6", "streaming"),
 )
+@_restores_nanos_conf
 def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming engine's STATEFUL DEDUP operator under the
     oracle gate: ``dropDuplicates`` on a stream keeps per-key state
@@ -254,6 +282,7 @@ _SSJOIN_WINDOW = "6 hours"
     """),
     tags=("T4", "streaming"),
 )
+@_restores_nanos_conf
 def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM inner join under the oracle gate: per-user
     view→click attribution within a {w} window, both sides streaming
@@ -393,6 +422,7 @@ def _sentineled_events_dir(
     return tmp
 
 
+@_restores_nanos_conf
 def _outer_join_drain(
     spark: SparkSession, sf_dir: str, advance_watermark: bool = True
 ) -> DataFrame:
@@ -511,6 +541,7 @@ def t16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
     tags=("T4", "T5", "streaming", "stateful"),
 )
+@_restores_nanos_conf
 def t15_stream_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL OPERATOR under the oracle gate: per-user status
     transitions via ``transformWithStateInPandas`` (typed per-key
@@ -547,6 +578,11 @@ def t15_stream_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(qname)
 
 
+#: Reserved index key standing in for a NULL fingerprint — real th
+#: values are 32-char md5 hex, so a 4-char token cannot collide.
+_NULL_TH = "NULL"
+
+
 def ingest_dedup_batch(
     batch_df: DataFrame, idx_dir: str, out_dir: str
 ) -> None:
@@ -562,25 +598,37 @@ def ingest_dedup_batch(
     pins this).  A crash between the two appends re-accepts the batch
     on replay; production closes that last gap by writing both under
     one transactional commit (Delta/Iceberg) or keying the output
-    path by batchId — the probe logic is unchanged either way."""
+    path by batchId — the probe logic is unchanged either way.
+
+    NULL fingerprints are a KEY, not a pass-through: the oracle's
+    ``PARTITION BY th`` groups all null-th rows together and accepts
+    exactly one across the whole stream, so the probe maps null th to
+    a reserved sentinel (not 32-hex — cannot collide with an md5) for
+    the index round-trip and back to null on accept.  Without this, a
+    null-th doc arriving in two micro-batches is accepted twice
+    (ADVICE r9) — latent, since md5 of non-null text is never null,
+    but now exact anyway."""
     from kcidb_spark.operators.bucketing import probe_index_new_keys
     from pyspark.sql import functions as F  # noqa: F811 — worker scope
 
     sess = batch_df.sparkSession
     # (a) within-batch dedup: deterministic min doc_id per th (null
-    # fingerprints pass through untouched, like the anti-join they
-    # stand in for).
-    daily = batch_df.groupBy("th").agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id", "th")
+    # th is one group, like every other key).
+    daily = (
+        batch_df.groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.coalesce("th", F.lit(_NULL_TH)).alias("th"))
+    )
     # (b) probe the persisted index (bloom-pruned / semi-join).
     kept = probe_index_new_keys(sess, idx_dir, daily, key="th").persist()
     try:
-        # (c) accept + append fingerprints for later batches.
-        kept.write.mode("append").parquet(out_dir)
+        # (c) accept (sentinel unmapped back to null) + append
+        # fingerprints — sentinel included — for later batches.
+        kept.withColumn("th", F.nullif("th", F.lit(_NULL_TH))).write.mode(
+            "append"
+        ).parquet(out_dir)
         (
             kept.select("th")
-            .filter(F.col("th").isNotNull())
             .coalesce(1)
             .write.mode("append")
             .option("parquet.bloom.filter.enabled#th", "true")
@@ -704,6 +752,7 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
     tags=("T6", "T7", "streaming"),
 )
+@_restores_nanos_conf
 def t14_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION form of streaming dedup:
     ``withWatermark + dropDuplicatesWithinWatermark`` — unlike t12's

@@ -177,6 +177,40 @@ def test_ingest_cycle_replay_is_idempotent(spark, tmp_path):
     ) == first + [(10, "z")]
 
 
+def test_ingest_cycle_null_fingerprint_is_a_key(spark, tmp_path):
+    """NULL fingerprints dedup ACROSS batches like any other key (the
+    t17 oracle's PARTITION BY th groups all nulls and accepts exactly
+    one — ADVICE r9 found the pre-r10 index skipped nulls, so a
+    null-th doc in two micro-batches was accepted twice).  The accept
+    record carries th=NULL (sentinel unmapped), and replaying the
+    null-bearing batch re-accepts nothing."""
+    from kcidb_spark.operators.bucketing import write_fingerprint_index
+    from kcidb_spark.queries.streaming_exec import ingest_dedup_batch
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    write_fingerprint_index(
+        spark.createDataFrame([("c1",)], "th string"), idx, key="th"
+    )
+    b1 = spark.createDataFrame(
+        [(5, None), (2, None), (3, "x")], "doc_id long, th string"
+    )
+    ingest_dedup_batch(b1, idx, out)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(2, None), (3, "x")]  # min doc_id for the null group
+    b2 = spark.createDataFrame(
+        [(9, None), (10, "y")], "doc_id long, th string"
+    )
+    ingest_dedup_batch(b2, idx, out)  # null already ingested by b1
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == got + [(10, "y")]
+    ingest_dedup_batch(b1, idx, out)  # replay: nothing re-accepted
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == got + [(10, "y")]
+
+
 def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     """T3 across RESTARTS: a second AvailableNow drain from the SAME
     checkpoint must process only files that arrived since the first

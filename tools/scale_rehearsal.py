@@ -111,6 +111,95 @@ def synthesize(spark, k: int, out_dir: str) -> None:
         f.write("ok")
 
 
+def synthesize_skew(spark, k: int, out_dir: str) -> None:
+    """K× replication of sf0.1 documents with a 90%-one-stratum key
+    distribution: 90% of docs land in lang='en' AND source='web'
+    (hash-assigned, deterministic), the rest spread over the original
+    values.  This is the crawl-reality axis the volume/vocab
+    rehearsals are blind to (VERDICT r9 "Next round" #1): a
+    stratum-partitioned window puts 90% of the corpus in ONE task.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_SYNTH_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    n_docs = docs.count()
+    h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("skew")), F.lit(10))
+    (
+        docs.crossJoin(reps)
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep"))
+            ),
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            "text",
+            F.when(h < 9, F.lit("en")).otherwise(F.col("lang")).alias("lang"),
+            F.when(h < 9, F.lit("web")).otherwise(F.col("source")).alias(
+                "source"
+            ),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet")) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(os.path.join(out_dir, "_SYNTH_DONE"), "w") as f:
+        f.write("ok")
+
+
+def _max_task_metrics(ui: str, stage_ids) -> dict:
+    """Per-task MAXIMA across the given stages (REST task summaries):
+    the direct measurement behind 'no task sorts a whole stratum' —
+    max shuffle-read records/bytes into any one task, plus spill."""
+    app = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications")
+    )[0]["id"]
+    out = {"max_task_shuffle_read_mb": 0.0,
+           "max_task_shuffle_read_records": 0,
+           "max_task_spill_mb": 0.0}
+    for sid in stage_ids:
+        try:
+            attempts = json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages/{sid}"
+                    "?withSummaries=true&quantiles=1.0"
+                )
+            )
+        except Exception:  # noqa: BLE001 — stage may have no tasks
+            continue
+        for a in attempts:
+            d = a.get("taskMetricsDistributions")
+            if not d:
+                continue
+            sr = d.get("shuffleReadMetrics", {})
+            out["max_task_shuffle_read_mb"] = max(
+                out["max_task_shuffle_read_mb"],
+                round((sr.get("readBytes") or [0])[-1] / 2**20, 2),
+            )
+            out["max_task_shuffle_read_records"] = max(
+                out["max_task_shuffle_read_records"],
+                int((sr.get("readRecords") or [0])[-1]),
+            )
+            out["max_task_spill_mb"] = max(
+                out["max_task_spill_mb"],
+                round(
+                    (d.get("diskBytesSpilled") or [0])[-1] / 2**20, 2
+                ),
+            )
+    return out
+
+
 def _stage_metrics(ui: str) -> dict[int, dict]:
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
     app_id = apps[0]["id"]
@@ -551,7 +640,8 @@ def main() -> None:
     suite = "dedup"
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
-                            "bpe", "tokenizer", "sketch", "lm", "vocab"):
+                            "bpe", "tokenizer", "sketch", "lm", "vocab",
+                            "skew"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -598,6 +688,77 @@ def main() -> None:
         finally:
             for key in ROCKSDB_CONF:
                 spark.conf.unset(key)
+    elif suite == "skew":
+        # SKEW rehearsal (VERDICT r9 "Next round" #1 done-criterion):
+        # one stratum holds 90% of a Kx corpus; the six selection
+        # gates must keep max-task input bounded (~|stratum|/P, not
+        # |stratum|).  A NAIVE single-window contrast on the cheapest
+        # gate (rank by n_chars) measures what the old shape would
+        # have funneled into one task on the same data.
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from kcidb_spark.cache import release_persisted
+        from kcidb_spark.queries import REGISTRY
+
+        ui = "http://127.0.0.1:4040"
+        skew_queries = [
+            "quality_percentile_filter",
+            "lm_surprisal_filter",
+            "dsir_select_per_source",
+            "dsir_gumbel_sample",
+            "pipeline_select_corpus",
+            "pipeline_assemble_corpus",
+        ]
+        scaled_dir = f"/tmp/kcidb_scale/skew{k}x"
+        synthesize_skew(spark, k, scaled_dir)
+        docs = spark.read.parquet(
+            os.path.join(scaled_dir, "documents.parquet")
+        )
+        strata = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        result = {"k": k, "strata_docs": strata, "per_query": {}}
+        for name in skew_queries:
+            before = _stage_metrics(ui)
+            t0 = time.perf_counter()
+            REGISTRY[name].spark(spark, scaled_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = round(time.perf_counter() - t0, 2)
+            release_persisted()
+            after = _stage_metrics(ui)
+            new_ids = [s for s in after if s not in before]
+            row = {"wall_s": wall, **_max_task_metrics(ui, new_ids)}
+            result["per_query"][name] = row
+            print("skew", name, row, flush=True)
+        # Naive contrast: the pre-r10 single-window rank on the same
+        # skewed corpus — expect max-task records ≈ 90% of the corpus.
+        before = _stage_metrics(ui)
+        t0 = time.perf_counter()
+        w_rank = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+        w_all = W.partitionBy("lang")
+        (
+            docs.select(
+                "doc_id", "lang", "n_chars",
+                F.row_number().over(w_rank).cast("long").alias("rk"),
+                F.count(F.lit(1)).over(w_all).alias("cnt"),
+            )
+            .filter(F.col("rk") > F.floor(F.col("cnt") / 4))
+            .write.mode("overwrite").format("noop").save()
+        )
+        wall = round(time.perf_counter() - t0, 2)
+        after = _stage_metrics(ui)
+        new_ids = [s for s in after if s not in before]
+        result["naive_single_window"] = {
+            "wall_s": wall, **_max_task_metrics(ui, new_ids)
+        }
+        print("skew naive_single_window",
+              result["naive_single_window"], flush=True)
+        result["ratios"] = {}
     elif suite == "vocab":
         # VOCABULARY-growth rehearsal (VERDICT r8 "Next round" #5):
         # volume replication holds distinct-token count constant — the
