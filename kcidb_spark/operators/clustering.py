@@ -102,6 +102,61 @@ def kmeans_centroids_exact(
     return cents
 
 
+def pq_codebooks_exact(
+    subs: DataFrame, m: int, rounds: int
+) -> list[tuple[int, int, list[int]]]:
+    """Per-subspace integer Lloyd — PQ codebook TRAINING (Jégou et
+    al. 2011 §II.C run with :func:`kmeans_centroids_exact`'s
+    engine-exact arithmetic): all subspaces train in the SAME jobs,
+    grouped by ``s``, instead of one driver loop per subspace.
+
+    ``subs``: (s, id, q array<bigint>) — the id-th vector's s-th
+    subvector, integer-quantized non-negative.  Returns the trained
+    codebooks driver-held as ``[(s, m, [coord, ...]), ...]`` —
+    S·M·D BIGINTs, control-plane-sized.  Init: codeword m of
+    subspace s is vector m's s-th subvector (id < m) — exactly the
+    static codebook ivf_pq_adc_topk searches with, so Lloyd's
+    monotone-distortion property makes "trained beats static"
+    testable (tests/test_ann_recall.py).  Per round: one broadcast
+    join + argmin per (s, id) and one partial-agg integer mean per
+    (s, m, dim); every step BIGINT, so an oracle unrolling the same
+    rounds per subspace reproduces the books bit-for-bit."""
+    spark = subs.sparkSession
+    schema = "s bigint, m bigint, bq array<bigint>"
+    books = sorted(
+        (r["s"], r["id"], list(r["q"]))
+        for r in subs.filter(F.col("id") < m).collect()
+    )
+    for _ in range(rounds):
+        bdf = spark.createDataFrame(books, schema)
+        assign = (
+            subs.join(F.broadcast(bdf), on="s")
+            .select(
+                "s", "id", "q", "m",
+                F.expr(d2_int_expr("q", "bq")).alias("d2"),
+            )
+            .groupBy("s", "id")
+            .agg(
+                F.min_by("m", F.struct("d2", "m")).alias("m"),
+                F.first("q").alias("q"),
+            )
+        )
+        rows = (
+            assign.select("s", "m", F.posexplode("q").alias("pos", "x"))
+            .groupBy("s", "m", "pos")
+            .agg(F.expr("cast(sum(x) div count(1) as bigint)").alias("v"))
+            .groupBy("s", "m")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))).alias(
+                    "pm"
+                )
+            )
+            .select("s", "m", F.expr("transform(pm, p -> p.v)").alias("bq"))
+        ).collect()
+        books = sorted((r["s"], r["m"], list(r["bq"])) for r in rows)
+    return books
+
+
 def ivf_kmeans_topk(
     vecs: DataFrame,
     n_centroids: int,

@@ -31,6 +31,7 @@ from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
 #: 50-row gate window rotates across rounds until every query has a
 #: driver-certified row.
 _GATE_PRIORITY = (
+    "ivf_pq_kmeans_adc_topk",
     "t11_stream_tumbling",
     "t12_stream_dedup",
     "t13_stream_stream_join",

@@ -674,12 +674,16 @@ _KM_SCALE = 1 << 20
 _KM_NPROBE = 2
 
 
-def _ivf_kmeans_oracle() -> str:
-    """DuckDB oracle replaying the SAME {_KM_ROUNDS} Lloyd rounds:
-    long-form (vec, pos, x) joins compute the BIGINT squared
-    distances, ``//`` the integer centroid means — every intermediate
-    is integer-exact, so the trained centroids (and therefore the
-    probe results) match Spark bit-for-bit."""
+def _km_coarse_parts() -> list[str]:
+    """Shared oracle prefix replaying the SAME {_KM_ROUNDS} coarse
+    Lloyd rounds: long-form (vec, pos, x) joins compute the BIGINT
+    squared distances, ``//`` the integer centroid means — every
+    intermediate is integer-exact, so the trained centroids (and
+    therefore assignments/probes) match Spark bit-for-bit.  Ends at
+    the ``afin`` (corpus assignment) and ``probes`` (per-query
+    top-nprobe clusters) CTEs; ann_ivf_kmeans_topk appends exact
+    rescoring, ivf_pq_kmeans_adc_topk appends the trained-codebook
+    ADC chain."""
     parts = [dedent(f"""
         WITH v AS (
             SELECT vec_id,
@@ -742,7 +746,13 @@ def _ivf_kmeans_oracle() -> str:
                                           ORDER BY d2, c_id) AS rn
                 FROM dfin WHERE vec_id < {_IVF_QUERIES}
             ) WHERE rn <= {_KM_NPROBE}
-        ),
+        )"""))
+    return parts
+
+
+def _ivf_kmeans_oracle() -> str:
+    parts = _km_coarse_parts()
+    parts.append(dedent(f""",
         cand AS (
             SELECT p.q_id, m.vec_id AS n_id
             FROM probes p
@@ -804,6 +814,204 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(
         vecs, _IVF_CENTROIDS, _KM_ROUNDS, _IVF_QUERIES, _IVF_K,
         nprobe=_KM_NPROBE,
+    )
+
+
+# --- trained IVF-PQ: k-means coarse quantizer + k-means codebooks ---
+
+#: Product-quantization geometry for the TRAINED path: 64-dim vectors
+#: → 8 subspaces × 8 dims, 8 codewords per subspace, 2 Lloyd rounds
+#: per subspace (unrolled verbatim in the oracle; the production dial
+#: is 256 codewords × ~25 rounds — the construction is round-count
+#: agnostic).
+_PQK_SUBS = 8
+_PQK_SUBDIM = 8
+_PQK_CODES = 8
+_PQK_ROUNDS = 2
+
+
+def _ivf_pq_kmeans_oracle() -> str:
+    """The full trained IVF-PQ pipeline in one replay: the shared
+    coarse-Lloyd prefix (afin/probes), then per-subspace codebook
+    Lloyd ({_PQK_ROUNDS} rounds, grouped by subspace s), corpus
+    encoding, per-query ADC distance tables over the TRAINED books,
+    and the probed-cluster ADC top-k."""
+    parts = _km_coarse_parts()
+    parts.append(dedent(f""",
+        sx AS (
+            SELECT vec_id,
+                   CAST((pos - 1) // {_PQK_SUBDIM} AS BIGINT) AS s,
+                   CAST((pos - 1) % {_PQK_SUBDIM} + 1 AS BIGINT) AS spos,
+                   x
+            FROM vx
+        ),
+        b0 AS (
+            SELECT s, vec_id AS m, spos, x FROM sx
+            WHERE vec_id < {_PQK_CODES}
+        )"""))
+    for r in range(1, _PQK_ROUNDS + 1):
+        parts.append(dedent(f""",
+        pe{r} AS (
+            SELECT sx.vec_id, sx.s, b.m,
+                   CAST(sum((sx.x - b.x) * (sx.x - b.x)) AS BIGINT) AS d2
+            FROM sx JOIN b{r - 1} b ON sx.s = b.s AND sx.spos = b.spos
+            GROUP BY sx.vec_id, sx.s, b.m
+        ),
+        pa{r} AS (
+            SELECT vec_id, s, m FROM (
+                SELECT vec_id, s, m,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, m) AS rn
+                FROM pe{r}
+            ) WHERE rn = 1
+        ),
+        b{r} AS (
+            SELECT a.s, a.m, sx.spos,
+                   CAST(sum(sx.x) // count(*) AS BIGINT) AS x
+            FROM pa{r} a
+            JOIN sx ON a.vec_id = sx.vec_id AND a.s = sx.s
+            GROUP BY a.s, a.m, sx.spos
+        )"""))
+    parts.append(dedent(f""",
+        pefin AS (
+            SELECT sx.vec_id, sx.s, b.m,
+                   CAST(sum((sx.x - b.x) * (sx.x - b.x)) AS BIGINT) AS d2
+            FROM sx JOIN b{_PQK_ROUNDS} b
+              ON sx.s = b.s AND sx.spos = b.spos
+            GROUP BY sx.vec_id, sx.s, b.m
+        ),
+        codes AS (
+            SELECT vec_id, s, m FROM (
+                SELECT vec_id, s, m,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, m) AS rn
+                FROM pefin
+            ) WHERE rn = 1
+        ),
+        dt AS (
+            SELECT vec_id AS q_id, s, m, d2 AS d FROM pefin
+            WHERE vec_id < {_IVF_QUERIES}
+        ),
+        adc AS (
+            SELECT p.q_id, cd.vec_id AS n_id,
+                   CAST(sum(dt.d) AS BIGINT) AS adc_micro
+            FROM probes p
+            JOIN afin na ON na.c_id = p.c_id AND na.vec_id <> p.q_id
+            JOIN codes cd ON cd.vec_id = na.vec_id
+            JOIN dt ON dt.q_id = p.q_id AND dt.s = cd.s AND dt.m = cd.m
+            GROUP BY p.q_id, cd.vec_id
+        )
+        SELECT q_id, n_id, adc_micro, rk FROM (
+            SELECT q_id, n_id, adc_micro,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY adc_micro, n_id)
+                        AS BIGINT) AS rk
+            FROM adc
+        ) WHERE rk <= {_IVF_K}
+    """))
+    return "".join(parts)
+
+
+@register(
+    "ivf_pq_kmeans_adc_topk",
+    oracle=_ivf_pq_kmeans_oracle(),
+    tags=("similarity", "ivf", "clustering"),
+)
+def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ path with BOTH quantizers TRAINED
+    (VERDICT r9 "Next round" #5): Lloyd-trained coarse centroids
+    route queries to nprobe clusters, Lloyd-trained per-subspace
+    codebooks (operators/clustering.pq_codebooks_exact) compress the
+    corpus to {_PQK_SUBS} bytes-ish of codes, and search is
+    asymmetric-distance (ADC) over a per-query distance table —
+    completing ivf_pq_adc_topk (static books) + ann_ivf_kmeans_topk
+    (trained coarse, exact rescoring) into the pipeline FAISS's
+    IVFx,PQy index actually runs (Jégou et al. 2011 §IV).
+
+    Engine-exactness: the same integer micro-coordinate doctrine as
+    the coarse trainer — codebook init IS the static codebook (the
+    first {_PQK_CODES} vectors' subvectors), each round's argmin is a
+    BIGINT d2 with m tie-break, means are ``sum div count``, and the
+    ADC sum is integer-associative, so DuckDB's unrolled per-subspace
+    replay lands on identical books, codes, and rankings.
+
+    Scale: books are S·M·D BIGINTs driver-held between rounds
+    (control-plane, like the centroids); training is {_PQK_ROUNDS}
+    rounds × (one broadcast join + partial-agg mean) over the
+    subvector frame — all subspaces train in the SAME jobs, grouped
+    by s, not S sequential loops; encode/dt/search reuse the
+    broadcast books; the only corpus-keyed exchanges are the encode
+    partial-agg and the (q,n)-keyed ADC sum after the probed-cluster
+    semi-join."""
+    from kcidb_spark.operators.clustering import (
+        d2_int_expr,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = scoped_persist(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+            ).alias("q"),
+        )
+    )
+    # Coarse: trained centroids → corpus assignment + query probes.
+    cents = kmeans_centroids_exact(vecs, _IVF_CENTROIDS, _KM_ROUNDS)
+    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
+    scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
+        "id", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2")
+    )
+    assign = scored_c.groupBy("id").agg(
+        F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id")
+    )
+    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
+    probes = (
+        scored_c.filter(F.col("id") < _IVF_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select(F.col("id").alias("q_id"), "c_id")
+    )
+    # PQ: subvectors → trained books → codes + query distance tables.
+    subs = scoped_persist(
+        vecs.select(
+            "id",
+            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
+            "q",
+        ).select(
+            F.col("s").cast("bigint").alias("s"),
+            "id",
+            F.expr(
+                f"slice(q, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
+            ).alias("q"),
+        )
+    )
+    books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
+    bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
+    scored_b = subs.join(F.broadcast(bdf), on="s").select(
+        "s", "id", "m", F.expr(d2_int_expr("q", "bq")).alias("d2")
+    )
+    codes = scored_b.groupBy("id", "s").agg(
+        F.min_by("m", F.struct("d2", "m")).alias("m")
+    )
+    dt = scored_b.filter(F.col("id") < _IVF_QUERIES).select(
+        F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
+    )
+    n_codes = codes.join(assign, on="id").select(
+        F.col("id").alias("n_id"), "c_id", "s", "m"
+    )
+    w_rank = W.partitionBy("q_id").orderBy("adc_micro", "n_id")
+    return (
+        n_codes.join(F.broadcast(probes), on="c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .join(F.broadcast(dt), on=["q_id", "s", "m"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d").alias("adc_micro"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= _IVF_K)
     )
 
 

@@ -365,14 +365,89 @@ def synthesize_streaming(spark, k: int, out_dir: str) -> None:
         f.write("ok")
 
 
-def run_streaming(sf_dir: str, label: str, spark) -> dict:
-    """Drain t11/t12/t13 and record wall, shuffle volume, and the
-    state-store metrics of the drain (rows, memory, batch walls)."""
+def synthesize_streaming_hot(spark, k: int, out_dir: str) -> None:
+    """Like :func:`synthesize_streaming`, but with a HOT KEY: 90% of
+    events (hash-chosen on event_id) are remapped to user_id=7 — the
+    production shape where one flaky CI origin dominates the stream,
+    so one state-store partition holds ~all the per-key state while
+    the others idle (VERDICT r9 "Next round" #8: the uniform-key
+    rehearsals are blind to this axis)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_SYNTH_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    n = ev.count()
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    base = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(n))
+        .drop("rep")
+    )
+    hot = F.pmod(F.xxhash64(F.col("event_id"), F.lit("hot")), F.lit(10)) < 9
+    (
+        base.withColumn(
+            "user_id", F.when(hot, F.lit(7)).otherwise(F.col("user_id"))
+        )
+        .repartition(k, "event_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    with open(os.path.join(out_dir, "_SYNTH_DONE"), "w") as f:
+        f.write("ok")
+
+
+def synthesize_hot_docs(spark, k: int, out_dir: str) -> None:
+    """K× documents where 90% (hash-chosen on doc_id) share ONE text —
+    the hot-FINGERPRINT axis for the t17 ingest cycle: nearly every
+    day-batch row collapses onto a single th, so the within-batch
+    groupBy and the index probe both see one massive key group."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_SYNTH_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    n_docs = docs.count()
+    hot = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("hotdoc")), F.lit(10)) < 9
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            F.when(hot, F.lit("the same boilerplate page every mirror serves"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep"))
+            )
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet")) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(os.path.join(out_dir, "_SYNTH_DONE"), "w") as f:
+        f.write("ok")
+
+
+def run_streaming(sf_dir: str, label: str, spark, names=None) -> dict:
+    """Drain the streaming entries and record wall, shuffle volume,
+    and the state-store metrics of the drain (rows, memory, batch
+    walls)."""
     from kcidb_spark.queries import REGISTRY, streaming_exec
 
     ui = "http://127.0.0.1:4040"
     out = {}
-    for name in STREAM_QUERIES:
+    for name in (names or STREAM_QUERIES):
         before = _stage_metrics(ui)
         t0 = time.perf_counter()
         df = REGISTRY[name].spark(spark, sf_dir)
@@ -641,7 +716,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
                             "bpe", "tokenizer", "sketch", "lm", "vocab",
-                            "skew"):
+                            "skew", "hotkey"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -668,11 +743,17 @@ def main() -> None:
 
         scaled_dir = f"/tmp/kcidb_scale/stream{k}x"
         synthesize_streaming(spark, k, scaled_dir)
+        # t17 streams the documents table — its scaled input is the
+        # dedup suite's synthesized corpus, not the events dir.
+        docs_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, docs_dir)
+        t17 = ["t17_stream_incremental_dedup"]
         result = {
             "k": k,
             "base": run_streaming(BASE_SF, "sf0.1", spark),
             "scaled": run_streaming(scaled_dir, f"{k}x", spark),
         }
+        result["scaled"].update(run_streaming(docs_dir, f"{k}x", spark, t17))
         result["ratios"] = _ratios(
             result["base"], result["scaled"], STREAM_QUERIES
         )
@@ -685,9 +766,35 @@ def main() -> None:
             result["scaled_rocksdb"] = run_streaming(
                 scaled_dir, f"{k}x-rocksdb", spark
             )
+            result["scaled_rocksdb"].update(
+                run_streaming(docs_dir, f"{k}x-rocksdb", spark, t17)
+            )
         finally:
             for key in ROCKSDB_CONF:
                 spark.conf.unset(key)
+    elif suite == "hotkey":
+        # HOT-KEY streaming rehearsal (VERDICT r9 "Next round" #8):
+        # 90% of events on ONE user (t15's state key / the join key)
+        # and 90% of ingested docs on ONE fingerprint (t17) — the
+        # skewed-distribution rows the uniform-key runs cannot see.
+        # Per-batch med vs max wall is the reported signal: a hot
+        # state partition shows up as max >> med.
+        hot_ev_dir = f"/tmp/kcidb_scale/hotstream{k}x"
+        synthesize_streaming_hot(spark, k, hot_ev_dir)
+        hot_doc_dir = f"/tmp/kcidb_scale/hotdocs{k}x"
+        synthesize_hot_docs(spark, k, hot_doc_dir)
+        hot_queries = ["t15_stream_status_transitions"]
+        result = {
+            "k": k,
+            "hot_events": run_streaming(
+                hot_ev_dir, f"hot{k}x", spark, hot_queries
+            ),
+            "hot_docs": run_streaming(
+                hot_doc_dir, f"hotdocs{k}x", spark,
+                ["t17_stream_incremental_dedup"],
+            ),
+        }
+        result["ratios"] = {}
     elif suite == "skew":
         # SKEW rehearsal (VERDICT r9 "Next round" #1 done-criterion):
         # one stratum holds 90% of a Kx corpus; the six selection
