@@ -94,6 +94,7 @@ def probe_index_hits(
     index_path: str,
     keys: Sequence,
     key: str = "th",
+    index_filter=None,
 ) -> DataFrame:
     """LAZY index scan filtered to the literal key list — the plan
     carries ``PushedFilters: [In(th, …)]`` so parquet tests every
@@ -105,6 +106,11 @@ def probe_index_hits(
     from pyspark.sql import functions as F
 
     index = spark.read.parquet(index_path)
+    if index_filter is not None:
+        # Composes with the pushed IN: a PARTITION-column predicate
+        # (e.g. batch_id < N for the transactional ingest) prunes
+        # whole directories before any footer is touched.
+        index = index.filter(index_filter)
     return index.filter(F.col(key).isin(list(keys))).select(key).distinct()
 
 
@@ -126,6 +132,7 @@ def probe_index_new_keys(
     day: DataFrame,
     key: str = "th",
     max_inlist: int = _MAX_INLIST,
+    index_filter=None,
 ) -> DataFrame:
     """Day-batch rows whose ``key`` is ABSENT from the stored index —
     the incremental-ingest dedup core, with the probe pushed INTO the
@@ -155,6 +162,12 @@ def probe_index_new_keys(
 
     Either way the result is identical to the plain anti-join
     (including null-key day rows, which an anti-join keeps).
+
+    ``index_filter``: optional predicate applied to the index scan
+    before probing — a partition-column predicate (batch_id < N)
+    prunes directories at listing time, which is how the
+    transactional ingest replays batch N against exactly the batches
+    that preceded it.
     """
     from pyspark.sql import functions as F
 
@@ -168,7 +181,7 @@ def probe_index_new_keys(
             hit_keys = [
                 r[0]
                 for r in probe_index_hits(
-                    spark, index_path, keys, key
+                    spark, index_path, keys, key, index_filter
                 ).collect()
             ]
         finally:
@@ -179,8 +192,11 @@ def probe_index_new_keys(
         return day.filter(
             F.col(key).isNull() | ~F.col(key).isin(hit_keys)
         )
+    index = spark.read.parquet(index_path)
+    if index_filter is not None:
+        index = index.filter(index_filter)
     hits = (
-        spark.read.parquet(index_path)
+        index
         .join(F.broadcast(keys_df), on=key, how="left_semi")
         .select(key).distinct()
     )

@@ -596,9 +596,9 @@ def ingest_dedup_batch(
     documents then find their OWN fingerprints in the index — kept is
     empty, nothing double-appends (tests/test_streaming_windows.py
     pins this).  A crash between the two appends re-accepts the batch
-    on replay; production closes that last gap by writing both under
-    one transactional commit (Delta/Iceberg) or keying the output
-    path by batchId — the probe logic is unchanged either way.
+    on replay; :func:`ingest_dedup_batch_txn` closes that last gap by
+    keying both writes on the batch id (t17 runs the txn form) — this
+    append form remains for ledgers without a batch-id channel.
 
     NULL fingerprints are a KEY, not a pass-through: the oracle's
     ``PARTITION BY th`` groups all null-th rows together and accepts
@@ -639,6 +639,63 @@ def ingest_dedup_batch(
         kept.unpersist()
 
 
+def ingest_dedup_batch_txn(
+    batch_df: DataFrame, idx_dir: str, out_dir: str, batch_id: int
+) -> None:
+    """The TRANSACTIONAL form of :func:`ingest_dedup_batch` — closes
+    the crash window that function documents (VERDICT r9 "Next
+    round" #4) by keying BOTH writes on the batch id:
+
+    * acceptances  → ``out_dir/batch_id=N``  (mode=overwrite)
+    * fingerprints → ``idx_dir/batch_id=N``  (mode=overwrite)
+
+    and probing the index RESTRICTED to ``batch_id < N`` (a partition
+    predicate — unprobed batch directories are pruned at listing
+    time, so the restriction costs nothing).  The probe therefore
+    sees exactly the batches that PRECEDED this one no matter how
+    many times N replays or where a crash landed: replay recomputes
+    the identical accept set (same dedup, same visible index) and
+    OVERWRITES the same two directories — no double-accept (the old
+    append could re-append after a crash between its two writes), no
+    loss (a replay after the fingerprint write cannot see its own
+    fingerprints and empty out the accept dir), partial files from a
+    mid-write crash are replaced wholesale.  The read side needs no
+    dedup: each batch owns its directory, so the union of partition
+    dirs IS the exactly-once accept set.  Probe logic itself is
+    unchanged (same bloom-pruned / broadcast-semi core).
+
+    Layout contract: the pre-existing corpus index is written at
+    ``idx_dir/batch_id=0`` and stream batches use N ≥ 1, so one
+    partition-discovered parquet root holds base + increments."""
+    from kcidb_spark.operators.bucketing import probe_index_new_keys
+    from pyspark.sql import functions as F  # noqa: F811 — worker scope
+
+    sess = batch_df.sparkSession
+    daily = (
+        batch_df.groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.coalesce("th", F.lit(_NULL_TH)).alias("th"))
+    )
+    kept = probe_index_new_keys(
+        sess, idx_dir, daily, key="th",
+        index_filter=F.col("batch_id") < batch_id,
+    ).persist()
+    try:
+        kept.withColumn("th", F.nullif("th", F.lit(_NULL_TH))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        (
+            kept.select("th")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#th", "true")
+            .option("parquet.bloom.filter.expected.ndv#th", "1000000")
+            .parquet(os.path.join(idx_dir, f"batch_id={batch_id}"))
+        )
+    finally:
+        kept.unpersist()
+
+
 @register(
     "t17_stream_incremental_dedup",
     oracle=dedent("""
@@ -669,8 +726,10 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-semi, same as the batch entries), and (c) APPENDS its
     accepted fingerprints to the index so later batches dedup against
     it — ``foreachBatch``, the reference loader's micro-batch merge
-    shape (T2/T3: the probe-then-append loop is idempotent on replay
-    because a re-probed duplicate finds its own fingerprint).  Four
+    shape (T2/T3: exactly-once via the TRANSACTIONAL form — each
+    batch probes only ``batch_id <`` its own and OVERWRITES its keyed
+    output/index dirs, so any replay at any crash point reproduces
+    the same accept set; ingest_dedup_batch_txn).  Four
     deterministic micro-batches (doc-id-hash prefix '0'..'3', file
     mtimes pin arrival order); the drained accept set must equal the
     batch oracle's first-occurrence semantics EXACTLY: min doc_id
@@ -687,7 +746,11 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     new, corpus = _fp_split(spark, sf_dir)
     idx_dir = tempfile.mkdtemp(prefix="t17_idx_")
-    write_fingerprint_index(corpus, idx_dir, key="th")
+    # Transactional layout: base corpus index is batch 0, stream
+    # batches own batch_id=N≥1 dirs (see ingest_dedup_batch_txn).
+    write_fingerprint_index(
+        corpus, os.path.join(idx_dir, "batch_id=0"), key="th"
+    )
 
     # Stage the four day batches as single parquet files with ordered
     # mtimes (the file source schedules by modification time).
@@ -718,7 +781,7 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir)  # foreachBatch appends; start absent
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_dedup_batch(batch_df, idx_dir, out_dir)
+        ingest_dedup_batch_txn(batch_df, idx_dir, out_dir, batch_id + 1)
 
     schema = "doc_id long, th string"
     ckpt = tempfile.mkdtemp(prefix="t17_ckpt_")

@@ -265,3 +265,69 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
         for r in windowed_counts(batch).collect()
     }
     assert got == expect
+
+
+def test_txn_ingest_survives_crash_between_writes(spark, tmp_path):
+    """The crash window ingest_dedup_batch documents, closed: kill the
+    transactional form between its two writes (simulated by deleting
+    one of the batch-keyed dirs after a full run — the exact on-disk
+    states a crash leaves) and replay; the accept set must come back
+    identical, never doubled, never emptied."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.bucketing import write_fingerprint_index
+    from kcidb_spark.queries.streaming_exec import ingest_dedup_batch_txn
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    write_fingerprint_index(
+        spark.createDataFrame([("c1",), ("c2",)], "th string"),
+        f"{idx}/batch_id=0",
+        key="th",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "c1"), (4, "b")],
+        "doc_id long, th string",
+    )
+    b2 = spark.createDataFrame(
+        [(9, "a"), (10, "z")], "doc_id long, th string"
+    )
+
+    def accepted():
+        return sorted(
+            (r["doc_id"], r["th"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    ingest_dedup_batch_txn(b1, idx, out, 1)
+    ingest_dedup_batch_txn(b2, idx, out, 2)
+    want = [(1, "a"), (4, "b"), (10, "z")]
+    assert accepted() == want
+
+    # Crash A: batch 2 died after the accept write, before the
+    # fingerprint write.  Replay must not double-accept.
+    shutil.rmtree(f"{idx}/batch_id=2")
+    ingest_dedup_batch_txn(b2, idx, out, 2)
+    assert accepted() == want
+
+    # Crash B: accept dir lost, fingerprints present (the state the
+    # OLD append form turned into permanent data loss — its replay
+    # found the batch's own fingerprints and accepted nothing).
+    shutil.rmtree(f"{out}/batch_id=2")
+    ingest_dedup_batch_txn(b2, idx, out, 2)
+    assert accepted() == want
+
+    # Replay with no crash at all: pure overwrite, same set.
+    ingest_dedup_batch_txn(b1, idx, out, 1)
+    assert accepted() == want
+
+    # The probe really is partition-restricted: batch 1 cannot see
+    # batch 2's fingerprints, so replaying batch 1 STILL accepts 'a'
+    # (first-occurrence stays with the earliest batch, replay-stably).
+    assert sorted(
+        r["th"]
+        for r in spark.read.parquet(idx)
+        .filter(F.col("batch_id") == 1).collect()
+    ) == ["a", "b"]
