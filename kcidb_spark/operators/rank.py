@@ -65,18 +65,36 @@ def stratified_row_number(
     integer range arithmetic); ``tiebreak_col`` must make the order
     total within a stratum for the rank to be engine-deterministic.
 
-    The input is scoped-persisted: it fans out to three consumers
-    (the stats aggregate, the bucket counts, and the ranked output),
-    and the caller's upstream is typically an expensive projection
-    (tokenize / score) that must not re-run per consumer.
+    The input is scoped-persisted and the per-stratum stats are
+    computed by an EAGER collect: the frame fans out to three
+    consumers (stats, bucket counts, the ranked output) whose
+    broadcast subtrees would otherwise race to compute the caller's
+    upstream (typically an expensive tokenize/score) before the cache
+    fills — the collect serializes the fill, and the ≤|strata|-row
+    result is control-plane-sized (the same contract that already
+    bounds the counts table and the offset broadcast: stratum
+    cardinality is languages/sources, not documents).
     """
     from kcidb_spark.cache import scoped_persist
 
+    spark = df.sparkSession
     df = scoped_persist(df)
-    stats = df.groupBy(stratum_col).agg(
-        F.min(score_col).alias("_kmin"),
-        F.max(score_col).alias("_kmax"),
-        F.count(F.lit(1)).alias(cnt_col),
+    stat_rows = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.min(score_col).alias("_kmin"),
+            F.max(score_col).alias("_kmax"),
+            F.count(F.lit(1)).alias(cnt_col),
+        )
+        .collect()
+    )
+    stats = spark.createDataFrame(
+        [
+            (r[stratum_col], int(r["_kmin"]), int(r["_kmax"]), int(r[cnt_col]))
+            for r in stat_rows
+        ],
+        df.select(stratum_col).schema.add("_kmin", "long")
+        .add("_kmax", "long").add(cnt_col, "long"),
     )
     pos = (
         (F.col("_kmax") - F.col(score_col))
@@ -115,4 +133,105 @@ def stratified_row_number(
             (F.col("_off") + F.row_number().over(w_in)).cast("long"),
         )
         .drop("_bkt", "_off")
+    )
+
+
+def stratified_drop_leading(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    *,
+    den: int,
+    descending: bool = False,
+    tiebreak_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Drop each stratum's FIRST ⌊cnt/den⌋ rows in (score [DESC],
+    tiebreak) order — the fraction gate — without ranking the
+    survivors at all.
+
+    When the caller doesn't need a rank column (the composed
+    pipelines filter and immediately drop it), the full distributed
+    rank is overkill: only ONE bucket per stratum straddles the
+    boundary rank k* = cnt div den, so every other bucket passes or
+    drops WHOLESALE on its broadcast prefix offset — a map-side
+    filter with NO exchange on the data path — and only the straddle
+    bucket's rows (≈ |stratum|/P) are exactly ranked for the
+    deterministic tie-break at the boundary.  This is the cheapest
+    correct shape at any scale: the big frame never shuffles, the
+    per-bucket counts are the only aggregation, and the straddle
+    window's task input is bucket-sized.  Results are row-identical
+    to filtering ``rk > cnt div den`` on
+    :func:`stratified_row_number` (pinned in tests/test_rank.py).
+    """
+    from kcidb_spark.cache import scoped_persist
+
+    spark = df.sparkSession
+    df = scoped_persist(df)
+    stat_rows = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.min(score_col).alias("_kmin"),
+            F.max(score_col).alias("_kmax"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .collect()
+    )
+    stats = spark.createDataFrame(
+        [
+            (
+                r[stratum_col],
+                int(r["_kmin"]),
+                int(r["_kmax"]),
+                int(r["_cnt"]) // den,
+            )
+            for r in stat_rows
+        ],
+        df.select(stratum_col).schema.add("_kmin", "long")
+        .add("_kmax", "long").add("_kstar", "long"),
+    )
+    pos = (
+        (F.col("_kmax") - F.col(score_col))
+        if descending
+        else (F.col(score_col) - F.col("_kmin"))
+    )
+    bucketed = (
+        df.join(F.broadcast(stats), stratum_col)
+        .withColumn(
+            "_bkt",
+            F.floor(
+                pos * n_buckets / (F.col("_kmax") - F.col("_kmin") + 1)
+            ).cast("long"),
+        )
+        .drop("_kmin", "_kmax")
+    )
+    counts = bucketed.groupBy(stratum_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bcnt")
+    )
+    w_pfx = (
+        W.partitionBy(stratum_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = counts.select(
+        stratum_col,
+        "_bkt",
+        "_bcnt",
+        (F.sum("_bcnt").over(w_pfx) - F.col("_bcnt")).alias("_off"),
+    )
+    j = bucketed.join(F.broadcast(offsets), [stratum_col, "_bkt"])
+    passed = j.filter(F.col("_off") >= F.col("_kstar"))
+    straddle = j.filter(
+        (F.col("_off") < F.col("_kstar"))
+        & (F.col("_off") + F.col("_bcnt") > F.col("_kstar"))
+    )
+    order = F.desc(score_col) if descending else F.asc(score_col)
+    w_in = W.partitionBy(stratum_col, "_bkt").orderBy(order, tiebreak_col)
+    kept_straddle = (
+        straddle.withColumn("_rn", F.row_number().over(w_in))
+        .filter(F.col("_off") + F.col("_rn") > F.col("_kstar"))
+        .drop("_rn")
+    )
+    return passed.unionByName(kept_straddle).drop(
+        "_bkt", "_bcnt", "_off", "_kstar"
     )

@@ -41,7 +41,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcidb_spark.cache import scoped_persist
-from kcidb_spark.operators.rank import stratified_row_number
+from kcidb_spark.operators.rank import (
+    stratified_drop_leading,
+    stratified_row_number,
+)
 from kcidb_spark.queries.pipeline import _NORM_SQL, _norm_text
 from kcidb_spark.queries.registry import register
 from kcidb_spark.tables import table
@@ -426,17 +429,15 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", spread=True)
     scored = doc_surprisal(docs)
-    survivors = (
-        stratified_row_number(
-            scored.select("doc_id", "lang", "avg_nll_micros"),
-            "lang",
-            "avg_nll_micros",
-            descending=True,
-            rk_col="_rk",
-            cnt_col="_cnt",
-        )
-        .filter(F.col("_rk") > F.floor(F.col("_cnt") / 10))
-        .drop("_rk", "_cnt")
+    # The gate's rank is dropped immediately, so use the boundary
+    # form: wholesale bucket pass/drop + exact rank of only the one
+    # straddling bucket — no exchange on the scored frame at all.
+    survivors = stratified_drop_leading(
+        scored.select("doc_id", "lang", "avg_nll_micros"),
+        "lang",
+        "avg_nll_micros",
+        den=10,
+        descending=True,
     )
     weights = importance_weights(docs).select(
         "doc_id", "source", "weight_micros"

@@ -956,7 +956,7 @@ def pipeline_assemble_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are pruned as soon as the next no longer needs them.
     """
     from kcidb_spark.cache import scoped_persist
-    from kcidb_spark.operators.rank import stratified_row_number
+    from kcidb_spark.operators.rank import stratified_drop_leading
     from kcidb_spark.operators.scan import distributed_cumsum
 
     docs = table(spark, sf_dir, "documents", spread=True)
@@ -964,8 +964,7 @@ def pipeline_assemble_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", _norm_text(F.col("text")).alias("norm")
     )
     q = scoped_persist(
-        stratified_row_number(normed, "lang", "n_chars")
-        .filter(F.col("rk") > F.floor(F.col("cnt") / 4))
+        stratified_drop_leading(normed, "lang", "n_chars", den=4)
         .select("doc_id", "lang", "norm", F.md5("norm").alias("th"))
     )
     keepers = q.groupBy("th").agg(F.min("doc_id").alias("keep_id"))

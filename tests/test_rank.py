@@ -144,3 +144,38 @@ def test_gate_plans_never_sort_a_stratum(spark, name):
             f"{name}: expected bucket-extended rank window on "
             f"({stratum}, _bkt, {score})"
         )
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("den", [4, 10, 1000])
+def test_drop_leading_matches_rank_filter(spark, descending, den):
+    """stratified_drop_leading (wholesale bucket pass/drop + straddle
+    rank) is row-identical to filtering rk > cnt div den on the full
+    distributed rank — including den > cnt (k*=0: nothing dropped)
+    and heavy ties at the boundary."""
+    from kcidb_spark.cache import release_persisted
+    from kcidb_spark.operators.rank import stratified_drop_leading
+
+    rows = [
+        Row(doc_id=f"d{i:04d}", lang="en", score=(i * 7) % 13)
+        for i in range(200)
+    ]
+    rows += [Row(doc_id=f"x{i:04d}", lang="de", score=5) for i in range(40)]
+    rows += [Row(doc_id="solo", lang="fr", score=-3)]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    got = stratified_drop_leading(
+        df, "lang", "score", den=den, descending=descending
+    )
+    want = (
+        stratified_row_number(df, "lang", "score", descending=descending)
+        .filter(F.col("rk") > F.floor(F.col("cnt") / den))
+        .drop("rk", "cnt")
+    )
+    try:
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in want.collect()
+        )
+    finally:
+        release_persisted()
