@@ -32,6 +32,8 @@ from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
 #: driver-certified row.
 _GATE_PRIORITY = (
     "ivf_pq_kmeans_adc_topk",
+    "t18_stream_join_rocksdb",
+    "hilbert_key_assign",
     "t11_stream_tumbling",
     "t12_stream_dedup",
     "t13_stream_stream_join",

@@ -1269,3 +1269,96 @@ def zorder_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zkey"
         ),
     )
+
+
+def _hilbert_oracle() -> str:
+    from kcidb_spark.operators.layout import hilbert_oracle_ctes
+
+    ctes = hilbert_oracle_ctes(
+        "n", "event_id, user_id, t_sec", "hx", "hy"
+    )
+    return dedent(f"""
+        WITH b AS (
+            SELECT CAST(min(user_id) AS BIGINT) AS umin,
+                   CAST(max(user_id) AS BIGINT) AS umax,
+                   CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS tmin,
+                   CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS tmax
+            FROM events
+        ),
+        n AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_sec,
+                   CAST(floor((user_id - umin) * 65535
+                              / greatest(1, umax - umin)) AS BIGINT) AS hx,
+                   CAST(floor((epoch_us(ts) // 1000000 - tmin) * 65535
+                              / greatest(1, tmax - tmin)) AS BIGINT) AS hy
+            FROM events CROSS JOIN b
+        ),
+        {ctes}
+        SELECT event_id, user_id, t_sec, d AS hkey FROM hs0
+    """)
+
+
+@register(
+    "hilbert_key_assign",
+    oracle=_hilbert_oracle(),
+    tags=("layout", "scan"),
+)
+def hilbert_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve key over (user_id, event-time seconds) — the
+    better-locality alternative to zorder_key_assign's Morton
+    interleave (every unit step of the Hilbert curve is
+    axis-adjacent; Morton jumps diagonally at quadrant seams), the
+    clustering option Iceberg added beside z-order for exactly this
+    reason.  Both dimensions are min/max-normalized to 16 bits (one
+    broadcast bounds row — the same pricing agg hilbert_layout
+    pays), then the xy→d transform runs as a runtime loop in ONE
+    aggregate() HOF expression (operators/layout.hilbert_expr —
+    unrolling 16 rotate-and-flip levels as nested columns would grow
+    the Catalyst tree exponentially).  All BIGINT shift/mask/CASE
+    arithmetic; the DuckDB oracle replays the identical levels as 16
+    CTE steps, so the keys are bit-certified, and the normalization
+    divisions are the same two exact-operand double ops in both
+    engines (truncation == floor on non-negatives).
+    tests/test_layout.py fuzzes the key against the textbook
+    pure-Python transform and measures candidate-file counts for
+    box queries under hilbert_layout vs zorder_layout."""
+    from kcidb_spark.operators.layout import hilbert_expr
+    from kcidb_spark.queries.relational import _utc
+
+    _utc(spark)
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("user_id").cast("long").alias("umin"),
+        F.max("user_id").cast("long").alias("umax"),
+        F.min(F.unix_timestamp("ts")).alias("tmin"),
+        F.max(F.unix_timestamp("ts")).alias("tmax"),
+    )
+    n = (
+        ev.select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").alias("t_sec"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            "user_id",
+            "t_sec",
+            F.floor(
+                (F.col("user_id") - F.col("umin"))
+                * 65535
+                / F.greatest(F.lit(1), F.col("umax") - F.col("umin"))
+            ).cast("long").alias("hx"),
+            F.floor(
+                (F.col("t_sec") - F.col("tmin"))
+                * 65535
+                / F.greatest(F.lit(1), F.col("tmax") - F.col("tmin"))
+            ).cast("long").alias("hy"),
+        )
+    )
+    return n.select(
+        "event_id",
+        "user_id",
+        "t_sec",
+        F.expr(hilbert_expr("hx", "hy")).alias("hkey"),
+    )

@@ -269,33 +269,10 @@ def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSJOIN_WINDOW = "6 hours"
 
 
-@register(
-    "t13_stream_stream_join",
-    oracle=dedent("""
-        SELECT a.event_id AS view_id, b.event_id AS click_id,
-               a.user_id
-        FROM events a JOIN events b
-          ON a.user_id = b.user_id
-         AND a.event_type = 'view' AND b.event_type = 'click'
-         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
-        WHERE a.user_id <= 50
-    """),
-    tags=("T4", "streaming"),
-)
 @_restores_nanos_conf
-def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAM-STREAM inner join under the oracle gate: per-user
-    view→click attribution within a {w} window, both sides streaming
-    with event-time watermarks bounding the buffered state.  An
-    INNER stream-stream join emits each pair the moment both sides
-    arrive (append mode) — the watermark + time-range constraint only
-    decide when buffered rows can be DROPPED — so the drained result
-    equals the batch inequality join exactly (an outer stream-stream
-    join would NOT be batch-equivalent at end-of-stream: its
-    null-padded rows wait on watermark advance).  This is the
-    change-fanout join (T4) a streaming CI feed runs between
-    checkouts and their late-arriving builds.
-    """.format(w=_SSJOIN_WINDOW)
+def _ssjoin_drain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Drain the watermarked view→click INNER stream-stream join to a
+    memory sink (shared by t13 and the RocksDB-provider t18)."""
     _utc(spark)
 
     def side(event_type: str, prefix: str):
@@ -328,8 +305,8 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id"),
         F.col("view_user").alias("user_id"),
     )
-    qname = f"t13_sink_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="t13_ckpt_")
+    qname = f"{name}_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
     with _scoped_shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
         q = (
             joined.writeStream.format("memory")
@@ -340,11 +317,81 @@ def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        _record_progress("t13_stream_stream_join", q)
+        _record_progress(name, q)
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
+
+
+@register(
+    "t13_stream_stream_join",
+    oracle=dedent("""
+        SELECT a.event_id AS view_id, b.event_id AS click_id,
+               a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.user_id <= 50
+    """),
+    tags=("T4", "streaming"),
+)
+def t13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join under the oracle gate: per-user
+    view→click attribution within a {w} window, both sides streaming
+    with event-time watermarks bounding the buffered state.  An
+    INNER stream-stream join emits each pair the moment both sides
+    arrive (append mode) — the watermark + time-range constraint only
+    decide when buffered rows can be DROPPED — so the drained result
+    equals the batch inequality join exactly (an outer stream-stream
+    join would NOT be batch-equivalent at end-of-stream: its
+    null-padded rows wait on watermark advance).  This is the
+    change-fanout join (T4) a streaming CI feed runs between
+    checkouts and their late-arriving builds.
+    """.format(w=_SSJOIN_WINDOW)
+    return _ssjoin_drain(spark, sf_dir, "t13_stream_stream_join")
+
+
+@register(
+    "t18_stream_join_rocksdb",
+    oracle=dedent("""
+        SELECT a.event_id AS view_id, b.event_id AS click_id,
+               a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.user_id <= 50
+    """),
+    tags=("T4", "streaming", "statestore"),
+)
+def t18_stream_join_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t13's stream-stream join executed on the ROCKSDB state-store
+    provider (changelog checkpointing on) under the SAME batch oracle:
+    the provider swap the 100 TB deployment actually makes (SCALE.md's
+    heap-vs-RocksDB matrix: bounded memory + flat tail latency for the
+    big-state paths) certified RESULT-INVARIANT by the external gate,
+    not assumed.  The conf is scoped save/restore around the drain —
+    the provider is read at stream start, so the restore cannot race
+    the query; the four join state stores (two sides × key/value) all
+    land in RocksDB for this drain and the sink still matches the
+    batch inequality join row-for-row."""
+    from kcidb_spark.streaming import ROCKSDB_CONF
+
+    saved = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_CONF
+    }
+    for k, v in ROCKSDB_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        return _ssjoin_drain(spark, sf_dir, "t18_stream_join_rocksdb")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _sentineled_events_dir(

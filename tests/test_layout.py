@@ -110,3 +110,102 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     box_user = {"user_id": (100, 140)}
     z_user = _candidate_files(zpath, box_user)
     assert z_user < n_files, z_user
+
+
+def _hilbert_ref(x: int, y: int, bits: int = 16) -> int:
+    """Textbook iterative xy→d transform (quadrant + rotate/flip per
+    level, most significant first) — the pure-Python reference the
+    Spark HOF expression is fuzzed against."""
+    d = 0
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = (x >> b) & 1
+        ry = (y >> b) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+            x &= s - 1
+            y &= s - 1
+    return d
+
+
+def test_hilbert_key_matches_reference(spark):
+    """The aggregate-HOF Hilbert key equals the pure-Python transform
+    on a deterministic pseudo-random grid (full 16-bit range), and is
+    a bijection on the sampled points (distinct inputs → distinct d)."""
+    from kcidb_spark.operators.layout import hilbert_expr
+
+    df = spark.range(1024).select(
+        (F.col("id") * 2_654_435_761 % 65536).alias("x"),
+        (F.col("id") * 40_503 % 65536).alias("y"),
+    )
+    rows = df.withColumn("d", F.expr(hilbert_expr("x", "y"))).collect()
+    seen = set()
+    for r in rows:
+        assert r["d"] == _hilbert_ref(r["x"], r["y"]), (r["x"], r["y"])
+        seen.add((r["x"], r["y"], r["d"]))
+    assert len({(x, y) for x, y, _ in seen}) == len(
+        {d for _, _, d in seen}
+    )
+
+
+def test_hilbert_curve_steps_are_axis_adjacent(spark):
+    """The locality property Morton lacks: consecutive d along the
+    Hilbert curve differ by exactly one unit step in exactly one
+    axis.  Checked exhaustively at order 4 (16×16 grid) by inverting
+    the sampled mapping."""
+    from kcidb_spark.operators.layout import hilbert_expr
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"),
+    )
+    rows = df.withColumn("d", F.expr(hilbert_expr("x", "y", bits=4))).collect()
+    by_d = {r["d"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(256))
+    for d in range(255):
+        (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_prunes_and_is_no_worse_than_zorder(spark, tmp_path):
+    """hilbert_layout must (a) prune both dimensions like z-order and
+    (b) open no MORE files than z-order on an ensemble of 2-D box
+    queries (tighter per-file rectangles are the whole argument for
+    the curve; averaged over boxes to keep the assertion robust)."""
+    from kcidb_spark.operators.layout import hilbert_layout
+    from kcidb_spark.queries.relational import _utc
+    from kcidb_spark.tables import table
+
+    _utc(spark)
+    ev = table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("t_sec"),
+    )
+    n_files = 16
+    hpath = str(tmp_path / "hilbert")
+    zpath = str(tmp_path / "zorder")
+    hilbert_layout(ev, "user_id", "t_sec", n_files, hpath)
+    zorder_layout(ev, "user_id", "t_sec", n_files, zpath)
+    u_lo, u_hi, t_lo, t_hi = ev.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min("t_sec"), F.max("t_sec"),
+    ).collect()[0]
+    du, dt = (u_hi - u_lo) // 8, (t_hi - t_lo) // 8
+    h_tot = z_tot = 0
+    for i in range(4):
+        for j in range(4):
+            box = {
+                "user_id": (u_lo + 2 * i * du, u_lo + (2 * i + 1) * du),
+                "t_sec": (t_lo + 2 * j * dt, t_lo + (2 * j + 1) * dt),
+            }
+            h_tot += _candidate_files(hpath, box)
+            z_tot += _candidate_files(zpath, box)
+    # Both prune hard vs the 16-box × 16-file worst case…
+    assert h_tot < 16 * 16 / 2, h_tot
+    # …and Hilbert's tighter rectangles never lose on aggregate.
+    assert h_tot <= z_tot, (h_tot, z_tot)
