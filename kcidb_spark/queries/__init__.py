@@ -34,6 +34,7 @@ _GATE_PRIORITY = (
     "ivf_pq_kmeans_adc_topk",
     "t18_stream_join_rocksdb",
     "hilbert_key_assign",
+    "ivf_pq_residual_adc_topk",
     "t11_stream_tumbling",
     "t12_stream_dedup",
     "t13_stream_stream_join",

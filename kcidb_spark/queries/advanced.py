@@ -1015,6 +1015,241 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- residual IVF-PQ: encode (x − coarse centroid), the IVFADC form ---
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """Replay of the RESIDUAL pipeline: coarse-Lloyd prefix, corpus
+    residuals r = q − centroid(assign), per-subspace codebook Lloyd
+    over the residuals, residual codes, PER-(query, probed-cluster)
+    distance tables, probed ADC top-k."""
+    parts = _km_coarse_parts()
+    parts.append(dedent(f""",
+        rres AS (
+            SELECT vx.vec_id, vx.pos, vx.x - c.x AS x
+            FROM vx
+            JOIN afin a ON vx.vec_id = a.vec_id
+            JOIN c{_KM_ROUNDS} c ON c.c_id = a.c_id AND c.pos = vx.pos
+        ),
+        rsx AS (
+            SELECT vec_id,
+                   CAST((pos - 1) // {_PQK_SUBDIM} AS BIGINT) AS s,
+                   CAST((pos - 1) % {_PQK_SUBDIM} + 1 AS BIGINT) AS spos,
+                   x
+            FROM rres
+        ),
+        rb0 AS (
+            SELECT s, vec_id AS m, spos, x FROM rsx
+            WHERE vec_id < {_PQK_CODES}
+        )"""))
+    for r in range(1, _PQK_ROUNDS + 1):
+        parts.append(dedent(f""",
+        rpe{r} AS (
+            SELECT rsx.vec_id, rsx.s, b.m,
+                   CAST(sum((rsx.x - b.x) * (rsx.x - b.x)) AS BIGINT) AS d2
+            FROM rsx JOIN rb{r - 1} b ON rsx.s = b.s AND rsx.spos = b.spos
+            GROUP BY rsx.vec_id, rsx.s, b.m
+        ),
+        rpa{r} AS (
+            SELECT vec_id, s, m FROM (
+                SELECT vec_id, s, m,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, m) AS rn
+                FROM rpe{r}
+            ) WHERE rn = 1
+        ),
+        rb{r} AS (
+            SELECT a.s, a.m, rsx.spos,
+                   CAST(sum(rsx.x) // count(*) AS BIGINT) AS x
+            FROM rpa{r} a
+            JOIN rsx ON a.vec_id = rsx.vec_id AND a.s = rsx.s
+            GROUP BY a.s, a.m, rsx.spos
+        )"""))
+    parts.append(dedent(f""",
+        rpefin AS (
+            SELECT rsx.vec_id, rsx.s, b.m,
+                   CAST(sum((rsx.x - b.x) * (rsx.x - b.x)) AS BIGINT) AS d2
+            FROM rsx JOIN rb{_PQK_ROUNDS} b
+              ON rsx.s = b.s AND rsx.spos = b.spos
+            GROUP BY rsx.vec_id, rsx.s, b.m
+        ),
+        rcodes AS (
+            SELECT vec_id, s, m FROM (
+                SELECT vec_id, s, m,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, m) AS rn
+                FROM rpefin
+            ) WHERE rn = 1
+        ),
+        qsx AS (
+            SELECT p.q_id, p.c_id,
+                   CAST((vx.pos - 1) // {_PQK_SUBDIM} AS BIGINT) AS s,
+                   CAST((vx.pos - 1) % {_PQK_SUBDIM} + 1 AS BIGINT) AS spos,
+                   vx.x - c.x AS x
+            FROM probes p
+            JOIN vx ON vx.vec_id = p.q_id
+            JOIN c{_KM_ROUNDS} c ON c.c_id = p.c_id AND c.pos = vx.pos
+        ),
+        rdt AS (
+            SELECT q.q_id, q.c_id, q.s, b.m,
+                   CAST(sum((q.x - b.x) * (q.x - b.x)) AS BIGINT) AS d
+            FROM qsx q JOIN rb{_PQK_ROUNDS} b
+              ON q.s = b.s AND q.spos = b.spos
+            GROUP BY q.q_id, q.c_id, q.s, b.m
+        ),
+        radc AS (
+            SELECT p.q_id, na.vec_id AS n_id,
+                   CAST(sum(rdt.d) AS BIGINT) AS adc_micro
+            FROM probes p
+            JOIN afin na ON na.c_id = p.c_id AND na.vec_id <> p.q_id
+            JOIN rcodes cd ON cd.vec_id = na.vec_id
+            JOIN rdt ON rdt.q_id = p.q_id AND rdt.c_id = p.c_id
+                    AND rdt.s = cd.s AND rdt.m = cd.m
+            GROUP BY p.q_id, na.vec_id
+        )
+        SELECT q_id, n_id, adc_micro, rk FROM (
+            SELECT q_id, n_id, adc_micro,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY adc_micro, n_id)
+                        AS BIGINT) AS rk
+            FROM radc
+        ) WHERE rk <= {_IVF_K}
+    """))
+    return "".join(parts)
+
+
+@register(
+    "ivf_pq_residual_adc_topk",
+    oracle=_ivf_pq_residual_oracle(),
+    tags=("similarity", "ivf", "clustering"),
+)
+def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (Jégou et al. 2011 §IV.A): PQ encodes the
+    RESIDUAL x − centroid(assign(x)) rather than the raw vector —
+    residuals across all clusters share one codebook whose cells then
+    describe displacement-from-centroid, which is why FAISS's IVFxPQy
+    defaults to residual encoding (raw-vector PQ wastes codebook
+    resolution re-describing coarse structure the IVF already
+    captured).  The price is a PER-(query, probed-cluster) distance
+    table — the query's residual differs in every probed cluster —
+    which is exactly how the paper's ADC works and still
+    control-plane-sized: queries × nprobe × S × M entries, broadcast.
+
+    Engine-exactness end to end: residuals are differences of integer
+    micro-coordinates (signed, but only squared — no shift semantics
+    to diverge), codebooks train with the same grouped integer Lloyd
+    as ivf_pq_kmeans_adc_topk (init = first {_PQK_CODES} vectors'
+    RESIDUAL subvectors), and the oracle replays coarse training,
+    residualization, codebook rounds, and the cluster-dependent
+    tables verbatim.  Scale: one broadcast-centroid join produces
+    residuals map-side; training/encode/search shapes match the
+    non-residual entry (driver-held books, probed-cluster semi-join,
+    (q,n)-keyed integer ADC sum)."""
+    from kcidb_spark.operators.clustering import (
+        d2_int_expr,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = scoped_persist(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+            ).alias("q"),
+        )
+    )
+    cents = kmeans_centroids_exact(vecs, _IVF_CENTROIDS, _KM_ROUNDS)
+    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
+    scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
+        "id", "q", "c_id", "cq",
+        F.expr(d2_int_expr("q", "cq")).alias("d2"),
+    )
+    assign = scored_c.groupBy("id").agg(
+        F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
+        F.first("q").alias("q"),
+    )
+    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
+    probes = (
+        scored_c.filter(F.col("id") < _IVF_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select(F.col("id").alias("q_id"), "c_id", "q", "cq")
+    )
+    # Corpus residuals (map-side: one broadcast-centroid join).
+    res = assign.join(F.broadcast(cdf), on="c_id").select(
+        "id",
+        "c_id",
+        F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("r"),
+    )
+    subs = scoped_persist(
+        res.select(
+            "id",
+            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
+            "r",
+        ).select(
+            F.col("s").cast("bigint").alias("s"),
+            "id",
+            F.expr(
+                f"slice(r, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
+            ).alias("q"),
+        )
+    )
+    books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
+    bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
+    codes = (
+        subs.join(F.broadcast(bdf), on="s")
+        .select(
+            "s", "id", "m", F.expr(d2_int_expr("q", "bq")).alias("d2")
+        )
+        .groupBy("id", "s")
+        .agg(F.min_by("m", F.struct("d2", "m")).alias("m"))
+    )
+    # Per-(query, probed-cluster) residual distance tables.
+    qsubs = (
+        probes.select(
+            "q_id",
+            "c_id",
+            F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("rq"),
+        )
+        .select(
+            "q_id",
+            "c_id",
+            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
+            "rq",
+        )
+        .select(
+            "q_id",
+            "c_id",
+            F.col("s").cast("bigint").alias("s"),
+            F.expr(
+                f"slice(rq, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
+            ).alias("rqsub"),
+        )
+    )
+    dt = qsubs.join(F.broadcast(bdf), on="s").select(
+        "q_id", "c_id", "s", "m",
+        F.expr(d2_int_expr("rqsub", "bq")).alias("d"),
+    )
+    n_codes = codes.join(assign.select("id", "c_id"), on="id").select(
+        F.col("id").alias("n_id"), "c_id", "s", "m"
+    )
+    w_rank = W.partitionBy("q_id").orderBy("adc_micro", "n_id")
+    return (
+        n_codes.join(
+            F.broadcast(probes.select("q_id", "c_id")), on="c_id"
+        )
+        .filter(F.col("n_id") != F.col("q_id"))
+        .join(F.broadcast(dt), on=["q_id", "c_id", "s", "m"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d").alias("adc_micro"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= _IVF_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing document fingerprints (Schleimer et al. local minima)
 # ---------------------------------------------------------------------------

@@ -320,3 +320,90 @@ def test_pq_trained_codebooks_beat_static_distortion(spark):
     # at a fixed point of its own first-M init).
     assert trained != static
     assert d_trained < d_static
+
+
+def test_residual_pq_reconstructs_better_than_raw(spark):
+    """Why FAISS defaults IVFPQ to residual encoding, measured: total
+    reconstruction distortion Σ min-d2 over (vec, subspace) with
+    codebooks trained on RESIDUALS (x̂ = centroid + codeword) must
+    beat codebooks trained on RAW vectors (x̂ = codeword) — the
+    coarse quantizer has already explained the cluster-level
+    structure, so residual codewords spend their resolution on the
+    remaining displacement.  All BIGINT arithmetic."""
+    from kcidb_spark.operators.clustering import (
+        d2_int_expr,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+    )
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _KM_ROUNDS,
+        _KM_SCALE,
+        _PQK_CODES,
+        _PQK_ROUNDS,
+        _PQK_SUBDIM,
+        _PQK_SUBS,
+    )
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+        ).alias("q"),
+    ).persist()
+
+    def subspaces(frame, col):
+        return frame.select(
+            "id",
+            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
+            col,
+        ).select(
+            F.col("s").cast("bigint").alias("s"),
+            "id",
+            F.expr(
+                f"slice({col}, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
+            ).alias("q"),
+        )
+
+    def distortion(subs) -> int:
+        books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
+        bdf = spark.createDataFrame(
+            books, "s bigint, m bigint, bq array<bigint>"
+        )
+        return (
+            subs.join(F.broadcast(bdf), on="s")
+            .select("s", "id", F.expr(d2_int_expr("q", "bq")).alias("d2"))
+            .groupBy("s", "id")
+            .agg(F.min("d2").alias("d2"))
+            .agg(F.sum("d2").alias("t"))
+            .collect()[0]["t"]
+        )
+
+    try:
+        cents = kmeans_centroids_exact(vecs, _IVF_CENTROIDS, _KM_ROUNDS)
+        cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
+        assign = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select(
+                "id", "q", "cq",
+                F.expr(d2_int_expr("q", "cq")).alias("d2"),
+                "c_id",
+            )
+            .groupBy("id")
+            .agg(
+                F.min_by("cq", F.struct("d2", "c_id")).alias("cq"),
+                F.first("q").alias("q"),
+            )
+        )
+        res = assign.select(
+            "id", F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("r")
+        )
+        raw_subs = subspaces(vecs, "q").persist()
+        res_subs = subspaces(res, "r").persist()
+        d_raw = distortion(raw_subs)
+        d_res = distortion(res_subs)
+    finally:
+        vecs.unpersist()
+    assert d_res < d_raw, (d_res, d_raw)
