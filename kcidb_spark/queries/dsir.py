@@ -425,10 +425,12 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle nests each module's CTE block in its own scope and replays
     the composition exactly — the end-to-end result is hash-certified,
     not just the stages."""
-    from kcidb_spark.queries.lm import doc_surprisal
+    from kcidb_spark.queries.lm import _scored_docs
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    scored = doc_surprisal(docs)
+    # Session-keyed score cache shared with lm_surprisal_filter —
+    # the two entries gate the same scored corpus (VERDICT r10 #1b).
+    scored = _scored_docs(spark, sf_dir)
     # The gate's rank is dropped immediately, so use the boundary
     # form: wholesale bucket pass/drop + exact rank of only the one
     # straddling bucket — no exchange on the scored frame at all.

@@ -341,6 +341,39 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_surprisal(table(spark, sf_dir, "documents", spread=True))
 
 
+#: Session-keyed cache of the SCORED frame (doc_surprisal output) —
+#: (applicationId, realpath(sf_dir)) → persisted DataFrame.  VERDICT
+#: r10 "Next round" #1b: ``lm_surprisal_filter`` and
+#: ``pipeline_select_corpus`` stage 1 score the SAME corpus under the
+#: SAME models; production scores once and gates many times.  The
+#: cached frame is the per-document score table (one narrow row per
+#: doc — corpus-REDUCED, not corpus-sized: at 10^10 docs it is
+#: ~300 GB cluster-wide under MEMORY_AND_DISK, the standard
+#: share-the-feature-table trade), eagerly materialized so the two
+#: consumers never race to compute the model-fit upstream.  Keyed by
+#: applicationId so a fresh session always pays (and shows) the
+#: scoring cost once; entries from previous sessions are pruned.
+_SCORED_CACHE: dict = {}
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.realpath(sf_dir))
+    if key not in _SCORED_CACHE:
+        for k in [k for k in _SCORED_CACHE if k[0] != app]:
+            del _SCORED_CACHE[k]
+        scored = doc_surprisal(
+            table(spark, sf_dir, "documents", spread=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        scored.count()
+        _SCORED_CACHE[key] = scored
+    return _SCORED_CACHE[key]
+
+
 @register(
     "lm_surprisal_filter",
     oracle=dedent(f"""
@@ -366,10 +399,12 @@ def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rank.py): bucketed two-phase row_number, so no task
     ever sorts a whole language — at crawl scale one language is half
     the corpus and a lang-partitioned window would be a single-task
-    multi-TB sort (VERDICT r9 finding #1)."""
+    multi-TB sort (VERDICT r9 finding #1).  The scored frame comes
+    from the session-keyed score cache (:func:`_scored_docs`), shared
+    with ``pipeline_select_corpus`` — score once, gate many times."""
     from kcidb_spark.operators.rank import stratified_row_number
 
-    scored = doc_surprisal(table(spark, sf_dir, "documents", spread=True))
+    scored = _scored_docs(spark, sf_dir)
     ranked = stratified_row_number(
         scored.select("doc_id", "lang", "avg_nll_micros"),
         "lang",

@@ -179,3 +179,103 @@ def test_drop_leading_matches_rank_filter(spark, descending, den):
         )
     finally:
         release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# r11: tie-concentrated hot pre-buckets, and the ADVICE r10 guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_tie_concentrated_stratum_sub_splits(spark, descending):
+    """VERDICT r10 #5: a stratum whose score is ONE repeated value
+    (constant-size chunks ranked by length) must not collapse to a
+    single bucket.  With hot_cap forced low, the tie-break-prefix
+    sub-split engages; the result stays bit-identical to the naive
+    window AND the plan's rank window partitions by (stratum, _bkt)."""
+    from kcidb_spark.cache import release_persisted
+
+    rows = [Row(doc_id=f"d{i:05d}", lang="en", score=4096) for i in range(600)]
+    rows += [Row(doc_id=f"m{i:04d}", lang="en", score=(i % 7) + 5000)
+             for i in range(60)]
+    rows += [Row(doc_id=f"x{i:04d}", lang="de", score=9) for i in range(30)]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    got = stratified_row_number(
+        df, "lang", "score", descending=descending,
+        n_buckets=8, hot_cap=50,
+    )
+    want = _naive(df, "lang", "score", descending)
+    try:
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert _good_pattern("lang", "score").search(plan)
+        assert not _bad_pattern("lang", "score").search(plan)
+        assert _rows(got) == _rows(want)
+    finally:
+        release_persisted()
+
+
+@pytest.mark.parametrize("den", [4, 10])
+def test_drop_leading_tie_straddle(spark, den):
+    """The boundary form's straddling hot pre-bucket sub-splits and
+    still matches the rank-filter semantics exactly at the tie
+    boundary."""
+    from kcidb_spark.cache import release_persisted
+    from kcidb_spark.operators.rank import stratified_drop_leading
+
+    rows = [Row(doc_id=f"d{i:05d}", lang="en", score=7) for i in range(500)]
+    rows += [Row(doc_id=f"a{i:04d}", lang="en", score=3) for i in range(20)]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    got = stratified_drop_leading(
+        df, "lang", "score", den=den, n_buckets=8, hot_cap=50
+    )
+    want = (
+        stratified_row_number(df, "lang", "score", n_buckets=8, hot_cap=50)
+        .filter(F.col("rk") > F.floor(F.col("cnt") / den))
+        .drop("rk", "cnt")
+    )
+    try:
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in want.collect()
+        )
+    finally:
+        release_persisted()
+
+
+def test_reserved_column_collision_raises(spark):
+    """ADVICE r10: inputs already carrying a temp/output name must
+    raise, not silently mis-join."""
+    df = spark.createDataFrame(
+        [Row(doc_id="a", lang="en", score=1, _bkt=9)]
+    ).withColumn("score", F.col("score").cast("long"))
+    with pytest.raises(ValueError, match="collide"):
+        stratified_row_number(df, "lang", "score")
+    df2 = spark.createDataFrame(
+        [Row(doc_id="a", lang="en", score=1, rk=9)]
+    ).withColumn("score", F.col("score").cast("long"))
+    with pytest.raises(ValueError, match="collide"):
+        stratified_row_number(df2, "lang", "score")
+
+
+def test_null_stratum_or_score_raises(spark):
+    """ADVICE r10: NULL stratum rows were silently dropped by the
+    inner stats join and an all-NULL score raised a bare TypeError;
+    both now fail loudly with the non-null precondition."""
+    from kcidb_spark.cache import release_persisted
+
+    df = spark.createDataFrame(
+        [Row(doc_id="a", lang=None, score=1), Row(doc_id="b", lang="en", score=2)]
+    ).withColumn("score", F.col("score").cast("long"))
+    try:
+        with pytest.raises(ValueError, match="NULL stratum or score"):
+            stratified_row_number(df, "lang", "score")
+        df2 = spark.createDataFrame(
+            [("a", "en", None)], "doc_id string, lang string, score long"
+        )
+        with pytest.raises(ValueError, match="NULL stratum or score"):
+            stratified_row_number(df2, "lang", "score")
+    finally:
+        release_persisted()
