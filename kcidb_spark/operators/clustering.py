@@ -111,7 +111,15 @@ def pq_codebooks_exact(
     grouped by ``s``, instead of one driver loop per subspace.
 
     ``subs``: (s, id, q array<bigint>) — the id-th vector's s-th
-    subvector, integer-quantized non-negative.  Returns the trained
+    subvector, integer-quantized.  SIGNED inputs are supported and
+    in-repo: ivf_pq_residual_adc_topk trains on residuals (x −
+    centroid), which are signed.  This is safe because every distance
+    is a SQUARE (sign-free) and the mean update is truncating
+    division toward zero in BOTH engines (Spark ``div`` and DuckDB
+    ``//`` agree on negatives; no shift arithmetic is used anywhere
+    in the trainer) — verified in ADVICE r10.  Note the usual Lloyd
+    behavior on a round with no assignments: a codeword that loses
+    all members drops out of the book.  Returns the trained
     codebooks driver-held as ``[(s, m, [coord, ...]), ...]`` —
     S·M·D BIGINTs, control-plane-sized.  Init: codeword m of
     subspace s is vector m's s-th subvector (id < m) — exactly the
@@ -164,6 +172,7 @@ def ivf_kmeans_topk(
     n_queries: int,
     k: int,
     nprobe: int,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF top-k with a k-means-trained coarse quantizer — the
     composed train → index → probe path, integer-exact end to end.
@@ -173,11 +182,18 @@ def ivf_kmeans_topk(
     (q_id, n_id, d2) — quantized squared-L2 distances (FAISS IVF's
     native metric), BIGINT so cross-engine hashes match.  Search is
     O(nprobe·cluster): the trained centroid table and the query probe
-    list broadcast; assignment is a map-side min_by partial agg."""
+    list broadcast; assignment is a map-side min_by partial agg.
+    ``centroids`` lets the caller pass an already-trained list (the
+    train-once session cache in queries/advanced.py); training is
+    deterministic integer Lloyd, so precomputed == retrained."""
     from pyspark.sql import Window as W
 
     spark = vecs.sparkSession
-    cents = kmeans_centroids_exact(vecs, n_centroids, rounds)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids_exact(vecs, n_centroids, rounds)
+    )
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
     scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
         "id", "q", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2")

@@ -632,11 +632,18 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session builds it; later calls probe the existing layout — the
     # serving-tier shape this entry models.  Like t17's out_dir, the
     # one residual dir per session is reclaimed by tmp cleaning.
+    import hashlib as _hl
+
+    # Keyed by a hash of the NORMALIZED FULL sf_dir (not its basename):
+    # two sf_dirs sharing a basename in one session must not reuse each
+    # other's partitioned index (ADVICE r10).
     store = _os.path.join(
         _tf.gettempdir(),
         "kcidb_spark_ivf_store",
         spark.sparkContext.applicationId,
-        _os.path.basename(_os.path.normpath(sf_dir)),
+        _hl.sha256(
+            _os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:16],
     )
     if (spark.sparkContext.applicationId, store) not in _IVF_STORE_BUILT:
         assign.write.mode("overwrite").partitionBy("c_id").parquet(store)
@@ -776,6 +783,38 @@ def _ivf_kmeans_oracle() -> str:
     return "".join(parts)
 
 
+#: Session-keyed trained-centroid cache — (applicationId,
+#: realpath(sf_dir), k, rounds) → the driver-held centroid list.
+#: VERDICT r10 "Next round" #2: ann_ivf_kmeans_topk,
+#: ivf_pq_kmeans_adc_topk and ivf_pq_residual_adc_topk each train the
+#: SAME coarse quantizer over the SAME corpus; production trains once
+#: and serves many indexes from it.  The cached object is k·dim
+#: BIGINTs (control-plane) and the training is deterministic integer
+#: Lloyd, so reuse cannot change any oracle-certified result.  Keyed
+#: by applicationId (the fp-index/ivf-store idiom) so a fresh session
+#: always pays — and shows — the training cost exactly once; entries
+#: from previous sessions are pruned.
+_KM_CENTROIDS_CACHE: dict = {}
+
+
+def _coarse_centroids_trained(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame
+) -> list:
+    import os as _os
+
+    from kcidb_spark.operators.clustering import kmeans_centroids_exact
+
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.realpath(sf_dir), _IVF_CENTROIDS, _KM_ROUNDS)
+    if key not in _KM_CENTROIDS_CACHE:
+        for stale in [k for k in _KM_CENTROIDS_CACHE if k[0] != app]:
+            del _KM_CENTROIDS_CACHE[stale]
+        _KM_CENTROIDS_CACHE[key] = kmeans_centroids_exact(
+            vecs, _IVF_CENTROIDS, _KM_ROUNDS
+        )
+    return _KM_CENTROIDS_CACHE[key]
+
+
 @register(
     "ann_ivf_kmeans_topk",
     oracle=_ivf_kmeans_oracle(),
@@ -814,6 +853,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(
         vecs, _IVF_CENTROIDS, _KM_ROUNDS, _IVF_QUERIES, _IVF_K,
         nprobe=_KM_NPROBE,
+        centroids=_coarse_centroids_trained(spark, sf_dir, vecs),
     )
 
 
@@ -945,7 +985,6 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join."""
     from kcidb_spark.operators.clustering import (
         d2_int_expr,
-        kmeans_centroids_exact,
         pq_codebooks_exact,
     )
 
@@ -959,8 +998,9 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    # Coarse: trained centroids → corpus assignment + query probes.
-    cents = kmeans_centroids_exact(vecs, _IVF_CENTROIDS, _KM_ROUNDS)
+    # Coarse: trained centroids (train-once session cache) → corpus
+    # assignment + query probes.
+    cents = _coarse_centroids_trained(spark, sf_dir, vecs)
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
     scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
         "id", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2")
@@ -1147,7 +1187,6 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q,n)-keyed integer ADC sum)."""
     from kcidb_spark.operators.clustering import (
         d2_int_expr,
-        kmeans_centroids_exact,
         pq_codebooks_exact,
     )
 
@@ -1161,7 +1200,7 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    cents = kmeans_centroids_exact(vecs, _IVF_CENTROIDS, _KM_ROUNDS)
+    cents = _coarse_centroids_trained(spark, sf_dir, vecs)
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
     scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
         "id", "q", "c_id", "cq",

@@ -732,7 +732,10 @@ def _fp_index_path(spark: SparkSession, sf_dir: str) -> str:
     concurrent process building the same sf's index cannot
     mode=overwrite a directory this session's probe scan is reading,
     and external tmp cleaning of another session's tree cannot break
-    this one's cached probe (ADVICE r9)."""
+    this one's cached probe (ADVICE r9).  The sf component is a hash
+    of the NORMALIZED FULL path — two sf_dirs sharing a basename in
+    one session must not collide (ADVICE r10)."""
+    import hashlib
     import os
     import tempfile
 
@@ -740,7 +743,9 @@ def _fp_index_path(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "kcidb_spark_fpindex",
         spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)),
+        hashlib.sha256(
+            os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:16],
     )
 
 
