@@ -40,6 +40,10 @@ _PLAN_EPOCHS: dict[str, int] = {
     "dsir_gumbel_sample": 10,
     "pipeline_select_corpus": 10,
     "pipeline_assemble_corpus": 10,
+    # r11: t15 gained the map-side (user, time-bucket) transition
+    # pre-reduction — one extra toy-scale shuffle (~+0.6 s at sf0.1)
+    # for a 3.4× → 1.34× hot-key p100 cut (SCALE.md r11).
+    "t15_stream_status_transitions": 11,
 }
 
 

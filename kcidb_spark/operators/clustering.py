@@ -188,6 +188,12 @@ def ivf_kmeans_topk(
     deterministic integer Lloyd, so precomputed == retrained."""
     from pyspark.sql import Window as W
 
+    from kcidb_spark.operators.ivf import (
+        coarse_assign,
+        coarse_probes,
+        coarse_score,
+    )
+
     spark = vecs.sparkSession
     cents = (
         centroids
@@ -195,20 +201,11 @@ def ivf_kmeans_topk(
         else kmeans_centroids_exact(vecs, n_centroids, rounds)
     )
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
-        "id", "q", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2")
-    )
-    assign = scored_c.groupBy("id").agg(
-        F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
-        F.first("q").alias("q"),
-    )
-    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
-    probes = (
-        scored_c.filter(F.col("id") < n_queries)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("id").alias("q_id"), "c_id", F.col("q").alias("qq"))
-    )
+    scored_c = coarse_score(vecs, cdf, carry=("q",))
+    assign = coarse_assign(scored_c, carry=("q",))
+    probes = coarse_probes(
+        scored_c, n_queries, nprobe, carry=("q",)
+    ).withColumnRenamed("q", "qq")
     m = assign.select(
         F.col("id").alias("n_id"), "c_id", F.col("q").alias("nq")
     )

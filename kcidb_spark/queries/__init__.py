@@ -66,49 +66,45 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    # Round 10: the six selection gates were REWRITTEN onto the
-    # distributed stratified rank (operators/rank.py — VERDICT r9
-    # finding #1) and must re-certify; the rest is the now-STALEST
-    # certified slice, whose gate-of-record rows date to r6 (VERDICT
-    # r9 "Next round" #7), so nothing stays certified-but-unchecked
-    # for more than ~4 rounds.
+    # Round 11, block 1 — implementations CHANGED this round and must
+    # re-certify: the six selection gates moved onto the FUSED
+    # single-aggregation rank plan with tie-aware hot-bucket
+    # sub-splitting (operators/rank.py, VERDICT r10 #1a/#5), and
+    # lm_surprisal_filter / pipeline_select_corpus additionally share
+    # the session-keyed doc_surprisal score cache (#1b).
     "lm_surprisal_filter",
     "quality_percentile_filter",
     "dsir_select_per_source",
     "dsir_gumbel_sample",
     "pipeline_select_corpus",
     "pipeline_assemble_corpus",
-    "a10_two_level_grouping",
-    "a12_latest_per_key",
-    "a6_status_priority_rollup",
-    "ann_ivf_topk",
-    "contamination_ngram",
-    "dedup_cluster_components",
-    "dedup_substring_spans",
-    "doc_chunking",
-    "doc_fingerprint_winnow",
-    "f_string_suite",
-    "jaccard_verify_pairs",
-    "lang_id_ngram",
-    "lsh_candidate_pairs",
-    "lsh_candidate_pairs_capped",
-    "multimodal_features",
-    "o4_chunk_pagination",
-    "p7_json_extract",
-    "pii_redact",
-    "pipeline_clean_corpus",
-    "quality_gopher_rules",
-    "quality_token_rarity",
-    "sample_by_hash",
-    "simhash_fingerprint",
-    "simhash_hamming_pairs",
-    "t8_tumbling_window",
-    "text_char_diversity",
-    "text_repetition",
-    "token_count_bpe",
-    "vec_l2_norm",
-    "vec_quantize_int8",
-    "w_lead_lag_gaps",
+    # t15 gained the map-side (user, time-bucket) transition
+    # pre-reduction (the hot-key mitigation, VERDICT r10 #3).
+    "t15_stream_status_transitions",
+    # The three trained-ANN entries now reuse a session-cached coarse
+    # quantizer (#2), and the stored-probe/fingerprint indexes moved
+    # to full-path-hash store keys (ADVICE r10).
+    "ann_ivf_kmeans_topk",
+    "ivf_pq_kmeans_adc_topk",
+    "ivf_pq_residual_adc_topk",
+    "ann_ivf_stored_probe",
+    "fpindex_build",
+    "dedup_incremental_indexed",
+    # Block 2 — the STALEST certified slice (gate-of-record rows from
+    # r4/r5/r7: the pattern chain, the early streaming family, the r4
+    # scalar-function goldens), so nothing stays certified-but-
+    # unchecked for more than ~4 rounds (VERDICT r10 #6).
+    "j4_pattern_chain",
+    "t11_stream_tumbling",
+    "t12_stream_dedup",
+    "t13_stream_stream_join",
+    "t14_stream_dedup_watermarked",
+    "a5_object_counts",
+    "a13_distinct_rollup",
+    "a14_culprit_partition",
+    "f6_uri_encode_golden",
+    "f13_notification_id",
+    "f16_nul_guard",
 )
 
 

@@ -983,9 +983,15 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast books; the only corpus-keyed exchanges are the encode
     partial-agg and the (q,n)-keyed ADC sum after the probed-cluster
     semi-join."""
-    from kcidb_spark.operators.clustering import (
-        d2_int_expr,
-        pq_codebooks_exact,
+    from kcidb_spark.operators.clustering import pq_codebooks_exact
+    from kcidb_spark.operators.ivf import (
+        adc_topk,
+        coarse_assign,
+        coarse_probes,
+        coarse_score,
+        pq_assign_codes,
+        pq_score,
+        subvectors,
     )
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
@@ -999,60 +1005,27 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Coarse: trained centroids (train-once session cache) → corpus
-    # assignment + query probes.
+    # assignment + query probes (operators/ivf.py shared stages).
     cents = _coarse_centroids_trained(spark, sf_dir, vecs)
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
-        "id", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2")
-    )
-    assign = scored_c.groupBy("id").agg(
-        F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id")
-    )
-    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
-    probes = (
-        scored_c.filter(F.col("id") < _IVF_QUERIES)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _KM_NPROBE)
-        .select(F.col("id").alias("q_id"), "c_id")
-    )
+    scored_c = coarse_score(vecs, cdf)
+    assign = coarse_assign(scored_c)
+    probes = coarse_probes(scored_c, _IVF_QUERIES, _KM_NPROBE)
     # PQ: subvectors → trained books → codes + query distance tables.
     subs = scoped_persist(
-        vecs.select(
-            "id",
-            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
-            "q",
-        ).select(
-            F.col("s").cast("bigint").alias("s"),
-            "id",
-            F.expr(
-                f"slice(q, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
-            ).alias("q"),
-        )
+        subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
     )
     books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
     bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    scored_b = subs.join(F.broadcast(bdf), on="s").select(
-        "s", "id", "m", F.expr(d2_int_expr("q", "bq")).alias("d2")
-    )
-    codes = scored_b.groupBy("id", "s").agg(
-        F.min_by("m", F.struct("d2", "m")).alias("m")
-    )
+    scored_b = pq_score(subs, bdf)
+    codes = pq_assign_codes(scored_b)
     dt = scored_b.filter(F.col("id") < _IVF_QUERIES).select(
         F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
     )
     n_codes = codes.join(assign, on="id").select(
         F.col("id").alias("n_id"), "c_id", "s", "m"
     )
-    w_rank = W.partitionBy("q_id").orderBy("adc_micro", "n_id")
-    return (
-        n_codes.join(F.broadcast(probes), on="c_id")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .join(F.broadcast(dt), on=["q_id", "s", "m"])
-        .groupBy("q_id", "n_id")
-        .agg(F.sum("d").alias("adc_micro"))
-        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rk") <= _IVF_K)
-    )
+    return adc_topk(n_codes, probes, dt, _IVF_K)
 
 
 # --- residual IVF-PQ: encode (x − coarse centroid), the IVFADC form ---
@@ -1189,6 +1162,15 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2_int_expr,
         pq_codebooks_exact,
     )
+    from kcidb_spark.operators.ivf import (
+        adc_topk,
+        coarse_assign,
+        coarse_probes,
+        coarse_score,
+        pq_assign_codes,
+        pq_score,
+        subvectors,
+    )
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
     vecs = scoped_persist(
@@ -1202,20 +1184,10 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _coarse_centroids_trained(spark, sf_dir, vecs)
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = vecs.crossJoin(F.broadcast(cdf)).select(
-        "id", "q", "c_id", "cq",
-        F.expr(d2_int_expr("q", "cq")).alias("d2"),
-    )
-    assign = scored_c.groupBy("id").agg(
-        F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
-        F.first("q").alias("q"),
-    )
-    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
-    probes = (
-        scored_c.filter(F.col("id") < _IVF_QUERIES)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _KM_NPROBE)
-        .select(F.col("id").alias("q_id"), "c_id", "q", "cq")
+    scored_c = coarse_score(vecs, cdf, carry=("q", "cq"))
+    assign = coarse_assign(scored_c, carry=("q",))
+    probes = coarse_probes(
+        scored_c, _IVF_QUERIES, _KM_NPROBE, carry=("q", "cq")
     )
     # Corpus residuals (map-side: one broadcast-centroid join).
     res = assign.join(F.broadcast(cdf), on="c_id").select(
@@ -1224,49 +1196,21 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("r"),
     )
     subs = scoped_persist(
-        res.select(
-            "id",
-            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
-            "r",
-        ).select(
-            F.col("s").cast("bigint").alias("s"),
-            "id",
-            F.expr(
-                f"slice(r, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
-            ).alias("q"),
-        )
+        subvectors(res, ("id",), "r", _PQK_SUBS, _PQK_SUBDIM)
     )
     books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
     bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    codes = (
-        subs.join(F.broadcast(bdf), on="s")
-        .select(
-            "s", "id", "m", F.expr(d2_int_expr("q", "bq")).alias("d2")
-        )
-        .groupBy("id", "s")
-        .agg(F.min_by("m", F.struct("d2", "m")).alias("m"))
+    codes = pq_assign_codes(pq_score(subs, bdf))
+    # Per-(query, probed-cluster) residual distance tables — the
+    # query's residual differs in every probed cluster (IVFADC).
+    qres = probes.select(
+        "q_id",
+        "c_id",
+        F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("rq"),
     )
-    # Per-(query, probed-cluster) residual distance tables.
-    qsubs = (
-        probes.select(
-            "q_id",
-            "c_id",
-            F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("rq"),
-        )
-        .select(
-            "q_id",
-            "c_id",
-            F.explode(F.expr(f"sequence(0, {_PQK_SUBS - 1})")).alias("s"),
-            "rq",
-        )
-        .select(
-            "q_id",
-            "c_id",
-            F.col("s").cast("bigint").alias("s"),
-            F.expr(
-                f"slice(rq, s * {_PQK_SUBDIM} + 1, {_PQK_SUBDIM})"
-            ).alias("rqsub"),
-        )
+    qsubs = subvectors(
+        qres, ("q_id", "c_id"), "rq", _PQK_SUBS, _PQK_SUBDIM,
+        out_col="rqsub",
     )
     dt = qsubs.join(F.broadcast(bdf), on="s").select(
         "q_id", "c_id", "s", "m",
@@ -1275,17 +1219,12 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_codes = codes.join(assign.select("id", "c_id"), on="id").select(
         F.col("id").alias("n_id"), "c_id", "s", "m"
     )
-    w_rank = W.partitionBy("q_id").orderBy("adc_micro", "n_id")
-    return (
-        n_codes.join(
-            F.broadcast(probes.select("q_id", "c_id")), on="c_id"
-        )
-        .filter(F.col("n_id") != F.col("q_id"))
-        .join(F.broadcast(dt), on=["q_id", "c_id", "s", "m"])
-        .groupBy("q_id", "n_id")
-        .agg(F.sum("d").alias("adc_micro"))
-        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rk") <= _IVF_K)
+    return adc_topk(
+        n_codes,
+        probes.select("q_id", "c_id"),
+        dt,
+        _IVF_K,
+        dt_keys=("q_id", "c_id", "s", "m"),
     )
 
 

@@ -113,3 +113,58 @@ def test_engine_path_probe():
     # select the applyInPandasWithState path; on a protobuf-equipped
     # cluster the probe flips to the transformWithState API.
     assert transform_with_state_available() in (True, False)
+
+
+def test_prereduce_exact_on_interleaved_hot_key(spark, tmp_path):
+    """The r11 hot-key mitigation (map-side consecutive-duplicate
+    collapse per (user, time-bucket)) must be LOSSLESS even when a
+    user's rows interleave across files within a micro-batch — the
+    shape that makes naive per-file dedup drop real transitions.
+    Drives the same two-file batch through prereduce=False and
+    prereduce=True (with a bucket narrow enough to split the
+    sequence) and pins identical outputs, including a duplicate run
+    that straddles a bucket boundary."""
+    import random
+
+    rng = random.Random(11)
+    # Hot user 7: long runs with occasional flips, timestamps chosen
+    # so runs straddle the 60-second prereduce buckets used below.
+    rows = []
+    status = "pass"
+    for i in range(400):
+        if rng.random() < 0.07:
+            status = "fail" if status == "pass" else "pass"
+        ts = f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}"
+        rows.append((ts, 7, status))
+    # A cold user whose rows interleave between the hot user's.
+    for i in range(40):
+        ts = f"2024-01-01T00:{(i * 9) // 60:02d}:{(i * 9) % 60:02d}"
+        rows.append((ts, 3, "pass" if i % 3 else "err"))
+    rng.shuffle(rows)
+    indir = tmp_path / "ev"
+    # Two interleaved files (odd/even rows) in ONE micro-batch.
+    _write_batch(indir, "a.json", rows[0::2], start_id=0)
+    _write_batch(indir, "b.json", rows[1::2], start_id=5000)
+
+    def drive(prereduce, qname):
+        stream = spark.readStream.schema(SCHEMA).json(str(indir))
+        out = status_transitions(
+            stream, prereduce=prereduce, prereduce_bucket_us=60_000_000
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in spark.table(qname).collect()
+        )
+
+    plain = drive(False, "t_pr_plain")
+    reduced = drive(True, "t_pr_reduced")
+    assert plain == reduced
+    assert len(plain) > 10  # the corpus really flips

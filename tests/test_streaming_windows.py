@@ -331,3 +331,175 @@ def test_txn_ingest_survives_crash_between_writes(spark, tmp_path):
         for r in spark.read.parquet(idx)
         .filter(F.col("batch_id") == 1).collect()
     ) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# r11: checkpoint RECOVERY on the RocksDB/changelog provider
+# ---------------------------------------------------------------------------
+
+
+class _scoped_rocksdb:
+    """Scoped provider swap (the t18 idiom): providerClass is read at
+    stream start, drains here are synchronous, so save/restore cannot
+    race a query."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        from kcidb_spark.streaming import ROCKSDB_CONF
+
+        self.saved = {
+            k: self.spark.conf.get(k, None) for k in ROCKSDB_CONF
+        }
+        for k, v in ROCKSDB_CONF.items():
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def test_checkpoint_restart_rocksdb_changelog(spark, tmp_path):
+    """The heap restart test's semantics on the PRODUCTION provider
+    (VERDICT r10 "Next round" #4): a second AvailableNow drain from
+    the same checkpoint under RocksDB + changelog checkpointing must
+    RESTORE the window state (snapshot + changelog replay), process
+    only the files that arrived while the query was down, and land on
+    the batch answer — the operational half of the provider-default
+    claim."""
+    indir = tmp_path / "ev"
+    _write_events(indir, EVENTS[:3])
+
+    def drain(qname):
+        stream = spark.readStream.schema(SCHEMA).json(str(indir))
+        q = (
+            windowed_counts(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            p if isinstance(p, dict) else json.loads(str(p))
+            for p in (q.recentProgress or [])
+        ]
+
+    with _scoped_rocksdb(spark):
+        p1 = drain("rocks_restart_a")
+        assert sum(p["numInputRows"] for p in p1) == 3
+        lines = [
+            json.dumps({"event_id": 100 + i, "ts": ts, "user_id": uid,
+                        "event_type": et, "value": v})
+            for i, (ts, uid, et, v) in enumerate(EVENTS[3:])
+        ]
+        (indir / "batch1.json").write_text("\n".join(lines))
+        p2 = drain("rocks_restart_b")
+    assert sum(p["numInputRows"] for p in p2) == len(EVENTS) - 3
+    # The drain really ran on RocksDB (provider echoed in progress).
+    providers = {
+        so.get("stateStoreCustomMetrics") is not None
+        or "rocksdb" in json.dumps(so).lower()
+        for p in p2 for so in p.get("stateOperators", [])
+    }
+    assert providers == {True}
+    got = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in spark.table("rocks_restart_b").collect()
+    }
+    batch = spark.read.schema(SCHEMA).json(str(indir))
+    expect = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in windowed_counts(batch).collect()
+    }
+    assert got == expect
+
+
+def test_rocksdb_crash_midrun_changelog_replay(spark, tmp_path):
+    """Kill a RocksDB/changelog stream MID-RUN (a foreachBatch bomb on
+    the third micro-batch — deterministic, unlike stop()-racing) and
+    restart from the checkpoint: the dedup state for the committed
+    batches must come back via changelog replay, the bombed batch must
+    re-run exactly once, and the final accept set must equal the batch
+    DISTINCT — never doubled, never emptied."""
+    import shutil
+
+    indir = tmp_path / "ev"
+    indir.mkdir(parents=True)
+    # 4 single-file micro-batches with cross-batch duplicate user_ids.
+    rows = [
+        [(0, 1, "a"), (1, 2, "b")],
+        [(2, 1, "a"), (3, 3, "c")],     # 1/a duplicates batch 0
+        [(4, 2, "b"), (5, 4, "d")],     # 2/b duplicates batch 0
+        [(6, 3, "c"), (7, 5, "e")],     # 3/c duplicates batch 1
+    ]
+    import time as _time
+
+    now = _time.time()
+    for b, batch in enumerate(rows):
+        f = indir / f"b{b}.json"
+        f.write_text("\n".join(
+            json.dumps({"event_id": eid,
+                        "ts": f"2024-01-01T0{b}:00:00",
+                        "user_id": uid, "event_type": et, "value": 1.0})
+            for eid, uid, et in batch
+        ))
+        _time.sleep(0.01)
+        import os as _os
+        _os.utime(f, (now - 40 + 10 * b, now - 40 + 10 * b))
+
+    out = tmp_path / "out"
+    bombed = tmp_path / "bombed_flag"
+
+    def make_sink():
+        def sink(df, epoch_id):
+            if epoch_id == 2 and not bombed.exists():
+                bombed.write_text("x")
+                raise RuntimeError("injected crash before sink write")
+            df.write.mode("overwrite").parquet(
+                str(out / f"epoch={epoch_id}")
+            )
+        return sink
+
+    def drive():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+        dedup = stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        return (
+            dedup.writeStream.foreachBatch(make_sink())
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _scoped_rocksdb(spark):
+        q = drive()
+        with pytest.raises(Exception):
+            q.awaitTermination()
+        assert bombed.exists()
+        q2 = drive()          # restart: state restored from changelog
+        q2.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out)).select(
+            "user_id", "event_type"
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    shutil.rmtree(out, ignore_errors=True)

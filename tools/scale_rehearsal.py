@@ -489,6 +489,124 @@ def run_streaming(sf_dir: str, label: str, spark, names=None) -> dict:
     return out
 
 
+def run_recovery(sf_dir: str, label: str, spark, k: int) -> dict:
+    """RocksDB/changelog checkpoint RECOVERY under a mid-run kill
+    (VERDICT r10 "Next round" #4 — the unmeasured operational half of
+    the provider-default claim): stream the k-file events dir through
+    a big-state dedup (dropDuplicates on event_id — state rows =
+    events seen, the 10M-row-class store), foreachBatch-bomb the run
+    at batch k//2 (deterministic, first attempt only), then restart
+    from the SAME checkpoint and drain to completion.  Records the
+    pre-crash wall, the restart drain wall, and the first-batch-after-
+    restart wall (which pays the RocksDB snapshot load + changelog
+    replay for every state partition), and verifies the recovered
+    accept count equals the batch DISTINCT — state neither doubled
+    nor lost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.streaming import ROCKSDB_CONF
+
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    ckpt = tempfile.mkdtemp(prefix="recovery_ckpt_")
+    bomb_flag = os.path.join(ckpt, "_bombed")
+    bomb_at = max(1, k // 2)
+    counts = {"rows": 0}
+
+    def sink(df, epoch_id):
+        if epoch_id == bomb_at and not os.path.exists(bomb_flag):
+            with open(bomb_flag, "w") as f:
+                f.write("x")
+            raise RuntimeError("injected mid-run crash")
+        counts["rows"] += df.count()
+
+    def drive():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        dedup = stream.dropDuplicates(["event_id"])
+        return (
+            dedup.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    saved = {c: spark.conf.get(c, None) for c in ROCKSDB_CONF}
+    for c, v in ROCKSDB_CONF.items():
+        spark.conf.set(c, v)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        t0 = time.perf_counter()
+        q1 = drive()
+        try:
+            q1.awaitTermination()
+        except Exception:
+            pass
+        crash_wall = round(time.perf_counter() - t0, 3)
+        batches_before = len(q1.recentProgress or [])
+
+        t1 = time.perf_counter()
+        q2 = drive()
+        q2.awaitTermination()
+        restart_wall = round(time.perf_counter() - t1, 3)
+        prog2 = [
+            p if isinstance(p, dict) else json.loads(str(p))
+            for p in (q2.recentProgress or [])
+        ]
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+
+    batch_walls = [p.get("batchDuration", 0) / 1000.0 for p in prog2]
+    state_rows = max(
+        (
+            op.get("numRowsTotal", 0)
+            for p in prog2
+            for op in p.get("stateOperators", []) or []
+        ),
+        default=0,
+    )
+    expect = (
+        spark.read.schema("event_id long")
+        .parquet(ev_dir)
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = {
+        "bomb_at_batch": bomb_at,
+        "batches_before_crash": batches_before,
+        "crash_phase_wall_s": crash_wall,
+        "restart_drain_wall_s": restart_wall,
+        "first_batch_after_restart_s": (
+            round(batch_walls[0], 2) if batch_walls else None
+        ),
+        "batch_wall_med_s": (
+            round(sorted(batch_walls)[len(batch_walls) // 2], 2)
+            if batch_walls
+            else None
+        ),
+        "state_rows_max": state_rows,
+        "rows_emitted": counts["rows"],
+        "rows_expected_distinct": expect,
+        "recovered_exactly": counts["rows"] == expect,
+    }
+    print(label, "recovery", out, flush=True)
+    return out
+
+
 def domain_views(spark, n_checkouts: int):
     """A kcidb-domain object graph generated engine-side at any scale:
     n checkouts × 3 builds × 5 tests, 1 issue per 100 checkouts,
@@ -716,7 +834,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
                             "bpe", "tokenizer", "sketch", "lm", "vocab",
-                            "skew", "hotkey"):
+                            "skew", "hotkey", "recovery"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -793,6 +911,19 @@ def main() -> None:
                 hot_doc_dir, f"hotdocs{k}x", spark,
                 ["t17_stream_incremental_dedup"],
             ),
+        }
+        result["ratios"] = {}
+    elif suite == "recovery":
+        # RocksDB/changelog checkpoint recovery under a mid-run kill
+        # (VERDICT r10 "Next round" #4): big-state dedup stream over
+        # the k-file events dir, bombed at batch k//2, restarted from
+        # the same checkpoint; records restore wall + changelog-replay
+        # cost and verifies exactly-once recovery.
+        scaled_dir = f"/tmp/kcidb_scale/stream{k}x"
+        synthesize_streaming(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "recovery": run_recovery(scaled_dir, f"rec{k}x", spark, k),
         }
         result["ratios"] = {}
     elif suite == "skew":
