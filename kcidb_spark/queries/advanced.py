@@ -1228,6 +1228,267 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scalar-quantized IVF (FAISS IVF,SQ8): codes are per-dim ints ---
+
+#: SQ code grid: x ∈ [−1, 1] → floor((x+1)·128) ∈ [0, 256] — 8-ish
+#: bits per dimension (vs PQ's 3 bits per SUBSPACE here; SQ is the
+#: higher-fidelity / lower-compression point on the same curve).
+#: 128·8192 = 2^20 aligns the dequantized code exactly onto the
+#: query's fine integer grid, so the asymmetric distance is pure
+#: BIGINT arithmetic.
+_SQ_SCALE = 128
+_SQ_UP = 8192
+_SQ_NPROBE = 2
+
+
+def _sq8_oracle() -> str:
+    """Full replay via the dot-product identity: Σ(q−c·UP)² =
+    q·q − 2·UP·(q·c) + UP²·(c·c); every dot ≤ 2^48, integer-exact in
+    DuckDB's double list_dot_product, cast back to BIGINT."""
+    d2_qq = (
+        "CAST(list_dot_product(a.q, a.q)"
+        " - 2 * list_dot_product(a.q, b.q)"
+        " + list_dot_product(b.q, b.q) AS BIGINT)"
+    )
+    adc = (
+        "CAST(list_dot_product(p.q, p.q)"
+        f" - 2 * {_SQ_UP} * list_dot_product(p.q, m.c)"
+        f" + {_SQ_UP} * {_SQ_UP} * list_dot_product(m.c, m.c)"
+        " AS BIGINT)"
+    )
+    return dedent(f"""
+        WITH vx AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(floor(
+                       (CAST(x AS DOUBLE) + 1.0) * {_KM_SCALE}.0)
+                       AS BIGINT)) AS q,
+                   list_transform(embedding, x -> CAST(floor(
+                       (CAST(x AS DOUBLE) + 1.0) * {_SQ_SCALE}.0)
+                       AS BIGINT)) AS c
+            FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS c_id, q FROM vx
+                  WHERE vec_id < {_IVF_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, c_id, c FROM (
+                SELECT a.vec_id, b.c_id, a.c,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {d2_qq}, b.c_id
+                       ) AS rn
+                FROM vx a JOIN (SELECT c_id, q FROM cents) b ON TRUE
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, q FROM (
+                SELECT a.vec_id, b.c_id, a.q,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {d2_qq}, b.c_id
+                       ) AS rn
+                FROM vx a JOIN (SELECT c_id, q FROM cents) b ON TRUE
+                WHERE a.vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= {_SQ_NPROBE}
+        )
+        SELECT q_id, n_id, adc_d2, rk FROM (
+            SELECT p.q_id, m.vec_id AS n_id, {adc} AS adc_d2,
+                   CAST(row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {adc}, m.vec_id
+                   ) AS BIGINT) AS rk
+            FROM probes p
+            JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+        ) WHERE rk <= {_IVF_K}
+    """)
+
+
+@register(
+    "ann_ivf_sq8_adc_topk",
+    oracle=_sq8_oracle(),
+    tags=("similarity", "ivf", "quantize"),
+)
+def ann_ivf_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SCALAR quantization (FAISS's ``IVFx,SQ8``): the corpus
+    keeps one small integer PER DIMENSION (floor((x+1)·{_SQ_SCALE}) —
+    ~8 bits/dim, a 4× cut vs float32) instead of PQ's per-subspace
+    codeword, and search is asymmetric — the EXACT query against the
+    dequantized code, no codebook table at all.  SQ8 is the
+    higher-fidelity, lower-compression point on the same
+    memory/recall curve as IVF-PQ; serving tiers pick it when recall
+    at small k matters more than the last 4× of RAM (it is FAISS's
+    default suggestion before PQ).
+
+    Engine-exactness: the code grid divides the query grid
+    ({_SQ_SCALE}·{_SQ_UP} = 2^20), so dequantization is an integer
+    upscale and the ADC sum Σ(q_i − c_i·{_SQ_UP})² is BIGINT — the
+    oracle replays it through the dot-product identity with every
+    term ≤ 2^48 (integer-exact in a double).  Scale shape: one scan
+    builds grid+codes; static broadcast centroids (the
+    deterministic stand-in the ann_ivf_* family uses — the trained
+    path is ann_ivf_kmeans_topk's), map-side min_by assignment,
+    nprobe={_SQ_NPROBE} probes; candidates bounded by the
+    probed-cluster semi-join carry only their CODES, so the
+    corpus-side search reads ~64 bytes per vector where the float32
+    row is 256."""
+    from kcidb_spark.operators.ivf import (
+        coarse_assign,
+        coarse_probes,
+        coarse_score,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = scoped_persist(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+            ).alias("q"),
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                f" x -> cast(floor((x + 1.0D) * {_SQ_SCALE}.0D) as bigint))"
+            ).alias("c"),
+        )
+    )
+    cdf = vecs.filter(F.col("id") < _IVF_CENTROIDS).select(
+        F.col("id").alias("c_id"), F.col("q").alias("cq")
+    )
+    scored_c = coarse_score(vecs, cdf, carry=("q", "c"))
+    assign = coarse_assign(scored_c, carry=("c",))
+    probes = coarse_probes(scored_c, _IVF_QUERIES, _SQ_NPROBE, carry=("q",))
+    adc = F.expr(
+        f"aggregate(zip_with(q, c, (x, y) -> (x - y * {_SQ_UP})"
+        f" * (x - y * {_SQ_UP})),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    w_rank = W.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    return (
+        assign.select(F.col("id").alias("n_id"), "c_id", "c")
+        .join(F.broadcast(probes), on="c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", adc.alias("adc_d2"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= _IVF_K)
+        .select("q_id", "n_id", "adc_d2", "rk")
+    )
+
+
+# --- Matryoshka-style prefix-dim prefilter + full-dim exact rerank ---
+
+#: Prefix dims scored in stage 1 (MRL embeddings order information
+#: front-to-back, so a 16-of-64 prefix is the standard cheap filter);
+#: R candidates survive to the exact full-dim rerank.
+_MRL_PREFIX = 16
+_MRL_R = 10
+
+
+def _prefix_rerank_oracle() -> str:
+    d2 = (
+        "CAST(list_dot_product({a}, {a})"
+        " - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    d2p = d2.format(a="q.qp", b="n.qp")
+    d2f = d2.format(a="q.q", b="s1.q")
+    return dedent(f"""
+        WITH vx AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(floor(
+                       (CAST(x AS DOUBLE) + 1.0) * {_KM_SCALE}.0)
+                       AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        vp AS (SELECT vec_id, q, q[1:{_MRL_PREFIX}] AS qp FROM vx),
+        stage1 AS (
+            SELECT q_id, n_id, q FROM (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id, n.q,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {d2p}, n.vec_id
+                       ) AS rn
+                FROM vp q JOIN vp n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= {_MRL_R}
+        )
+        SELECT q_id, n_id, d2, rk FROM (
+            SELECT s1.q_id, s1.n_id, {d2f} AS d2,
+                   CAST(row_number() OVER (
+                       PARTITION BY s1.q_id
+                       ORDER BY {d2f}, s1.n_id
+                   ) AS BIGINT) AS rk
+            FROM stage1 s1 JOIN vx q ON q.vec_id = s1.q_id
+        ) WHERE rk <= {_IVF_K}
+    """)
+
+
+@register(
+    "ann_prefix_rerank_topk",
+    oracle=_prefix_rerank_oracle(),
+    tags=("similarity", "rerank"),
+)
+def ann_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over prefix-truncatable (Matryoshka-style)
+    embeddings: stage 1 scores every query against the corpus on the
+    FIRST {_MRL_PREFIX} of 64 dimensions ({_MRL_PREFIX * 100 // 64}%
+    of the arithmetic and — in a column layout that stores the prefix
+    separately — of the IO), keeps the top {_MRL_R}; stage 2 reranks
+    only those by EXACT full-dimension distance.  This is the
+    shortlist-then-rerank pattern every serving stack runs (MRL,
+    Kusupati et al. 2022 §4 use exactly this shortlist construction);
+    it composes with the IVF entries (probe clusters first, prefix-
+    score within them) — certified here in its pure form so the
+    rerank's exactness has its own oracle.
+
+    Engine-exactness: both stages are BIGINT squared-L2 on the
+    integer grid with n_id tie-breaks.  Scale shape: the query side
+    broadcasts (|Q| vectors), the corpus never shuffles for stage 1,
+    and the rank-≤-{_MRL_R} filter directly over row_number lets
+    Spark's WindowGroupLimit keep a per-partition top-{_MRL_R} BEFORE
+    the per-query exchange — map-side top-k, the same physical shape
+    as the brute-force baseline but on {_MRL_PREFIX}/64 of the
+    data; stage 2 touches {_MRL_R}·|Q| rows, nothing."""
+    from kcidb_spark.operators.clustering import d2_int_expr
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = scoped_persist(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+            ).alias("q"),
+        ).withColumn("qp", F.expr(f"slice(q, 1, {_MRL_PREFIX})"))
+    )
+    queries = vecs.filter(F.col("id") < _IVF_QUERIES).select(
+        F.col("id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("qp").alias("qqp"),
+    )
+    w1 = W.partitionBy("q_id").orderBy("d2p", "n_id")
+    stage1 = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("n_id"),
+            "q",
+            "qq",
+            F.expr(d2_int_expr("qqp", "qp")).alias("d2p"),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _MRL_R)
+    )
+    w2 = W.partitionBy("q_id").orderBy("d2", "n_id")
+    return (
+        stage1.select(
+            "q_id", "n_id", F.expr(d2_int_expr("qq", "q")).alias("d2")
+        )
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= _IVF_K)
+        .select("q_id", "n_id", "d2", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing document fingerprints (Schleimer et al. local minima)
 # ---------------------------------------------------------------------------

@@ -407,3 +407,131 @@ def test_residual_pq_reconstructs_better_than_raw(spark):
     finally:
         vecs.unpersist()
     assert d_res < d_raw, (d_res, d_raw)
+
+
+def test_sq8_adc_tracks_exact_ranking(spark):
+    """SQ8's asymmetric distance must track the exact integer distance
+    closely enough that the per-cluster top-k barely moves: recall of
+    the SQ8 ADC top-k against the EXACT top-k over the SAME candidate
+    set (identical probes — isolates quantization loss from IVF loss)
+    must clear a measured floor, and dequantization error is bounded
+    by construction (|q − c·UP| < UP per dim)."""
+    from kcidb_spark.operators.ivf import (
+        coarse_assign,
+        coarse_probes,
+        coarse_score,
+    )
+    from kcidb_spark.queries.advanced import _SQ_SCALE, _SQ_UP, _KM_SCALE
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = _quantized(emb).withColumn(
+        "c",
+        F.expr(
+            "transform(cast(q as array<double>),"
+            f" x -> cast(floor(x / {_SQ_UP}.0D) as bigint))"
+        ),
+    )
+    # NOTE: codes derived from the fine grid here (floor(q/UP)) equal
+    # the registry's floor((x+1)·SQ_SCALE) exactly because the grids
+    # nest: floor(floor((x+1)·2^20) / 2^13) = floor((x+1)·2^7).
+    cdf = vecs.filter(F.col("id") < _NC).select(
+        F.col("id").alias("c_id"), F.col("q").alias("cq")
+    )
+    scored = coarse_score(vecs, cdf, carry=("q", "c"))
+    assign = coarse_assign(scored, carry=("q", "c"))
+    probes = coarse_probes(scored, _NQ, 2, carry=("q",))
+    cand = (
+        assign.select(
+            F.col("id").alias("n_id"), "c_id",
+            F.col("q").alias("nq"), "c",
+        )
+        .join(F.broadcast(probes), on="c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+    )
+    from kcidb_spark.operators.clustering import d2_int_expr
+
+    adc = F.expr(
+        f"aggregate(zip_with(q, c, (x, y) -> (x - y * {_SQ_UP})"
+        f" * (x - y * {_SQ_UP})), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    w_a = W.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    w_e = W.partitionBy("q_id").orderBy("d2", "n_id")
+    got_sq = _topk_sets(
+        cand.select("q_id", "n_id", adc.alias("adc_d2"))
+        .withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") <= _K)
+    )
+    got_exact = _topk_sets(
+        cand.select(
+            "q_id", "n_id", F.expr(d2_int_expr("q", "nq")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w_e))
+        .filter(F.col("rn") <= _K)
+    )
+    r = _recall(got_exact, got_sq)
+    # Measured 0.995 on the sf0.01 corpus; 8-bit scalar codes lose
+    # almost nothing at k=10 (the reason IVF,SQ8 is FAISS's first
+    # suggestion) — floor with margin.
+    assert r >= 0.9, r
+    assert _SQ_SCALE * _SQ_UP == _KM_SCALE  # the grid-nesting contract
+
+
+def test_prefix_rerank_recovers_prefix_loss(spark):
+    """The Matryoshka shortlist contract: reranking the prefix-dim
+    top-R by exact full-dim distance must recover most of what
+    prefix-only top-k loses — recall(rerank) ≥ recall(prefix-only),
+    strictly greater on this corpus, and rerank's ordering of its
+    candidate set is exactly the full-dim ordering (by construction —
+    pinned on values, not plans)."""
+    from kcidb_spark.operators.clustering import d2_int_expr
+    from kcidb_spark.queries.advanced import _MRL_PREFIX
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    vecs = _quantized(emb).withColumn(
+        "qp", F.expr(f"slice(q, 1, {_MRL_PREFIX})")
+    )
+    queries = vecs.filter(F.col("id") < _NQ).select(
+        F.col("id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("qp").alias("qqp"),
+    )
+    joined = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("id").alias("n_id"), "q", "qq",
+            F.expr(d2_int_expr("qqp", "qp")).alias("d2p"),
+            F.expr(d2_int_expr("qq", "q")).alias("d2f"),
+        )
+    )
+    w_p = W.partitionBy("q_id").orderBy("d2p", "n_id")
+    w_f = W.partitionBy("q_id").orderBy("d2f", "n_id")
+    exact = _topk_sets(
+        joined.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= _K)
+    )
+    prefix_only = _topk_sets(
+        joined.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= _K)
+    )
+    # Rerank: prefix top-5K shortlist, full-dim top-K inside it.
+    shortlist = joined.withColumn(
+        "rn", F.row_number().over(w_p)
+    ).filter(F.col("rn") <= 5 * _K)
+    rerank = _topk_sets(
+        shortlist.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= _K)
+    )
+    r_prefix = _recall(exact, prefix_only)
+    r_rerank = _recall(exact, rerank)
+    assert r_rerank >= r_prefix, (r_rerank, r_prefix)
+    assert r_rerank > r_prefix  # measured: strict on this corpus
+    # Honest context for the absolute level: the synthetic embeddings
+    # are ISOTROPIC random vectors — the worst case for prefix
+    # truncation (each dim carries 1/64 of the variance, so a 16-dim
+    # prefix explains 25% of distance).  MRL-TRAINED embeddings
+    # front-load variance and sit near 0.95+ at this R; here the
+    # measured points are prefix-only 0.135 → rerank@50 0.49, and the
+    # pin is the RECOVERY property plus a floor with margin, not a
+    # trained-embedding aspiration.
+    assert r_rerank >= 0.35, r_rerank  # measured 0.49
