@@ -836,6 +836,129 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_incremental_oracle() -> str:
+    from kcidb_spark.queries.pipeline import _SIG_SQL
+
+    return dedent(f"""
+        WITH {_SIG_SQL},
+        g AS (
+            SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS g
+            FROM documents
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l
+            JOIN g gl ON gl.doc_id = l.doc_id AND gl.g < '4'
+            JOIN bands r ON l.band = r.band AND l.key = r.key
+            JOIN g gr ON gr.doc_id = r.doc_id AND gr.g >= '4'
+        ),
+        shingle_set AS (
+            SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM shingle_set GROUP BY doc_id
+        ),
+        dup AS (
+            SELECT DISTINCT i.a FROM (
+                SELECT c.a, c.b, count(*) AS n_inter
+                FROM cand c
+                JOIN shingle_set sa ON sa.doc_id = c.a
+                JOIN shingle_set sb ON sb.doc_id = c.b AND sb.s = sa.s
+                GROUP BY c.a, c.b
+            ) i
+            JOIN sizes na ON na.doc_id = i.a
+            JOIN sizes nb ON nb.doc_id = i.b
+            WHERE 3 * i.n_inter >= na.n + nb.n
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        JOIN g ON g.doc_id = d.doc_id AND g.g < '4'
+        WHERE d.doc_id NOT IN (SELECT a FROM dup)
+    """)
+
+
+@register(
+    "dedup_incremental_neardup",
+    oracle=_neardup_incremental_oracle(),
+    tags=("dedup", "minhash", "pipeline", "index"),
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-duplicate half of the ingest cycle — dedup_incremental
+    checks the day batch against the corpus by exact fingerprint; this
+    entry checks it by MinHash/LSH + exact-Jaccard verify, the
+    FineWeb/CCNet-style fuzzy gate an ingest pipeline runs alongside
+    the exact one (a re-crawled page with a new timestamp defeats the
+    md5 but not the shingle set).  A day-batch document is ACCEPTED
+    iff no corpus document shares an LSH band bucket AND verifies at
+    Jaccard ≥ 1/2 over distinct 3-shingles.
+
+    Scale shape: signatures are a pure projection over one corpus
+    scan (no explode), the only exchanges are the band-key equi-join
+    (bucket-sized, never all-pairs — the day side is a fraction of a
+    bucket) and the candidate-bounded verify joins (shingle sets are
+    built ONLY for docs appearing in a candidate pair); the accept
+    step is a broadcast-able anti-join on the matched-id set.  The
+    boundary is integer arithmetic: 3·|∩| ≥ |A| + |B| ⇔
+    |∩|/|A∪B| ≥ 1/2 — never a float threshold.  In production the
+    corpus band keys live in a persisted index like fpindex_build's
+    (same write_fingerprint_index layout keyed band||key); this entry
+    certifies the join semantics those probes must reproduce."""
+    from kcidb_spark.cache import scoped_persist
+    from kcidb_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingled,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sig = scoped_persist(
+        minhash_signatures(docs, n_hashes=8).withColumn("g", gate)
+    )
+    bands = lsh_bands(sig, n_hashes=8, n_bands=2, carry=("g",))
+    bn = bands.filter(F.col("g") < "4").select(
+        "band", "key", F.col("doc_id").alias("a")
+    )
+    bc = bands.filter(F.col("g") >= "4").select(
+        "band", "key", F.col("doc_id").alias("b")
+    )
+    cand = scoped_persist(
+        bn.join(bc, on=["band", "key"]).select("a", "b").distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = scoped_persist(
+        shingled(
+            docs.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        ).select("doc_id", F.array_distinct("shingles").alias("sh"))
+    )
+    matched = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa")),
+            on="a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb")),
+            on="b",
+        )
+        .filter(
+            3 * F.size(F.array_intersect("sa", "sb"))
+            >= F.size("sa") + F.size("sb")
+        )
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(gate < "4")
+        .join(F.broadcast(matched), on="doc_id", how="left_anti")
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality gate: drop the per-language bottom quartile (integer-exact)
 # ---------------------------------------------------------------------------
