@@ -82,6 +82,141 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: UniMax dials: each language contributes at most _UNIMAX_EPOCHS
+#: passes over its own data, and the total training budget is
+#: _UNIMAX_BUDGET tokens.  Sized so the sf0.01 gate corpus exercises
+#: BOTH regimes at once (2 languages cap-bound, 3 sharing the
+#: remainder with a nonzero modulo), and the sf0.001 sweep hits the
+#: third branch (budget exceeds the whole corpus → everyone capped);
+#: production dials are trillions of tokens and N≈4.
+_UNIMAX_EPOCHS = 2
+_UNIMAX_BUDGET = 38_000
+
+
+@register(
+    "corpus_unimax_budget",
+    oracle=dedent(f"""
+        WITH counts AS (
+            SELECT lang,
+                   CAST(sum(length(string_split({_NORM_SQL}, ' ')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        ord AS (
+            SELECT lang, n_tokens,
+                   n_tokens * {_UNIMAX_EPOCHS} AS cap,
+                   CAST(row_number() OVER (
+                       ORDER BY n_tokens * {_UNIMAX_EPOCHS}, lang
+                   ) AS BIGINT) AS i,
+                   CAST(coalesce(sum(n_tokens * {_UNIMAX_EPOCHS}) OVER (
+                       ORDER BY n_tokens * {_UNIMAX_EPOCHS}, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS csum_before,
+                   CAST(count(*) OVER () AS BIGINT) AS L
+            FROM counts
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN cap * (L - i + 1)
+                             <= {_UNIMAX_BUDGET} - csum_before
+                        THEN 1 ELSE 0 END AS bound
+            FROM ord
+        ),
+        kstar AS (
+            SELECT CAST(coalesce(sum(bound), 0) AS BIGINT) AS k,
+                   CAST(coalesce(sum(CASE WHEN bound = 1 THEN cap END),
+                                 0) AS BIGINT) AS capped_sum,
+                   CAST(max(L) AS BIGINT) AS L
+            FROM flagged
+        )
+        SELECT f.lang, f.n_tokens, f.cap,
+               CASE WHEN f.bound = 1 THEN f.cap
+                    ELSE ({_UNIMAX_BUDGET} - k.capped_sum) // (k.L - k.k)
+                         + CASE WHEN f.i - k.k
+                                     <= ({_UNIMAX_BUDGET} - k.capped_sum)
+                                        % (k.L - k.k)
+                                THEN 1 ELSE 0 END
+               END AS alloc_tokens
+        FROM flagged f CROSS JOIN kstar k
+    """),
+    tags=("pipeline", "mixing"),
+)
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread a total token budget UNIFORMLY across languages, except no
+    language repeats its own corpus more than {_UNIMAX_EPOCHS} epochs
+    — the principled multilingual mix that neither starves tail
+    languages (proportional sampling) nor over-epochs them
+    (temperature sampling with a hot tail).  Waterfilling, closed
+    form: sort languages by cap = epochs·n ascending; language i is
+    cap-BOUND iff cap_i·(langs − i + 1) ≤ budget − Σ_{{j<i}} cap_j (the
+    condition is monotone down the sort, so it needs no recursion —
+    once a language is unbound, all larger ones are); the unbound
+    share the remainder by integer division, the modulo distributed
+    one token each to the first ``remainder mod m`` unbound languages
+    in sort order.  Pure BIGINT arithmetic end to end — an allocation
+    differing by ±1 token between engines would hash-mismatch, so the
+    floor/modulo split IS the cross-engine contract.
+
+    Scale shape: one partial-agg scan to per-language token masses
+    (≤ |langs| rows), then every window runs over that control-plane
+    table — the corpus is touched exactly once."""
+    toks = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("nt"),
+    )
+    counts = toks.groupBy("lang").agg(
+        F.sum("nt").cast("long").alias("n_tokens")
+    )
+    w_ord = W.orderBy(F.col("cap"), F.col("lang"))
+    ord_ = counts.withColumn(
+        "cap", (F.col("n_tokens") * _UNIMAX_EPOCHS).cast("long")
+    ).select(
+        "lang", "n_tokens", "cap",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("cap").over(
+                w_ord.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("csum_before"),
+        F.count(F.lit(1)).over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("long").alias("L"),
+    )
+    flagged = ord_.withColumn(
+        "bound",
+        (
+            F.col("cap") * (F.col("L") - F.col("i") + 1)
+            <= F.lit(_UNIMAX_BUDGET) - F.col("csum_before")
+        ).cast("int"),
+    )
+    kstar = flagged.agg(
+        F.coalesce(F.sum("bound"), F.lit(0)).cast("long").alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("bound") == 1, F.col("cap"))), F.lit(0)
+        ).cast("long").alias("capped_sum"),
+        F.max("L").alias("L2"),
+    )
+    rem = F.lit(_UNIMAX_BUDGET) - F.col("capped_sum")
+    m = F.col("L2") - F.col("k")
+    alloc = F.when(F.col("bound") == 1, F.col("cap")).otherwise(
+        F.expr(f"({_UNIMAX_BUDGET} - capped_sum) div (L2 - k)")
+        + F.when(
+            F.col("i") - F.col("k") <= rem % m, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kstar))
+        .select(
+            "lang", "n_tokens", "cap",
+            alloc.cast("long").alias("alloc_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curriculum: power-of-two document-length strata
 # ---------------------------------------------------------------------------
@@ -956,6 +1091,167 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(gate < "4")
         .join(F.broadcast(matched), on="doc_id", how="left_anti")
         .select("doc_id", "lang")
+    )
+
+
+def _ingest_corpus_oracle() -> str:
+    from kcidb_spark.queries.pipeline import _SIG_SQL
+
+    return dedent(f"""
+        WITH {_SIG_SQL},
+        g AS (
+            SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS g,
+                   md5({_NORM_SQL}) AS th
+            FROM documents
+        ),
+        exact_dup AS (
+            SELECT DISTINCT n.doc_id FROM g n
+            JOIN g c ON c.g >= '4' AND c.th = n.th
+            WHERE n.g < '4'
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l
+            JOIN g gl ON gl.doc_id = l.doc_id AND gl.g < '4'
+            JOIN bands r ON l.band = r.band AND l.key = r.key
+            JOIN g gr ON gr.doc_id = r.doc_id AND gr.g >= '4'
+        ),
+        shingle_set AS (
+            SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM shingle_set GROUP BY doc_id
+        ),
+        near_dup AS (
+            SELECT DISTINCT i.a AS doc_id FROM (
+                SELECT c.a, c.b, count(*) AS n_inter
+                FROM cand c
+                JOIN shingle_set sa ON sa.doc_id = c.a
+                JOIN shingle_set sb ON sb.doc_id = c.b AND sb.s = sa.s
+                GROUP BY c.a, c.b
+            ) i
+            JOIN sizes na ON na.doc_id = i.a
+            JOIN sizes nb ON nb.doc_id = i.b
+            WHERE 3 * i.n_inter >= na.n + nb.n
+        )
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_dup)
+                    THEN 'exact'
+                    WHEN d.doc_id IN (SELECT doc_id FROM near_dup)
+                    THEN 'near'
+                    ELSE 'accept' END AS verdict
+        FROM documents d
+        JOIN g ON g.doc_id = d.doc_id AND g.g < '4'
+    """)
+
+
+@register(
+    "pipeline_ingest_corpus",
+    oracle=_ingest_corpus_oracle(),
+    tags=("dedup", "minhash", "pipeline", "composed"),
+)
+def pipeline_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole ingest-cycle dedup stack as ONE lazy DAG — what a
+    crawl-refresh run executes per batch: every day-batch document is
+    labelled ``exact`` (normalized fingerprint already in the corpus),
+    ``near`` (survives the exact gate but an LSH candidate verifies at
+    Jaccard ≥ 1/2), or ``accept`` — the composed form of
+    dedup_incremental + dedup_incremental_neardup, proving the two
+    gates fuse without a materialization barrier between them (the
+    near gate's candidate set is already restricted to exact-gate
+    survivors, so the expensive verify runs on the smallest possible
+    pair set).
+
+    Returning the VERDICT rather than the survivor set is the
+    production shape: an ingest ledger records why each document was
+    dropped (dedup telemetry drives crawl-frequency decisions), and
+    the oracle certifies the full three-way labelling, not just the
+    accept list."""
+    from kcidb_spark.cache import scoped_persist
+    from kcidb_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingled,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keyed = scoped_persist(
+        docs.select(
+            "doc_id", "lang", "text",
+            gate.alias("g"),
+            F.md5(_norm_text(F.col("text"))).alias("th"),
+        )
+    )
+    new = keyed.filter(F.col("g") < "4")
+    corpus_th = keyed.filter(F.col("g") >= "4").select("th").distinct()
+    exact_dup = (
+        new.join(corpus_th, on="th", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    sig = scoped_persist(
+        minhash_signatures(keyed, n_hashes=8).join(
+            keyed.select("doc_id", "g"), on="doc_id"
+        )
+    )
+    bands = lsh_bands(sig, n_hashes=8, n_bands=2, carry=("g",))
+    # The near gate only needs to JUDGE exact-gate survivors, but the
+    # label set covers all three classes, so candidates are generated
+    # for the full day side and the exact label wins in the verdict
+    # CASE (same precedence as the oracle's).
+    bn = bands.filter(F.col("g") < "4").select(
+        "band", "key", F.col("doc_id").alias("a")
+    )
+    bc = bands.filter(F.col("g") >= "4").select(
+        "band", "key", F.col("doc_id").alias("b")
+    )
+    cand = scoped_persist(
+        bn.join(bc, on=["band", "key"]).select("a", "b").distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = scoped_persist(
+        shingled(
+            keyed.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        ).select("doc_id", F.array_distinct("shingles").alias("sh"))
+    )
+    near_dup = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa")),
+            on="a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb")),
+            on="b",
+        )
+        .filter(
+            3 * F.size(F.array_intersect("sa", "sb"))
+            >= F.size("sa") + F.size("sb")
+        )
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+    )
+    verdict = F.when(F.col("_ex").isNotNull(), "exact").when(
+        F.col("_nr").isNotNull(), "near"
+    ).otherwise("accept")
+    return (
+        new.select("doc_id", "lang")
+        .join(
+            F.broadcast(exact_dup.withColumn("_ex", F.lit(1))),
+            on="doc_id",
+            how="left",
+        )
+        .join(
+            F.broadcast(near_dup.withColumn("_nr", F.lit(1))),
+            on="doc_id",
+            how="left",
+        )
+        .select("doc_id", "lang", verdict.alias("verdict"))
     )
 
 
