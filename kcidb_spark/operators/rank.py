@@ -21,23 +21,26 @@ construction to exact ranking, in the r11 fused form (VERDICT r10
    The collected table is control-plane sized by CONTRACT: distinct
    pre-buckets ≈ score range / 2^prebucket_shift (the call sites rank
    micro-bit scores and lengths — ranges ≤ ~10^8, so ≤ ~10^5 rows).
-2. The driver equalizes the pre-bucket histogram into ≤ ~n_buckets
+2. The driver equalizes the segment histogram into ≤ ~n_buckets
    balanced final buckets (pure control-plane walk — boundaries are
-   data-dependent, the assignment is a monotone pre-bucket → bucket
+   data-dependent, the assignment is a monotone segment → bucket
    map), computes exact per-bucket prefix offsets and per-stratum
    counts, and broadcasts the tiny mapping back as a literal frame.
-3. A pre-bucket holding more rows than ``hot_cap`` (score ties
-   concentrated on one value — possible for integer-LENGTH scores:
-   doc_chunking emits constant-size chunks) is SUB-SPLIT by a
-   monotone 56-bit prefix of the tie-break column (first 7 bytes,
-   big-endian) composed below the key's low bits, so even a
-   100%%-tied stratum spreads across bucket-sized tasks.  The split
-   is exact: within one pre-bucket the composite (low key bits,
-   tie-break prefix) is weakly monotone in the rank order, and the
-   in-bucket window refines prefix collisions.  Sub-bucket offsets
-   come from ONE extra aggregation restricted to the hot rows —
-   skipped entirely (driver-side branch) when nothing is hot, which
-   is every non-adversarial distribution.
+3. Over-cap segments split CONDITIONALLY, two levels deep, each level
+   one extra driver-side aggregation over only the affected rows
+   (zero extra jobs on non-adversarial data):
+   * a pre-bucket holding more rows than ``hot_cap`` splits by the
+     EXACT low score bits (one sub-segment per distinct score in the
+     bucket — a dense length histogram can put 40% of a language in
+     one 1024-wide pre-bucket; the r11 skew rehearsal measured
+     188k-row tasks before this level existed);
+   * a single SCORE VALUE still over the cap (a genuinely tied key —
+     constant-size chunks ranked by length) splits further by the
+     top 12 bits of a monotone 56-bit tie-break prefix (first 7
+     bytes, big-endian).  The tie-break bits sit BELOW the score
+     bits in the sub-segment id, so they only discriminate where the
+     score is constant — which is exactly where they are ordered
+     consistently with the rank order.
 4. In-bucket ``row_number`` PARTITIONED by (stratum, _bkt) — each
    task sorts one bucket, never a stratum — plus the broadcast bucket
    offset gives the exact global per-stratum rank.
@@ -47,21 +50,23 @@ assignment is (weakly) monotone in the (score [DESC], tiebreak) rank
 order, offsets are exact actual prefix counts, and every quantity is
 integer, so results are deterministic under any physical ordering
 (pinned against the naive window in tests/test_rank.py, including the
-tie-concentrated hot path).
+tie-concentrated hot path, where the max bucket size is ALSO pinned).
 
 Cost: ONE count-aggregation job at plan-build time (which also
 serializes the scoped persist's cache fill — the returned plan and
-the optional hot-split aggregation then read the cache, never the
+the conditional split aggregations then read the cache, never the
 caller's upstream), then the data path is a single broadcast join +
 the (stratum, bucket)-partitioned window.  Max task input is
-``max(ceil(cnt/n_buckets), hot_cap)`` rows regardless of the stratum
-or tie distribution — versus |largest stratum| for the naive window.
+``max(ceil(cnt/n_buckets), hot_cap, |hottest tie| / 4096)`` rows for
+any distribution.
 
 Residual exposure, documented honestly: the tie sub-split spreads by
-the tie-break's first 7 BYTES; ids sharing a long common prefix
-(same-host URLs) under a 100%%-tied score still concentrate.  The
-monotone-prefix heuristic is what exactness permits — a hash spread
-would break the (score, tiebreak) order the oracles pin.
+the tie-break's first 7 BYTES (top 12 bits); ids sharing a long
+common prefix (same-host URLs) under a 100%-tied score still
+concentrate.  The monotone-prefix heuristic is what exactness
+permits — a hash spread would break the (score, tiebreak) order the
+oracles pin; a caller with such ids should pass a discriminating
+tie-break column.
 
 Preconditions (raise ValueError): integral ``score_col`` with
 |score| < 2^62, no NULL stratum or score (a window would rank the
@@ -73,7 +78,7 @@ temp/output names (ADVICE r10).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -81,8 +86,9 @@ from pyspark.sql import functions as F
 #: Temp columns injected into the caller's frame (asserted disjoint).
 _TEMP_COLS = ("_k", "_pb", "_sub", "_bkt", "_off", "_kstar", "_straddle")
 
-#: Hard ceiling on sub-buckets carved out of one hot pre-bucket.
-_MAX_SUB = 4096
+#: Tie-break sub-split width: one over-cap score value spreads across
+#: up to 2^12 sub-segments keyed by the tie-break prefix's top bits.
+_TB_BITS = 12
 
 
 def _check_schema(df: DataFrame, *out_cols: str) -> None:
@@ -98,7 +104,7 @@ def _tb56(tiebreak_col: str) -> Column:
     """Monotone 56-bit big-endian integer prefix of the tie-break
     column: first 7 bytes of its UTF-8 form, zero-right-padded, so a
     string that is a strict prefix of another maps weakly below it.
-    NULL folds to 0 (shares the lowest sub-bucket; the in-bucket
+    NULL folds to 0 (shares the lowest sub-segment; the in-bucket
     window's own null ordering decides, same as the naive form)."""
     b7 = F.substring(F.col(tiebreak_col).cast("string").cast("binary"), 1, 7)
     return F.coalesce(
@@ -106,26 +112,12 @@ def _tb56(tiebreak_col: str) -> Column:
     )
 
 
-def _sub_col(
-    prebucket_shift: int, sub_bits: int, tiebreak_col: str
-) -> Column:
-    """The in-pre-bucket sub-bucket id: top ``sub_bits`` bits of the
-    63-bit composite (low ``prebucket_shift`` bits of _k, then the
-    56-bit tie-break prefix) — weakly monotone in (score order,
-    tiebreak) WITHIN one pre-bucket."""
-    tb_room = 63 - prebucket_shift
-    tb = _tb56(tiebreak_col)
-    tbpart = (
-        F.shiftleft(tb, tb_room - 56)
-        if tb_room >= 56
-        else F.shiftright(tb, 56 - tb_room)
-    )
-    if prebucket_shift > 0:
-        low = F.col("_k").bitwiseAND(F.lit((1 << prebucket_shift) - 1))
-        subfull = F.shiftleft(low, tb_room).bitwiseOR(tbpart)
-    else:
-        subfull = tbpart
-    return F.shiftright(subfull, 63 - sub_bits).cast("long")
+def _low_col(prebucket_shift: int) -> Column:
+    if prebucket_shift <= 0:
+        return F.lit(0).cast("long")
+    return F.col("_k").bitwiseAND(
+        F.lit((1 << prebucket_shift) - 1)
+    ).cast("long")
 
 
 def _hot_cond(hot: Dict[object, set], stratum_col: str) -> Column:
@@ -136,6 +128,50 @@ def _hot_cond(hot: Dict[object, set], stratum_col: str) -> Column:
             & F.col("_pb").isin(*sorted(pbs))
         )
     return cond
+
+
+def _sub_expr(
+    stratum_col: str,
+    prebucket_shift: int,
+    tiebreak_col: str,
+    hot: Dict[object, set],
+    tied: Dict[Tuple[object, int, int], Tuple[int, int]],
+) -> Column:
+    """The row-side sub-segment id, consistent with the driver's
+    segment plan: 0 outside hot pre-buckets; ``low << 12`` inside one
+    (low = the exact score's low bits — monotone); where that
+    (pre-bucket, score) group is itself over the cap (``tied`` maps
+    (stratum, pb, low) → (tmin, q)), additionally OR'd with a
+    linear-RANGE bucket of the full 56-bit tie-break prefix:
+    ``(tb56 − tmin) div q`` — adaptive to the group's actual prefix
+    span (ids share leading bytes almost universally, so fixed TOP
+    bits of the prefix are constant; the range form discriminates on
+    whatever bytes actually vary), div-before-multiply so it never
+    overflows, weakly monotone in the tie-break by construction.  A
+    group whose 7-byte prefixes are ALL equal degenerates to one
+    sub-segment — the documented needs-a-discriminating-tiebreak
+    residual."""
+    if not hot:
+        return F.lit(0).cast("long")
+    base = F.shiftleft(_low_col(prebucket_shift), _TB_BITS)
+    expr = F.when(_hot_cond(hot, stratum_col), base).otherwise(F.lit(0))
+    if tied:
+        tb = _tb56(tiebreak_col)
+        low = _low_col(prebucket_shift)
+        for (s, pb, lowv), (tmin, q) in sorted(
+            tied.items(), key=lambda kv: (str(kv[0][0]), kv[0][1:])
+        ):
+            cond = (
+                (F.col(stratum_col) == F.lit(s))
+                & (F.col("_pb") == F.lit(pb))
+                & (low == F.lit(lowv))
+            )
+            bucket = (tb - F.lit(tmin)) / F.lit(q)
+            expr = F.when(
+                cond,
+                base.bitwiseOR(F.floor(bucket).cast("long")),
+            ).otherwise(expr)
+    return expr.cast("long")
 
 
 def _collect_prebucket_counts(
@@ -167,107 +203,144 @@ def _collect_prebucket_counts(
     return out
 
 
-def _plan_buckets(
+def _plan_segments(
     df: DataFrame,
     stratum_col: str,
     prebucket_shift: int,
     tiebreak_col: str,
     n_buckets: int,
     hot_cap: Optional[int],
+    hot_eligible: Optional[Callable[[object, int, int, int], bool]] = None,
+    precounted: Optional[Dict[object, List[Tuple[int, int]]]] = None,
 ):
-    """Shared driver-side planning for both public forms.
+    """Shared driver-side planning: the rank-ordered SEGMENT histogram
+    per stratum, split just enough that no segment exceeds the cap
+    (up to the 2^{_TB_BITS} tie-split bound).
 
-    Returns (mapping, sub_bits, strata_meta) where
-
-    * mapping: rows ``(stratum, pb, sub, bkt, off, bcnt, cnt)`` —
-      ``sub`` is 0 for non-hot pre-buckets; ``off`` is the exact
-      number of stratum rows ranked before bucket ``bkt``; ``bcnt``
-      the bucket's row count; ``cnt`` the stratum total;
-    * sub_bits: width of the _sub expression (0 = nothing hot, no
-      second aggregation was run);
-    * hot: {stratum: set of hot pre-buckets} — the caller's _sub
-      projection must be 0 outside these (mapping rows carry sub=0
-      for every non-hot pre-bucket).
+    Returns (segments, hot, tied, targets) where segments maps
+    stratum -> [(pb, sub, n), ...] in rank order.  ``hot_eligible``
+    (drop_leading's straddle test) can exempt an over-cap pre-bucket
+    from splitting when wholesale pass/drop handles it; args are
+    (stratum, pb, rows_before_pb_in_stratum, n).  ``precounted``
+    passes an already-collected first-aggregation result so a caller
+    that needed it early (drop_leading's k*) doesn't pay the job
+    twice.
     """
-    by_stratum = _collect_prebucket_counts(df, stratum_col)
-
-    caps: Dict[object, int] = {}
+    by_stratum = (
+        precounted
+        if precounted is not None
+        else _collect_prebucket_counts(df, stratum_col)
+    )
     targets: Dict[object, int] = {}
-    hot: Dict[object, set] = {}
+    caps: Dict[object, int] = {}
     for s, pbs in by_stratum.items():
         cnt = sum(n for _, n in pbs)
         targets[s] = max(1, math.ceil(cnt / n_buckets))
         caps[s] = hot_cap if hot_cap is not None else max(
             4 * targets[s], 4096
         )
-        hs = {pb for pb, n in pbs if n > caps[s]}
-        if hs:
-            hot[s] = hs
 
-    sub_bits = 0
-    sub_counts: Dict[Tuple[object, int], List[Tuple[int, int]]] = {}
+    hot: Dict[object, set] = {}
+    for s, pbs in by_stratum.items():
+        off = 0
+        for pb, n in pbs:
+            if n > caps[s] and (
+                hot_eligible is None or hot_eligible(s, pb, off, n)
+            ):
+                hot.setdefault(s, set()).add(pb)
+            off += n
+
+    # Level 1: split hot pre-buckets by the exact low score bits —
+    # one aggregation over only the hot rows, ≤ 2^shift groups per
+    # hot pre-bucket; min/max of the tie-break prefix ride along so
+    # level 2 needs no extra pass to size its range buckets.
+    low_counts: Dict[Tuple[object, int], List[Tuple[int, int]]] = {}
+    spans: Dict[Tuple[object, int, int], Tuple[int, int]] = {}
+    tied: Dict[Tuple[object, int, int], Tuple[int, int]] = {}
     if hot:
-        for s, hs in hot.items():
-            for pb, n in by_stratum[s]:
-                if pb in hs:
-                    n_sub = min(
-                        _MAX_SUB, max(2, math.ceil(n / targets[s]))
-                    )
-                    sub_bits = max(sub_bits, max(1, math.ceil(
-                        math.log2(n_sub)
-                    )))
-        sub = _sub_col(prebucket_shift, sub_bits, tiebreak_col)
-        hrows = (
+        tb = _tb56(tiebreak_col)
+        for r in (
             df.filter(_hot_cond(hot, stratum_col))
-            .select(stratum_col, "_pb", sub.alias("_sub"))
-            .groupBy(stratum_col, "_pb", "_sub")
+            .groupBy(
+                stratum_col, "_pb",
+                _low_col(prebucket_shift).alias("_low"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(tb).alias("_tmin"),
+                F.max(tb).alias("_tmax"),
+            )
+            .collect()
+        ):
+            key = (r[stratum_col], int(r["_pb"]))
+            low_counts.setdefault(key, []).append(
+                (int(r["_low"]), int(r["_n"]))
+            )
+            spans[(*key, int(r["_low"]))] = (
+                int(r["_tmin"]), int(r["_tmax"])
+            )
+        for k in low_counts:
+            low_counts[k].sort()
+        for (s, pb), lows in low_counts.items():
+            for low, n in lows:
+                if n > caps[s]:
+                    tmin, tmax = spans[(s, pb, low)]
+                    n_sub = min(
+                        1 << _TB_BITS,
+                        max(2, math.ceil(n / targets[s])),
+                    )
+                    q = max(1, (tmax - tmin) // n_sub + 1)
+                    tied[(s, pb, low)] = (tmin, q)
+
+    # Level 2: exact sub-segment counts for the tied groups — one
+    # aggregation over only the tied rows, grouped by the SAME
+    # sub-segment expression the data path will compute, ≤ n_sub
+    # rows per tied group.
+    sub_counts: Dict[Tuple[object, int], List[Tuple[int, int]]] = {}
+    if tied:
+        sub = _sub_expr(
+            stratum_col, prebucket_shift, tiebreak_col, hot, tied
+        )
+        tied_cond = F.lit(False)
+        low = _low_col(prebucket_shift)
+        for (s, pb, lowv) in tied:
+            tied_cond = tied_cond | (
+                (F.col(stratum_col) == F.lit(s))
+                & (F.col("_pb") == F.lit(pb))
+                & (low == F.lit(lowv))
+            )
+        for r in (
+            df.filter(tied_cond)
+            .groupBy(stratum_col, "_pb", sub.alias("_sub"))
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
-        )
-        for r in hrows:
+        ):
             sub_counts.setdefault(
                 (r[stratum_col], int(r["_pb"])), []
             ).append((int(r["_sub"]), int(r["_n"])))
         for k in sub_counts:
             sub_counts[k].sort()
 
-    # Equalization walk: contiguous pre-buckets (and, inside a hot
-    # pre-bucket, contiguous sub-buckets) merge until >= target rows.
-    mapping: List[tuple] = []
+    segments: Dict[object, List[Tuple[int, int, int]]] = {}
     for s, pbs in by_stratum.items():
-        cnt = sum(n for _, n in pbs)
-        target = targets[s]
-        bkt = 0
-        off = 0          # rows before the OPEN bucket
-        acc = 0          # rows in the open bucket
-        pending: List[Tuple[int, int]] = []  # (pb, sub) of open bucket
-
-        def _close():
-            nonlocal bkt, off, acc, pending
-            if pending:
-                for pb_, sub_ in pending:
-                    mapping.append((s, pb_, sub_, bkt, off, acc, cnt))
-                bkt += 1
-                off += acc
-                acc = 0
-                pending = []
-
+        segs: List[Tuple[int, int, int]] = []
         for pb, n in pbs:
             if s in hot and pb in hot[s]:
-                _close()
-                for sub_v, sub_n in sub_counts.get((s, pb), []):
-                    pending.append((pb, sub_v))
-                    acc += sub_n
-                    if acc >= target:
-                        _close()
-                _close()
+                tied_subs = dict(sub_counts.get((s, pb), []))
+                for low, ln in low_counts[(s, pb)]:
+                    if (s, pb, low) in tied:
+                        lo = low << _TB_BITS
+                        hi = (low + 1) << _TB_BITS
+                        for sv in sorted(
+                            v for v in tied_subs if lo <= v < hi
+                        ):
+                            segs.append((pb, sv, tied_subs[sv]))
+                    else:
+                        segs.append((pb, low << _TB_BITS, ln))
             else:
-                pending.append((pb, 0))
-                acc += n
-                if acc >= target:
-                    _close()
-        _close()
-    return mapping, sub_bits, hot
+                segs.append((pb, 0, n))
+        segments[s] = segs
+    return segments, hot, tied, targets
 
 
 def _keyed(
@@ -318,8 +391,8 @@ def stratified_row_number(
     units); the contract is ``score range >> shift`` stays
     control-plane sized — the default 10 puts micro-bit scores
     (range ≤ ~10^8) at ≤ ~10^5 pre-buckets.  ``hot_cap`` bounds the
-    rows a single tied score value may hold before the tie-break
-    sub-split engages (default: max(4·cnt/n_buckets, 4096)).
+    rows a segment may hold before the conditional splits engage
+    (default: max(4·cnt/n_buckets, 4096)).
 
     The input is scoped-persisted; the planning aggregation's collect
     serializes the cache fill, so the data path (one broadcast join +
@@ -331,23 +404,34 @@ def stratified_row_number(
     _check_schema(df, rk_col, cnt_col)
     spark = df.sparkSession
     df = _keyed(scoped_persist(df), score_col, descending, prebucket_shift)
-    mapping, sub_bits, hot = _plan_buckets(
+    segments, hot, tied, targets = _plan_segments(
         df, stratum_col, prebucket_shift, tiebreak_col, n_buckets, hot_cap
     )
+    # Equalization walk: consecutive rank-ordered segments merge until
+    # >= target rows; each mapping row carries ITS final bucket's
+    # exact prefix offset and the stratum total.
+    mapping: List[tuple] = []
+    for s, segs in segments.items():
+        cnt = sum(n for _, _, n in segs)
+        target = targets[s]
+        bkt = off = acc = 0
+        pending: List[Tuple[int, int]] = []
+        for pb, sub, n in segs:
+            pending.append((pb, sub))
+            acc += n
+            if acc >= target:
+                for pb_, sub_ in pending:
+                    mapping.append((s, pb_, sub_, bkt, off, cnt))
+                bkt += 1
+                off += acc
+                acc = 0
+                pending = []
+        for pb_, sub_ in pending:
+            mapping.append((s, pb_, sub_, bkt, off, cnt))
     mdf = _mapping_df(
-        spark, df, stratum_col,
-        [(s, pb, sub, bkt, off, cnt) for s, pb, sub, bkt, off, _b, cnt
-         in mapping],
-        [(cnt_col, "long")],
+        spark, df, stratum_col, mapping, [(cnt_col, "long")]
     )
-    sub = (
-        F.when(
-            _hot_cond(hot, stratum_col),
-            _sub_col(prebucket_shift, sub_bits, tiebreak_col),
-        ).otherwise(F.lit(0)).cast("long")
-        if sub_bits
-        else F.lit(0).cast("long")
-    )
+    sub = _sub_expr(stratum_col, prebucket_shift, tiebreak_col, hot, tied)
     order = F.desc(score_col) if descending else F.asc(score_col)
     w_in = W.partitionBy(stratum_col, "_bkt").orderBy(order, tiebreak_col)
     return (
@@ -379,18 +463,18 @@ def stratified_drop_leading(
 
     When the caller doesn't need a rank column (the composed
     pipelines filter and immediately drop it), the full distributed
-    rank is overkill: only ONE final bucket per stratum straddles the
-    boundary rank k* = cnt div den, so every other bucket passes or
-    drops WHOLESALE on its broadcast prefix offset — dropped buckets
-    are simply ABSENT from the broadcast mapping (the inner join
-    eliminates their rows map-side), passed buckets flow through with
-    no exchange, and only the straddle bucket's rows (≤ bucket-sized)
-    are exactly ranked for the deterministic tie-break at the
-    boundary.  A hot (tie-concentrated) pre-bucket is sub-split by
-    the tie-break prefix ONLY when it straddles k* — wholesale
-    pass/drop needs no split however large the tie.  Results are
-    row-identical to filtering ``rk > cnt div den`` on
-    :func:`stratified_row_number` (pinned in tests/test_rank.py).
+    rank is overkill: only the segments around the boundary rank
+    k* = cnt div den matter — every other segment passes or drops
+    WHOLESALE on its broadcast prefix offset.  Dropped segments are
+    simply ABSENT from the broadcast mapping (the inner join
+    eliminates their rows map-side), passed segments flow through
+    with no exchange, and only straddling segments' rows are exactly
+    ranked for the deterministic tie-break at the boundary.  An
+    over-cap pre-bucket splits (by exact score, then by tie-break
+    prefix) ONLY when it straddles k* — wholesale pass/drop needs no
+    split however large it is.  Results are row-identical to
+    filtering ``rk > cnt div den`` on :func:`stratified_row_number`
+    (pinned in tests/test_rank.py).
     """
     from kcidb_spark.cache import scoped_persist
 
@@ -398,100 +482,50 @@ def stratified_drop_leading(
     spark = df.sparkSession
     df = _keyed(scoped_persist(df), score_col, descending, prebucket_shift)
 
-    # Plan with hot-splitting DEFERRED: first pass decides pass/drop/
-    # straddle at pre-bucket granularity; only a straddling over-cap
-    # pre-bucket forces the sub-split aggregation.
+    # k* per stratum comes from the same first aggregation the
+    # planner runs; the straddle test exempts non-straddling hot
+    # pre-buckets from the split aggregations.
+    kstars: Dict[object, int] = {}
+
+    def hot_eligible(s, pb, off, n):
+        return off < kstars[s] < off + n
+
     by_stratum = _collect_prebucket_counts(df, stratum_col)
-    kstars = {
-        s: sum(n for _, n in pbs) // den for s, pbs in by_stratum.items()
-    }
-    hot: Dict[object, set] = {}
-    targets: Dict[object, int] = {}
     for s, pbs in by_stratum.items():
-        cnt = sum(n for _, n in pbs)
-        targets[s] = max(1, math.ceil(cnt / n_buckets))
-        cap = hot_cap if hot_cap is not None else max(4 * targets[s], 4096)
-        off = 0
-        for pb, n in pbs:
-            if n > cap and off < kstars[s] < off + n:
-                hot.setdefault(s, set()).add(pb)
-            off += n
-
-    sub_bits = 0
-    sub_counts: Dict[Tuple[object, int], List[Tuple[int, int]]] = {}
-    if hot:
-        for s, hs in hot.items():
-            for pb, n in by_stratum[s]:
-                if pb in hs:
-                    n_sub = min(_MAX_SUB, max(2, math.ceil(n / targets[s])))
-                    sub_bits = max(sub_bits, max(1, math.ceil(
-                        math.log2(n_sub)
-                    )))
-        subc = _sub_col(prebucket_shift, sub_bits, tiebreak_col)
-        for r in (
-            df.filter(_hot_cond(hot, stratum_col))
-            .select(stratum_col, "_pb", subc.alias("_sub"))
-            .groupBy(stratum_col, "_pb", "_sub")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
-        ):
-            sub_counts.setdefault(
-                (r[stratum_col], int(r["_pb"])), []
-            ).append((int(r["_sub"]), int(r["_n"])))
-        for k in sub_counts:
-            sub_counts[k].sort()
-
-    # Walk pre-buckets (and straddling hots' sub-buckets) in rank
-    # order, emitting mapping rows ONLY for pass / straddle segments.
+        kstars[s] = sum(n for _, n in pbs) // den
+    segments, hot, tied, _ = _plan_segments(
+        df, stratum_col, prebucket_shift, tiebreak_col, n_buckets,
+        hot_cap, hot_eligible=hot_eligible, precounted=by_stratum,
+    )
     mapping: List[tuple] = []
-    for s, pbs in by_stratum.items():
+    for s, segs in segments.items():
         kstar = kstars[s]
         off = 0
-        for pb, n in pbs:
-            segs = (
-                [(sv, sn) for sv, sn in sub_counts.get((s, pb), [])]
-                if s in hot and pb in hot[s]
-                else [(0, n)]
-            )
-            for sub_v, sn in segs:
-                if off >= kstar:                       # wholesale pass
-                    mapping.append((s, pb, sub_v, 0, off, False, kstar))
-                elif off + sn > kstar:                 # straddle
-                    mapping.append((s, pb, sub_v, 0, off, True, kstar))
-                # else: wholly below k* — omitted, join drops the rows
-                off += sn
-
+        for pb, sub, n in segs:
+            if off >= kstar:                       # wholesale pass
+                mapping.append((s, pb, sub, 0, off, False, kstar))
+            elif off + n > kstar:                  # straddle
+                mapping.append((s, pb, sub, 0, off, True, kstar))
+            # else: wholly below k* — omitted, join drops the rows
+            off += n
     mdf = _mapping_df(
         spark, df, stratum_col, mapping,
         [("_straddle", "boolean"), ("_kstar", "long")],
     )
-    sub = (
-        F.when(
-            _hot_cond(hot, stratum_col),
-            _sub_col(prebucket_shift, sub_bits, tiebreak_col),
-        ).otherwise(F.lit(0)).cast("long")
-        if sub_bits
-        else F.lit(0).cast("long")
-    )
+    sub = _sub_expr(stratum_col, prebucket_shift, tiebreak_col, hot, tied)
     j = df.withColumn("_sub", sub).join(
         F.broadcast(mdf), [stratum_col, "_pb", "_sub"]
     )
     drop_cols = ("_k", "_pb", "_sub", "_bkt", "_off", "_straddle", "_kstar")
     passed = j.filter(~F.col("_straddle")).drop(*drop_cols)
     order = F.desc(score_col) if descending else F.asc(score_col)
-    # Straddle segments are (pb, sub)-granular; _bkt is a dummy 0 in
-    # the mapping — the window partitions by the REAL segment key so
-    # one task never sees more than a segment (the plan-pin regex in
-    # test_rank.py keys on a (stratum, _bkt, score) window, so expose
-    # the segment under the _bkt name).
-    straddle = (
-        j.filter(F.col("_straddle"))
-        .withColumn(
-            "_bkt",
-            F.shiftleft(F.col("_pb"), 12).bitwiseOR(
-                F.col("_sub").bitwiseAND(F.lit(0xFFF))
-            ),
-        )
+    # Straddle segments are (pb, sub)-granular; expose the segment
+    # under the _bkt name so the plan-pin regex in test_rank.py keys
+    # on the same (stratum, _bkt, score) window shape.  _sub < 2^22
+    # (10 low bits + 12 tie bits), so the composite is collision-free.
+    straddle = j.filter(F.col("_straddle")).withColumn(
+        "_bkt",
+        F.shiftleft(F.col("_pb"), 22).bitwiseOR(F.col("_sub")),
     )
     w_in = W.partitionBy(stratum_col, "_bkt").orderBy(order, tiebreak_col)
     kept = (

@@ -279,3 +279,31 @@ def test_null_stratum_or_score_raises(spark):
             stratified_row_number(df2, "lang", "score")
     finally:
         release_persisted()
+
+
+def test_tie_sub_split_actually_spreads(spark):
+    """The r11 skew rehearsal caught the first tie sub-split silently
+    collapsing (its sub-key's top bits came from the constant score
+    bits; then from the shared leading bytes of realistic ids).  Pin
+    the SPREAD itself, not just result equality: on a 600-row
+    constant-score stratum with common-prefix ids, no planned segment
+    may exceed ~2x the equalization target."""
+    from kcidb_spark.cache import release_persisted, scoped_persist
+    from kcidb_spark.operators.rank import _keyed, _plan_segments
+
+    rows = [Row(doc_id=f"d{i:05d}", lang="en", score=4096)
+            for i in range(600)]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    keyed = _keyed(scoped_persist(df), "score", False, 10)
+    try:
+        segments, hot, tied, targets = _plan_segments(
+            keyed, "lang", 10, "doc_id", 8, 50
+        )
+        assert hot and tied
+        target = targets["en"]
+        max_seg = max(n for _, _, n in segments["en"])
+        assert max_seg <= 2 * target, (max_seg, target)
+    finally:
+        release_persisted()
