@@ -307,3 +307,83 @@ def test_tie_sub_split_actually_spreads(spark):
         assert max_seg <= 2 * target, (max_seg, target)
     finally:
         release_persisted()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_randomized_adversarial_matches_naive(spark, seed):
+    """Randomized fuzz over the planner's branch space: mixed tie
+    density (some score values hot, some unique), negative scores,
+    multi-stratum, small hot_cap and n_buckets so the two-level split
+    and the equalization walk all engage; must stay bit-identical to
+    the naive window in both directions."""
+    import random
+
+    from kcidb_spark.cache import release_persisted
+
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for lang in ("en", "de", "fr"):
+        n = rng.randint(50, 400)
+        values = [rng.randint(-5, 5) * 997 for _ in range(5)]
+        for _ in range(n):
+            if rng.random() < 0.6:
+                score = rng.choice(values)       # tie mass
+            else:
+                score = rng.randint(-10_000, 10_000)
+            rows.append(Row(doc_id=f"doc{i:06d}", lang=lang, score=score))
+            i += 1
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    for descending in (False, True):
+        got = stratified_row_number(
+            df, "lang", "score", descending=descending,
+            n_buckets=7, hot_cap=20, prebucket_shift=6,
+        )
+        want = _naive(df, "lang", "score", descending)
+        try:
+            assert _rows(got) == _rows(want), (seed, descending)
+        finally:
+            release_persisted()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_drop_leading_matches(spark, seed):
+    """Same fuzz for the boundary form, k* landing inside tie mass."""
+    import random
+
+    from kcidb_spark.cache import release_persisted
+    from kcidb_spark.operators.rank import stratified_drop_leading
+
+    rng = random.Random(100 + seed)
+    rows = [
+        Row(
+            doc_id=f"doc{i:06d}",
+            lang=rng.choice(("en", "de")),
+            score=rng.choice((7, 7, 7, 7, 3, 11, rng.randint(0, 50))),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    for den in (3, 7):
+        got = stratified_drop_leading(
+            df, "lang", "score", den=den,
+            n_buckets=5, hot_cap=30, prebucket_shift=2,
+        )
+        want = (
+            stratified_row_number(
+                df, "lang", "score",
+                n_buckets=5, hot_cap=30, prebucket_shift=2,
+            )
+            .filter(F.col("rk") > F.floor(F.col("cnt") / den))
+            .drop("rk", "cnt")
+        )
+        try:
+            assert sorted(tuple(r) for r in got.collect()) == sorted(
+                tuple(r) for r in want.collect()
+            ), (seed, den)
+        finally:
+            release_persisted()
