@@ -681,7 +681,7 @@ _KM_SCALE = 1 << 20
 _KM_NPROBE = 2
 
 
-def _km_coarse_parts() -> list[str]:
+def _km_coarse_parts(v_cte: str | None = None) -> list[str]:
     """Shared oracle prefix replaying the SAME {_KM_ROUNDS} coarse
     Lloyd rounds: long-form (vec, pos, x) joins compute the BIGINT
     squared distances, ``//`` the integer centroid means — every
@@ -690,15 +690,18 @@ def _km_coarse_parts() -> list[str]:
     the ``afin`` (corpus assignment) and ``probes`` (per-query
     top-nprobe clusters) CTEs; ann_ivf_kmeans_topk appends exact
     rescoring, ivf_pq_kmeans_adc_topk appends the trained-codebook
-    ADC chain."""
-    parts = [dedent(f"""
+    ADC chain.  ``v_cte`` overrides the quantized-vector CTE chain
+    (must end defining ``v(vec_id, q array<bigint>)``) — the rotated
+    variant injects its Givens layers here."""
+    default_v = dedent(f"""
         WITH v AS (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> CAST(floor((x + 1.0) * {_KM_SCALE})
                                             AS BIGINT)) AS q
             FROM embeddings
-        ),
+        ),""")
+    parts = [(v_cte if v_cte is not None else default_v) + dedent(f"""
         vx AS (
             SELECT vec_id,
                    unnest(generate_series(1, length(q))) AS pos,
@@ -798,14 +801,15 @@ _KM_CENTROIDS_CACHE: dict = {}
 
 
 def _coarse_centroids_trained(
-    spark: SparkSession, sf_dir: str, vecs: DataFrame
+    spark: SparkSession, sf_dir: str, vecs: DataFrame, space: str = "raw"
 ) -> list:
     import os as _os
 
     from kcidb_spark.operators.clustering import kmeans_centroids_exact
 
     app = spark.sparkContext.applicationId
-    key = (app, _os.path.realpath(sf_dir), _IVF_CENTROIDS, _KM_ROUNDS)
+    key = (app, _os.path.realpath(sf_dir), _IVF_CENTROIDS, _KM_ROUNDS,
+           space)
     if key not in _KM_CENTROIDS_CACHE:
         for stale in [k for k in _KM_CENTROIDS_CACHE if k[0] != app]:
             del _KM_CENTROIDS_CACHE[stale]
@@ -870,13 +874,14 @@ _PQK_CODES = 8
 _PQK_ROUNDS = 2
 
 
-def _ivf_pq_kmeans_oracle() -> str:
+def _ivf_pq_kmeans_oracle(v_cte: str | None = None) -> str:
     """The full trained IVF-PQ pipeline in one replay: the shared
     coarse-Lloyd prefix (afin/probes), then per-subspace codebook
     Lloyd ({_PQK_ROUNDS} rounds, grouped by subspace s), corpus
     encoding, per-query ADC distance tables over the TRAINED books,
-    and the probed-cluster ADC top-k."""
-    parts = _km_coarse_parts()
+    and the probed-cluster ADC top-k.  ``v_cte`` passes through to
+    :func:`_km_coarse_parts` (the rotated variant's hook)."""
+    parts = _km_coarse_parts(v_cte)
     parts.append(dedent(f""",
         sx AS (
             SELECT vec_id,
@@ -1012,6 +1017,152 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = coarse_assign(scored_c)
     probes = coarse_probes(scored_c, _IVF_QUERIES, _KM_NPROBE)
     # PQ: subvectors → trained books → codes + query distance tables.
+    subs = scoped_persist(
+        subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
+    )
+    books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
+    bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
+    scored_b = pq_score(subs, bdf)
+    codes = pq_assign_codes(scored_b)
+    dt = scored_b.filter(F.col("id") < _IVF_QUERIES).select(
+        F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
+    )
+    n_codes = codes.join(assign, on="id").select(
+        F.col("id").alias("n_id"), "c_id", "s", "m"
+    )
+    return adc_topk(n_codes, probes, dt, _IVF_K)
+
+
+# --- rotated IVF-PQ: fixed orthogonal rotation before subvectoring ---
+
+#: Givens rotation constants — an exact-rational 3-4-5 angle, so the
+#: same two decimal literals parse to the same IEEE doubles in both
+#: engines and every rotated coordinate is bit-identical.
+_ROT_C = "0.6"
+_ROT_S = "0.8"
+
+
+def _rot_v_cte() -> str:
+    """Oracle CTE chain: two Givens layers (even pairs, then odd
+    pairs) over the raw doubles, then the standard integer grid —
+    ends defining ``v(vec_id, q)`` exactly like the default."""
+    c, s = _ROT_C, _ROT_S
+    return dedent(f"""
+        WITH e0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        e1 AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, length(e)), p ->
+                       CASE WHEN p % 2 = 1
+                            THEN CAST({c} AS DOUBLE) * e[p]
+                                 - CAST({s} AS DOUBLE) * e[p + 1]
+                            ELSE CAST({s} AS DOUBLE) * e[p - 1]
+                                 + CAST({c} AS DOUBLE) * e[p] END) AS e
+            FROM e0
+        ),
+        e2 AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, length(e)), p ->
+                       CASE WHEN p = 1 OR p = length(e) THEN e[p]
+                            WHEN p % 2 = 0
+                            THEN CAST({c} AS DOUBLE) * e[p]
+                                 - CAST({s} AS DOUBLE) * e[p + 1]
+                            ELSE CAST({s} AS DOUBLE) * e[p - 1]
+                                 + CAST({c} AS DOUBLE) * e[p] END) AS e
+            FROM e1
+        ),
+        v AS (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(floor((x + 1.0)
+                       * {_KM_SCALE}) AS BIGINT)) AS q
+            FROM e2
+        ),""")
+
+
+def _rot_expr(src: str) -> str:
+    """Spark SQL text for the SAME two Givens layers over an
+    array<double> column ``src`` — identical literals, identical
+    operation order, so the doubles match the oracle bit-for-bit."""
+    c, s = f"cast({_ROT_C} as double)", f"cast({_ROT_S} as double)"
+    layer1 = (
+        f"transform(sequence(1, size({src})), p -> CASE"
+        f" WHEN p % 2 = 1 THEN {c} * element_at({src}, p)"
+        f"  - {s} * element_at({src}, p + 1)"
+        f" ELSE {s} * element_at({src}, p - 1)"
+        f"  + {c} * element_at({src}, p) END)"
+    )
+    return (
+        f"transform(sequence(1, size({src})), p -> CASE"
+        f" WHEN p = 1 OR p = size({src}) THEN element_at(_e1, p)"
+        f" WHEN p % 2 = 0 THEN {c} * element_at(_e1, p)"
+        f"  - {s} * element_at(_e1, p + 1)"
+        f" ELSE {s} * element_at(_e1, p - 1)"
+        f"  + {c} * element_at(_e1, p) END)"
+    ), layer1
+
+
+@register(
+    "ivf_pq_rotated_adc_topk",
+    oracle=_ivf_pq_kmeans_oracle(_rot_v_cte()),
+    tags=("similarity", "ivf", "clustering"),
+)
+def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a ROTATED vector space — the fourth point of the
+    PQ family (raw / trained / residual / rotated): apply a fixed
+    orthogonal rotation before subvectoring, so correlated adjacent
+    dimensions spread across PQ subspaces instead of wasting one
+    subspace's codebook on shared structure.  This is FAISS's
+    ``RR64,PQ8`` (random-rotation PQ); full OPQ (Ge et al. 2013)
+    LEARNS the rotation by alternating Procrustes solves — the
+    learned matrix cannot be replayed by a static SQL oracle, so the
+    engine ships the fixed-rotation form hash-certified and leaves
+    OPQ's trainer as the documented extension (the pipeline after
+    the rotation is IDENTICAL — operators/ivf.py stages).
+
+    The rotation is two Givens layers (even dim pairs, then odd) at
+    the exact-rational 3-4-5 angle: orthogonal by construction
+    (norms preserved — pinned in tests), expressible as the same two
+    array transforms in Spark and DuckDB with the same literals and
+    operation order, so the rotated doubles — and therefore the
+    integer grid, the trained centroids/books, and the ADC ranking —
+    are bit-identical cross-engine.  Scale shape identical to
+    ivf_pq_kmeans_adc_topk: the rotation is a per-row projection
+    (zero shuffle), everything downstream reuses the shared stages."""
+    from kcidb_spark.operators.clustering import pq_codebooks_exact
+    from kcidb_spark.operators.ivf import (
+        adc_topk,
+        coarse_assign,
+        coarse_probes,
+        coarse_score,
+        pq_assign_codes,
+        pq_score,
+        subvectors,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    layer2, layer1 = _rot_expr("_e0")
+    vecs = scoped_persist(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr("cast(embedding as array<double>)").alias("_e0"),
+        )
+        .withColumn("_e1", F.expr(layer1))
+        .withColumn("_e2", F.expr(layer2))
+        .select(
+            "id",
+            F.expr(
+                "transform(_e2, x -> cast(floor((x + 1.0D)"
+                f" * {_KM_SCALE}.0D) as bigint))"
+            ).alias("q"),
+        )
+    )
+    cents = _coarse_centroids_trained(spark, sf_dir, vecs, space="rot")
+    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
+    scored_c = coarse_score(vecs, cdf)
+    assign = coarse_assign(scored_c)
+    probes = coarse_probes(scored_c, _IVF_QUERIES, _KM_NPROBE)
     subs = scoped_persist(
         subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
     )

@@ -535,3 +535,32 @@ def test_prefix_rerank_recovers_prefix_loss(spark):
     # pin is the RECOVERY property plus a floor with margin, not a
     # trained-embedding aspiration.
     assert r_rerank >= 0.35, r_rerank  # measured 0.49
+
+
+def test_rotation_is_orthogonal(spark):
+    """The rotated-PQ entry's two Givens layers must preserve L2
+    norms (orthogonality — each 2x2 block is a 3-4-5 rotation), so
+    distances in the rotated space ARE the true distances and the
+    PQ approximation quality claim carries over unchanged."""
+    from kcidb_spark.queries.advanced import _rot_expr
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    layer2, layer1 = _rot_expr("_e0")
+    checked = (
+        emb.select(
+            F.expr("cast(embedding as array<double>)").alias("_e0")
+        )
+        .withColumn("_e1", F.expr(layer1))
+        .withColumn("_e2", F.expr(layer2))
+        .select(
+            F.expr(
+                "aggregate(_e0, 0.0D, (a, x) -> a + x * x)"
+            ).alias("n0"),
+            F.expr(
+                "aggregate(_e2, 0.0D, (a, x) -> a + x * x)"
+            ).alias("n2"),
+        )
+        .select(F.max(F.abs(F.col("n0") - F.col("n2"))).alias("err"))
+        .collect()[0]["err"]
+    )
+    assert checked < 1e-12, checked

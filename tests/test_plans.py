@@ -130,6 +130,11 @@ def test_no_cartesian_products(spark):
 _GLOBAL_WINDOW_OK = {
     "seq_pack_windows",
     "pipeline_assemble_corpus",
+    # UniMax waterfilling: every window (row_number / prefix sum /
+    # count) runs over the PER-LANGUAGE aggregate — ≤ |langs| rows by
+    # construction, stated in the entry's docstring; the corpus is
+    # touched only by the partial-agg token count.
+    "corpus_unimax_budget",
 }
 
 
