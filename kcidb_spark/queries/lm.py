@@ -337,8 +337,11 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram LM — the raw signal behind CCNet-style perplexity
     bucketing (perplexity = 2^(avg_nll_micros/1e6); the
     monotone-equivalent integer form is what crosses the engine
-    boundary)."""
-    return doc_surprisal(table(spark, sf_dir, "documents", spread=True))
+    boundary).  Served from the session-keyed score cache shared with
+    the two downstream gates — three registry consumers score the
+    same corpus under the same models, and the cache build cost lands
+    visibly on whichever runs first in a session."""
+    return _scored_docs(spark, sf_dir)
 
 
 #: Session-keyed cache of the SCORED frame (doc_surprisal output) —

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from kcidb_spark.queries._exact import as_money, int_sum, oracle_int_sum
 from kcidb_spark.queries.registry import register
 from kcidb_spark.queries.relational import _utc
-from kcidb_spark.tables import _normalize_ts
+from kcidb_spark.tables import _normalize_ts, table
 
 _WIN_US = 900_000_000  # 15-minute tumbling windows
 
@@ -904,3 +904,155 @@ def t14_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# t19: ONLINE ANN SERVING — a query stream probes the persisted IVF store
+# ---------------------------------------------------------------------------
+
+
+def _t19_oracle() -> str:
+    from kcidb_spark.queries.advanced import _ivf_nprobe_oracle
+
+    return _ivf_nprobe_oracle(2)
+
+
+@register(
+    "t19_stream_ann_probe",
+    oracle=_t19_oracle(),
+    tags=("T1", "streaming", "similarity", "ivf", "index"),
+)
+def t19_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ANN serving under the oracle gate: query vectors arrive
+    as micro-batches (one per trigger — the retrieval-service shape)
+    and each batch probes the PERSISTED inverted file via partition
+    pruning, appending its top-k to a batch-keyed result dir.  The
+    drained union must equal the batch nprobe oracle row-for-row —
+    per-query top-k is independent of batching, so this certifies the
+    whole serve path (probe routing, pruned store scan, ranking)
+    under the streaming engine, marrying the ANN family to the
+    streaming one (ann_ivf_stored_probe certifies the storage layout;
+    this certifies serving FROM it).
+
+    Exactly-once: each micro-batch OVERWRITES its epoch-keyed output
+    dir (the t17 transactional idiom), so a replayed batch replaces
+    itself; per-query results are self-contained, so no cross-batch
+    state exists at all — the state-free end of the streaming
+    spectrum, which is exactly why a retrieval tier scales
+    horizontally.  Scale shape per batch: the centroid table is a
+    broadcast literal (k·dim doubles), probe selection is a window
+    over |batch|·|centroids| rows, and the store scan reads ONLY the
+    probed clusters' directories (same PartitionFilters pin as
+    ann_ivf_stored_probe)."""
+    import glob
+    import shutil
+    import time
+
+    from kcidb_spark.operators.similarity import dot_expr, ivf_parts, ivf_rank
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Build the inverted file (per-invocation temp store; the
+    # session-amortized form is ann_ivf_stored_probe's — here the
+    # build is part of the certified wall, honest for a cold serve).
+    assign, _ = ivf_parts(vecs, _IVF_CENTROIDS, _IVF_QUERIES, 2)
+    store = tempfile.mkdtemp(prefix="t19_store_")
+    assign.write.mode("overwrite").partitionBy("c_id").parquet(store)
+    store_schema = assign.schema
+    # Centroids as driver-held literals: (c_id, cv, cn).
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+
+    # Stage each query as its own parquet file (ordered mtimes): one
+    # query per micro-batch — the online arrival pattern.
+    watch = tempfile.mkdtemp(prefix="t19_in_")
+    stage = tempfile.mkdtemp(prefix="t19_stage_")
+    now = time.time()
+    for i in range(_IVF_QUERIES):
+        sdir = os.path.join(stage, f"q{i}")
+        vecs.filter(F.col("vec_id") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"q{i:04d}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (now - 300 + 10 * i, now - 300 + 10 * i))
+
+    out_dir = tempfile.mkdtemp(prefix="t19_out_")
+    shutil.rmtree(out_dir)
+
+    def serve(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+        sess = batch_df.sparkSession
+        cdf = sess.createDataFrame(
+            cents, "c_id bigint, cv array<double>, cn double"
+        )
+        q = batch_df.withColumn(
+            "qn", F.expr(f"sqrt({dot_expr('v', 'v')})")
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            "qn",
+        )
+        c_sim = F.expr(
+            f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)"
+        )
+        w_probe = W.partitionBy("q_id").orderBy(
+            F.desc("c_sim"), F.asc("c_id")
+        )
+        q_probe = (
+            q.crossJoin(F.broadcast(cdf))
+            .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= 2)
+            .select("q_id", "c_id", "qv", "qn")
+        ).persist()
+        try:
+            probed = sorted(
+                r["c_id"]
+                for r in q_probe.select("c_id").distinct().collect()
+            )
+            members = (
+                sess.read.schema(store_schema)
+                .parquet(store)
+                .filter(F.col("c_id").isin(probed))
+                .select(
+                    F.col("vec_id").alias("n_id"),
+                    "c_id",
+                    F.col("v").alias("nv"),
+                    F.col("nrm").alias("nn"),
+                )
+            )
+            ivf_rank(members, q_probe, _IVF_K).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        finally:
+            q_probe.unpersist()
+
+    ckpt = tempfile.mkdtemp(prefix="t19_ckpt_")
+    q_stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
+    _record_progress("t19_stream_ann_probe", q_stream)
+    for d in (ckpt, watch, stage, store):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir).select("q_id", "n_id", "sim")
