@@ -1056,3 +1056,149 @@ def t19_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (ckpt, watch, stage, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select("q_id", "n_id", "sim")
+
+
+# ---------------------------------------------------------------------------
+# t20: STREAMING IVF INGEST — new vectors append to the inverted file
+# ---------------------------------------------------------------------------
+
+
+def _t20_oracle() -> str:
+    """Batch replay of the assignment the drained store must hold:
+    every vector at its nearest static centroid (cosine, 4-decimal
+    round, c_id tie-break) — the same argmin ann_ivf_* certify, here
+    checked through a WRITE → partitioned store → READ round trip."""
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        )
+        SELECT vec_id, c_id FROM (
+            SELECT vecs.vec_id, cents.c_id,
+                   row_number() OVER (
+                       PARTITION BY vecs.vec_id
+                       ORDER BY {cos.format(a='v', b='cv')} DESC,
+                                cents.c_id
+                   ) AS rn
+            FROM vecs CROSS JOIN cents
+        ) WHERE rn = 1
+    """)
+
+
+@register(
+    "t20_stream_ivf_ingest",
+    oracle=_t20_oracle(),
+    tags=("T2", "T3", "streaming", "similarity", "ivf", "index"),
+)
+def t20_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the ANN serving tier (t19 is the read side):
+    new corpus vectors arrive as micro-batches, each batch assigns
+    against the broadcast centroid literal and writes its rows into
+    the inverted file under ``batch_id=N/c_id=K`` directories — the
+    t17 transactional idiom one level up (a replayed batch overwrites
+    only its own subtree, so the store holds exactly-once assignments
+    at any crash point), and the double partitioning keeps t19-style
+    probes pruned (c_id stays a partition column) while ingest stays
+    append-shaped (each batch owns a directory; compaction is the
+    fpindex_build analog).  The drained store, read back WHOLE, must
+    equal the batch nearest-centroid assignment row-for-row — the
+    oracle certifies the full assign → partitioned write → read
+    round trip, not just the argmin.
+
+    Scale shape per batch: one broadcast cross join + map-side
+    min_by; no corpus-sized state anywhere (the state-free ingest
+    end of the spectrum, like t19's serve end — the stateful middles
+    are t11-t18)."""
+    import glob
+    import shutil
+    import time
+
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+
+    # Stage 4 arrival batches by vec_id-hash prefix (deterministic,
+    # covers every vector exactly once), ordered mtimes.
+    watch = tempfile.mkdtemp(prefix="t20_in_")
+    stage = tempfile.mkdtemp(prefix="t20_stage_")
+    now = time.time()
+    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    ranges = ("0123", "4567", "89ab", "cdef")
+    for i, chars in enumerate(ranges):
+        sdir = os.path.join(stage, f"b{i}")
+        vecs.filter(
+            pfx.isin(*list(chars))
+        ).coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"batch_{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (now - 300 + 10 * i, now - 300 + 10 * i))
+
+    store = tempfile.mkdtemp(prefix="t20_store_")
+    shutil.rmtree(store)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cdf = sess.createDataFrame(
+            cents, "c_id bigint, cv array<double>, cn double"
+        )
+        c_sim = F.expr(
+            f"round({dot_expr('v', 'cv')} / (nrm * cn), 4)"
+        )
+        assigned = (
+            batch_df.withColumn(
+                "nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")
+            )
+            .crossJoin(F.broadcast(cdf))
+            .select("vec_id", "c_id", c_sim.alias("c_sim"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "c_id", F.struct(F.negate("c_sim"), "c_id")
+                ).alias("c_id")
+            )
+        )
+        assigned.write.mode("overwrite").partitionBy("c_id").parquet(
+            os.path.join(store, f"batch_id={epoch_id}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="t20_ckpt_")
+    q = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("t20_stream_ivf_ingest", q)
+    for d in (ckpt, watch, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.read.schema("vec_id long, batch_id long, c_id long")
+        .parquet(store)
+        .select("vec_id", "c_id")
+    )
