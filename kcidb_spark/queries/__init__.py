@@ -31,6 +31,16 @@ from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
 #: 50-row gate window rotates across rounds until every query has a
 #: driver-certified row.
 _GATE_PRIORITY = (
+    # Round-11 additions — never yet certified by the driver gate.
+    "ann_ivf_sq8_adc_topk",
+    "ann_prefix_rerank_topk",
+    "ivf_pq_rotated_adc_topk",
+    "dedup_incremental_neardup",
+    "pipeline_ingest_corpus",
+    "corpus_unimax_budget",
+    "t19_stream_ann_probe",
+    "t20_stream_ivf_ingest",
+    # Earlier priority tail (kept for the uncertified filter).
     "ivf_pq_kmeans_adc_topk",
     "t18_stream_join_rocksdb",
     "hilbert_key_assign",
