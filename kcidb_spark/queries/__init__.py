@@ -40,6 +40,7 @@ _GATE_PRIORITY = (
     "corpus_unimax_budget",
     "t19_stream_ann_probe",
     "t20_stream_ivf_ingest",
+    "dedup_soft_weights",
     # Earlier priority tail (kept for the uncertified filter).
     "ivf_pq_kmeans_adc_topk",
     "t18_stream_join_rocksdb",

@@ -57,6 +57,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_soft_weights",
+    oracle=dedent("""
+        WITH d AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                           ' ', 'g'))) AS fp
+            FROM documents
+        )
+        SELECT doc_id, fp,
+               CAST(count(*) OVER (PARTITION BY fp) AS BIGINT)
+                   AS n_copies,
+               CAST(1000000 // count(*) OVER (PARTITION BY fp)
+                    AS BIGINT) AS weight_ppm
+        FROM d
+    """),
+    tags=("dedup", "sampling"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: keep every copy but downweight it by its
+    duplicate-cluster size (weight = 1/n_copies, in ppm) — the
+    reweight-instead-of-drop alternative (the "soft dedup" recipe in
+    recent pretraining-data work)
+    a training pipeline uses when duplicates carry signal (popular
+    pages ARE seen more at inference) but must not dominate the
+    gradient.  Each cluster's total sampling mass becomes ~1 document
+    regardless of its copy count.
+
+    Scale shape: ONE exchange — the window partitions by the
+    fingerprint, whose groups are duplicate-cluster-sized (tiny), so
+    unlike a stratum window this shape is safe at any scale; the
+    weight is integer ppm (floor division), so the hash certifies the
+    exact quantization."""
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("fp")
+    return (
+        docs.select(
+            "doc_id", F.md5(_norm_text(F.col("text"))).alias("fp")
+        )
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr("1000000 div n_copies").cast("long"),
+        )
+    )
+
+
 def _norm_text(col: Column) -> Column:
     """Canonical text normalization: lowercase, non-alnum → space, trim."""
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
