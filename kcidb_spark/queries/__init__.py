@@ -31,45 +31,11 @@ from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
 #: 50-row gate window rotates across rounds until every query has a
 #: driver-certified row.
 _GATE_PRIORITY = (
-    # Round-11 additions — never yet certified by the driver gate.
-    "ann_ivf_sq8_adc_topk",
-    "ann_prefix_rerank_topk",
-    "ivf_pq_rotated_adc_topk",
-    "dedup_incremental_neardup",
-    "pipeline_ingest_corpus",
-    "corpus_unimax_budget",
-    "t19_stream_ann_probe",
-    "t20_stream_ivf_ingest",
-    "dedup_soft_weights",
-    # Earlier priority tail (kept for the uncertified filter).
-    "ivf_pq_kmeans_adc_topk",
-    "t18_stream_join_rocksdb",
-    "hilbert_key_assign",
-    "ivf_pq_residual_adc_topk",
-    "t11_stream_tumbling",
-    "t12_stream_dedup",
-    "t13_stream_stream_join",
-    "q7_nation_volume",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q22_idle_customers",
-    "f_array_hof",
-    "u4_multiset_ops",
-    "u5_union_by_name",
-    "w_lead_lag_gaps",
-    "w_ntile_quartiles",
-    "w_value_picks",
-    "w_rank_ratios",
-    "w_range_frame_sum",
-    "tfidf_top_terms",
-    "semdedup_prune",
-    "ivf_pq_adc_topk",
-    "seq_pack_windows",
-    "pipeline_assemble_corpus",
-    "multimodal_features",
+    # Round-12 additions — never yet certified by the driver gate.
+    # (r11's nine priority entries all certified in the r11 window;
+    # the satisfied head is pruned each round — VERDICT r11 #8.)
+    "t21_stream_serve_during_ingest",
+    "t19_store_build",
 )
 
 
@@ -77,45 +43,57 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    # Round 11, block 1 — implementations CHANGED this round and must
-    # re-certify: the six selection gates moved onto the FUSED
-    # single-aggregation rank plan with tie-aware hot-bucket
-    # sub-splitting (operators/rank.py, VERDICT r10 #1a/#5), and
-    # lm_surprisal_filter / pipeline_select_corpus additionally share
-    # the session-keyed doc_surprisal score cache (#1b).
+    # Round 12, block 1 — implementations CHANGED this round and must
+    # re-certify: the six selection gates sit on operators/rank.py,
+    # whose tie sub-bucket moved from raw double division to the
+    # clamped form and whose preconditions hardened (ADVICE r11 ×3 +
+    # the tie-prefix-collapse loud raise, VERDICT r11 #6).
     "lm_surprisal_filter",
     "quality_percentile_filter",
     "dsir_select_per_source",
     "dsir_gumbel_sample",
     "pipeline_select_corpus",
     "pipeline_assemble_corpus",
-    # t15 gained the map-side (user, time-bucket) transition
-    # pre-reduction (the hot-key mitigation, VERDICT r10 #3).
-    "t15_stream_status_transitions",
-    # The three trained-ANN entries now reuse a session-cached coarse
-    # quantizer (#2), and the stored-probe/fingerprint indexes moved
-    # to full-path-hash store keys (ADVICE r10).
-    "ann_ivf_kmeans_topk",
-    "ivf_pq_kmeans_adc_topk",
-    "ivf_pq_residual_adc_topk",
-    "ann_ivf_stored_probe",
-    "fpindex_build",
-    "dedup_incremental_indexed",
-    # Block 2 — the STALEST certified slice (gate-of-record rows from
-    # r4/r5/r7: the pattern chain, the early streaming family, the r4
-    # scalar-function goldens), so nothing stays certified-but-
-    # unchecked for more than ~4 rounds (VERDICT r10 #6).
-    "j4_pattern_chain",
-    "t11_stream_tumbling",
-    "t12_stream_dedup",
-    "t13_stream_stream_join",
-    "t14_stream_dedup_watermarked",
-    "a5_object_counts",
-    "a13_distinct_rollup",
-    "a14_culprit_partition",
-    "f6_uri_encode_golden",
-    "f13_notification_id",
-    "f16_nul_guard",
+    # t19's one-off store build moved out of its serve wall onto the
+    # session-keyed store (VERDICT r11 #5) — oracle unchanged, but the
+    # serve path now READS the shared store, so re-certify.
+    "t19_stream_ann_probe",
+    # Block 2 — the ENTIRE r7-stale slice (VERDICT r11 #4): every
+    # entry whose gate-of-record row is ≥4 rounds old, so nothing
+    # stays certified-but-unchecked older than r8 after this round.
+    "a15_exact_quantiles",
+    "boilerplate_ngram_ratio",
+    "bpe_adjacent_pairs",
+    "corpus_mix_weights",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "group_sample_topn",
+    "ivf_pq_adc_topk",
+    "j_asof_last_click",
+    "jaccard_estimate_minhash",
+    "length_bucket_hist",
+    "notif_emoji_count_table",
+    "o6_topk_per_group",
+    "pq_encode",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q2_top_supplier_per_nation",
+    "q4_priority_exists",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_stratified",
+    "semdedup_prune",
+    "seq_pack_windows",
+    "simhash_wide_fingerprint",
+    "simhash_wide_hamming_pairs",
+    "t10_session_window",
+    "t9_sliding_window",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
 )
 
 

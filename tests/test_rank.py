@@ -309,6 +309,97 @@ def test_tie_sub_split_actually_spreads(spark):
         release_persisted()
 
 
+def test_float_score_raises(spark):
+    """ADVICE r11: a non-integral score must raise the documented
+    ValueError instead of being silently truncated by the long cast
+    (truncation collapses distinct scores onto one bucket key, whose
+    tie-split then orders them by tiebreak AGAINST the true rank)."""
+    from kcidb_spark.operators.rank import stratified_drop_leading
+
+    df = spark.createDataFrame(
+        [Row(doc_id="a", lang="en", score=1.5),
+         Row(doc_id="b", lang="en", score=2.5)]
+    )
+    with pytest.raises(ValueError, match="integral"):
+        stratified_row_number(df, "lang", "score")
+    with pytest.raises(ValueError, match="integral"):
+        stratified_drop_leading(df, "lang", "score", den=4)
+
+
+def test_prebucket_bound_guards_before_collect(spark, monkeypatch):
+    """ADVICE r11 / VERDICT r11 #3: the control-plane bound must fire
+    BEFORE the pre-bucket table is materialized on the driver.  With
+    the bound shrunk to 8, a 100-distinct-prebucket input raises the
+    contract error; the limit(bound+1) form transfers at most 9 rows,
+    so the raise cannot itself be the OOM it guards against."""
+    import kcidb_spark.operators.rank as rank_mod
+    from kcidb_spark.cache import release_persisted
+
+    monkeypatch.setattr(rank_mod, "_PREBUCKET_BOUND", 8)
+    rows = [Row(doc_id=f"d{i}", lang="en", score=i << 10) for i in range(100)]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    try:
+        with pytest.raises(ValueError, match="control-plane bound"):
+            stratified_row_number(df, "lang", "score")
+    finally:
+        release_persisted()
+
+
+def test_tie_prefix_collapse_raises(spark):
+    """VERDICT r11 #6: an over-cap tied group whose 7-byte tie-break
+    prefixes are ALL equal cannot be spread; planning must raise
+    naming the tie-break column, not silently plan one oversized
+    segment."""
+    from kcidb_spark.cache import release_persisted
+
+    # 120 rows, one score, ids sharing the first 7 bytes (the
+    # same-host-URL shape): "commonprefix-<i>" -> first 7 = "commonp".
+    rows = [
+        Row(doc_id=f"commonprefix-{i:04d}", lang="en", score=7)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "score", F.col("score").cast("long")
+    )
+    try:
+        with pytest.raises(ValueError, match="doc_id"):
+            stratified_row_number(
+                df, "lang", "score", n_buckets=8, hot_cap=20
+            )
+    finally:
+        release_persisted()
+
+
+def test_tie_bucket_clamped_at_range_edge(spark):
+    """ADVICE r11 (medium): the tie sub-bucket uses IEEE double
+    division; for a span of 2^56−1 with q = span//4096 + 1 = 2^44,
+    double(2^56−1) rounds to 2^56 and the unclamped quotient floors
+    to 4096 — bit 12 set, colliding with the next low-bits
+    sub-segment.  Pin that the shipped expression clamps to
+    n_sub−1 = 4095 (= the exact integer quotient)."""
+    from kcidb_spark.operators.rank import _sub_expr, _tb56
+
+    doc = "zdoc0001"
+    tb = int.from_bytes(doc.encode()[:7].ljust(7, b"\x00"), "big")
+    span = (1 << 56) - 1
+    tied = {("en", 3, 5): (tb - span, 1 << 44, 4096)}
+    hot = {"en": {3}}
+    df = spark.createDataFrame(
+        [Row(doc_id=doc, lang="en")]
+    ).withColumn("_k", F.lit((3 << 10) | 5).cast("long")).withColumn(
+        "_pb", F.lit(3).cast("long")
+    )
+    got = df.select(
+        _sub_expr("lang", 10, "doc_id", hot, tied).alias("_sub")
+    ).collect()[0]["_sub"]
+    # Sanity: the Spark-side prefix integer matches the python model.
+    got_tb = df.select(_tb56("doc_id").alias("t")).collect()[0]["t"]
+    assert got_tb == tb
+    assert got == (5 << 12) | 4095, got
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_randomized_adversarial_matches_naive(spark, seed):
     """Randomized fuzz over the planner's branch space: mixed tie
