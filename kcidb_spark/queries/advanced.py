@@ -591,6 +591,45 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_STORE_BUILT: set = set()
 
 
+def _ivf_session_store(spark: SparkSession, sf_dir: str):
+    """Build-once, session-keyed inverted file shared by every reader
+    of the static-centroid IVF layout (ann_ivf_stored_probe's probe,
+    t19's online serve, t19_store_build's certification): the corpus
+    assignment written as parquet PARTITIONED BY c_id, at a path
+    keyed by (applicationId, sha256(realpath(sf_dir))).  Returns
+    ``(store_path, assign_schema)``; the first caller in a session
+    pays the ONE partitioned write (the honest build wall —
+    t19_store_build exists to carry it in the bench), later callers
+    reuse the layout.  ``assign`` is independent of nprobe and of the
+    query count (operators/similarity.ivf_parts), so every consumer
+    reads the same directories."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kcidb_spark.operators.similarity import ivf_parts
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign, _ = ivf_parts(
+        vecs, _IVF_CENTROIDS, _IVF_QUERIES, _IVF_NPROBE
+    )
+    store = _os.path.join(
+        _tf.gettempdir(),
+        "kcidb_spark_ivf_store",
+        spark.sparkContext.applicationId,
+        _hl.sha256(
+            _os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:16],
+    )
+    if (spark.sparkContext.applicationId, store) not in _IVF_STORE_BUILT:
+        assign.write.mode("overwrite").partitionBy("c_id").parquet(store)
+        _IVF_STORE_BUILT.add((spark.sparkContext.applicationId, store))
+    return store, assign.schema
+
+
 @register(
     "ann_ivf_stored_probe",
     oracle=_ivf_nprobe_oracle(_IVF_NPROBE),
@@ -613,41 +652,24 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session's FIRST invocation — inside that wall, mirroring
     fpindex_build's honest accounting — and later invocations probe
     the stored layout, which is the point of a stored index."""
-    import os as _os
-    import tempfile as _tf
-
     from kcidb_spark.operators.similarity import ivf_parts, ivf_rank
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    assign, q_probe = ivf_parts(
+    _, q_probe = ivf_parts(
         vecs, _IVF_CENTROIDS, _IVF_QUERIES, _IVF_NPROBE
     )
     # Deterministic, session-owned store: one directory per
     # (session, sf) rather than a fresh mkdtemp per invocation (which
     # leaked a corpus-sized tree AND re-paid the partitioned write on
-    # every bench/correctness run — ADVICE r9).  First call in a
+    # every bench/correctness run — ADVICE r9), keyed by a hash of
+    # the NORMALIZED FULL sf_dir (ADVICE r10).  First call in a
     # session builds it; later calls probe the existing layout — the
     # serving-tier shape this entry models.  Like t17's out_dir, the
     # one residual dir per session is reclaimed by tmp cleaning.
-    import hashlib as _hl
-
-    # Keyed by a hash of the NORMALIZED FULL sf_dir (not its basename):
-    # two sf_dirs sharing a basename in one session must not reuse each
-    # other's partitioned index (ADVICE r10).
-    store = _os.path.join(
-        _tf.gettempdir(),
-        "kcidb_spark_ivf_store",
-        spark.sparkContext.applicationId,
-        _hl.sha256(
-            _os.path.realpath(sf_dir).encode()
-        ).hexdigest()[:16],
-    )
-    if (spark.sparkContext.applicationId, store) not in _IVF_STORE_BUILT:
-        assign.write.mode("overwrite").partitionBy("c_id").parquet(store)
-        _IVF_STORE_BUILT.add((spark.sparkContext.applicationId, store))
+    store, store_schema = _ivf_session_store(spark, sf_dir)
     q_probe = scoped_persist(q_probe)
     probed = sorted(
         r["c_id"] for r in q_probe.select("c_id").distinct().collect()
@@ -656,7 +678,7 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Explicit schema: partition-column values parse as LONG (not
         # inferred int), and an EMPTY store (no partition dirs to
         # infer from) still reads as a schema-correct empty frame.
-        spark.read.schema(assign.schema)
+        spark.read.schema(store_schema)
         .parquet(store)
         # Partition-column literal IN → directory-level pruning.
         .filter(F.col("c_id").isin(probed))

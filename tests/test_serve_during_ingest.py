@@ -1,0 +1,135 @@
+"""t21 serve-during-ingest: the committed-batch manifest's isolation.
+
+VERDICT r11 "Next round" #1: t19 (serve) and t20 (ingest) were each
+certified alone, but nothing pinned what a probe observes WHILE an
+ingest batch overwrites its ``batch_id=N`` subtree — a parquet
+directory overwrite is not atomic, so an unmanifested reader can list
+a half-replaced subtree.  These tests drive the transaction bodies
+(streaming_exec.ingest_vec_batch_txn / probe_visible_topk) through
+every crash window the manifest closes:
+
+* a probe racing an UNPUBLISHED subtree serves the old watermark's
+  exact results — even when the subtree's on-disk content is a
+  corrupt parquet file (pruned directories are never opened);
+* replay after a crash-before-manifest converges to the clean run;
+* the watermark only advances (a replayed old batch cannot retreat
+  visibility).
+
+The end-to-end interleaved pipeline itself is oracle-certified via
+the registry (t21_stream_serve_during_ingest, hash vs DuckDB in
+test_oracle_parity.py and the driver gate).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from kcidb_spark.queries.streaming_exec import (
+    ingest_vec_batch_txn,
+    probe_visible_topk,
+    read_serve_watermark,
+)
+
+#: 2-D toy corpus: centroid 0 at (1, 0), centroid 1 at (0, 1); batch
+#: of a vector = its id's tens digit, so visibility sets are obvious.
+CENTS = [(0, [1.0, 0.0], 1.0), (1, [0.0, 1.0], 1.0)]
+
+
+def _vecs(spark, ids_and_points):
+    return spark.createDataFrame(
+        [Row(vec_id=i, v=[float(x), float(y)]) for i, (x, y) in ids_and_points],
+        "vec_id long, v array<double>",
+    )
+
+
+def _probe(spark, store, qs=((100, (1.0, 0.1)),), k=5):
+    df = probe_visible_topk(_vecs(spark, qs), store, CENTS, k)
+    return sorted(
+        (r["probe_round"], r["q_id"], r["n_id"], r["sim"])
+        for r in df.collect()
+    )
+
+
+def test_probe_never_sees_unpublished_subtree(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b0 = _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))])
+    ingest_vec_batch_txn(b0, store, 0, CENTS)
+    assert read_serve_watermark(store) == 0
+    before = _probe(spark, store)
+    assert {r[2] for r in before} == {10, 11} and all(
+        r[0] == 0 for r in before
+    )
+
+    # Batch 1's subtree lands on disk but the manifest never advances
+    # (crash between subtree commit and publish).
+    b1 = _vecs(spark, [(20, (0.95, 0.05))])
+    ingest_vec_batch_txn(b1, store, 1, CENTS, fail_before_manifest=True)
+    assert read_serve_watermark(store) == 0
+    assert os.path.isdir(str(tmp_path / "store" / "data" / "batch_id=1"))
+    assert _probe(spark, store) == before
+
+    # Worse: the in-flight subtree is HALF-REPLACED garbage — a probe
+    # must not even open it.  Plant a corrupt parquet file.
+    junk = tmp_path / "store" / "data" / "batch_id=1" / "c_id=0"
+    junk.mkdir(parents=True, exist_ok=True)
+    (junk / "part-junk.parquet").write_bytes(b"NOT A PARQUET FILE")
+    assert _probe(spark, store) == before
+
+    # Replay of batch 1 overwrites its own subtree (junk included)
+    # and publishes; the probe now serves the two-batch snapshot.
+    ingest_vec_batch_txn(b1, store, 1, CENTS)
+    assert read_serve_watermark(store) == 1
+    after = _probe(spark, store)
+    assert {r[2] for r in after} == {10, 11, 20} and all(
+        r[0] == 1 for r in after
+    )
+
+
+def test_crash_replay_converges_to_clean_run(spark, tmp_path):
+    batches = [
+        [(10, (0.9, 0.2)), (11, (0.2, 0.9))],
+        [(20, (0.8, 0.3))],
+        [(30, (0.3, 0.8)), (31, (0.99, 0.01))],
+    ]
+    clean = str(tmp_path / "clean")
+    for i, b in enumerate(batches):
+        ingest_vec_batch_txn(_vecs(spark, b), clean, i, CENTS)
+    want = _probe(spark, clean)
+
+    crashy = str(tmp_path / "crashy")
+    ingest_vec_batch_txn(_vecs(spark, batches[0]), crashy, 0, CENTS)
+    # Batch 1 crashes before manifest, twice; then succeeds.
+    for _ in range(2):
+        ingest_vec_batch_txn(
+            _vecs(spark, batches[1]), crashy, 1, CENTS,
+            fail_before_manifest=True,
+        )
+    ingest_vec_batch_txn(_vecs(spark, batches[1]), crashy, 1, CENTS)
+    # Batch 2 commits, then spuriously REPLAYS (at-least-once source).
+    ingest_vec_batch_txn(_vecs(spark, batches[2]), crashy, 2, CENTS)
+    ingest_vec_batch_txn(_vecs(spark, batches[2]), crashy, 2, CENTS)
+    assert read_serve_watermark(crashy) == 2
+    assert _probe(spark, crashy) == want
+
+
+def test_watermark_is_monotone_under_old_batch_replay(spark, tmp_path):
+    store = str(tmp_path / "store")
+    ingest_vec_batch_txn(_vecs(spark, [(10, (1.0, 0.0))]), store, 0, CENTS)
+    ingest_vec_batch_txn(_vecs(spark, [(20, (0.0, 1.0))]), store, 1, CENTS)
+    assert read_serve_watermark(store) == 1
+    # A late replay of batch 0 must not retreat visibility to 0.
+    ingest_vec_batch_txn(_vecs(spark, [(10, (1.0, 0.0))]), store, 0, CENTS)
+    assert read_serve_watermark(store) == 1
+
+
+def test_probe_on_empty_store_serves_nothing(spark, tmp_path):
+    """Before ANY commit: watermark −1, zero candidates, no error —
+    the cold-start read path (the data dir may not even exist)."""
+    store = str(tmp_path / "store")
+    os.makedirs(os.path.join(store, "data"))
+    rows = _probe(spark, store)
+    assert rows == []
+    assert read_serve_watermark(store) == -1
