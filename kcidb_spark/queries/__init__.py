@@ -36,6 +36,9 @@ _GATE_PRIORITY = (
     # the satisfied head is pruned each round — VERDICT r11 #8.)
     "t21_stream_serve_during_ingest",
     "t19_store_build",
+    "opq_adc_topk",
+    "ivf_store_compact",
+    "ann_filtered_topk",
 )
 
 

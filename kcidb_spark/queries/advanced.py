@@ -585,6 +585,146 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_filtered_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    cos_v_cv = cos.format(a="v", b="cv")
+    cos_qv_nv = cos.format(a="p.qv", b="m.v")
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v, label FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v, vecs.label,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, v AS qv, label FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v, vecs.label,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= {_IVF_NPROBE}
+        )
+        SELECT q_id, n_id, sim FROM (
+            SELECT p.q_id, m.vec_id AS n_id, {cos_qv_nv} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {cos_qv_nv} DESC, m.vec_id
+                   ) AS rn
+            FROM probes p
+            JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+                         AND m.label = p.label
+        ) WHERE rn <= {_IVF_K}
+    """)
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=_ivf_filtered_oracle(),
+    tags=("similarity", "ivf"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN — the serving feature every production
+    retrieval tier needs next (FAISS IDSelector, Qdrant/Milvus payload
+    filters): each query retrieves top-k only among vectors sharing
+    its ``label`` (the embeddings table's typed metadata column).
+    Implemented as PRE-FILTERING composed with IVF probing: candidates
+    come from the probed clusters as usual, and the label predicate is
+    applied to the candidate rows BEFORE ranking — so the filter
+    shrinks the window input instead of post-truncating the top-k
+    (post-filtering silently returns < k rows when the filter is
+    selective; pre-filtering ranks the true filtered neighborhood).
+
+    Scale shape: identical to ann_ivf_nprobe_topk plus one equality
+    predicate on the broadcast-join output — labels ride the corpus
+    rows (no extra join; at 100 TB label would be a partition/bucket
+    column and the predicate prunes storage too, the
+    ann_ivf_stored_probe layout one dimension richer)."""
+    from pyspark.sql import Window as W
+
+    from kcidb_spark.operators.similarity import dot_expr
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    ).withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+    cents = base.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    c_sim = F.expr(f"round({dot_expr('v', 'cv')} / (nrm * cn), 4)")
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "label", "c_id", c_sim.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("c_id", F.struct(F.negate("c_sim"), "c_id")).alias(
+                "c_id"
+            ),
+            F.first("v").alias("nv"),
+            F.first("nrm").alias("nn"),
+            F.first("label").alias("n_label"),
+        )
+        .select(
+            F.col("vec_id").alias("n_id"), "c_id", "nv", "nn", "n_label"
+        )
+    )
+    w_probe = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    q_probe = (
+        base.filter(F.col("vec_id") < _IVF_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "label", "c_id", c_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "c_id",
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        assign.join(F.broadcast(q_probe), on="c_id")
+        .filter(
+            (F.col("n_id") != F.col("q_id"))
+            & (F.col("n_label") == F.col("q_label"))
+        )
+        .select(
+            "q_id",
+            "n_id",
+            F.expr(f"round({dot_expr('qv', 'nv')} / (qn * nn), 4)").alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_K)
+        .select("q_id", "n_id", "sim")
+    )
+
+
 #: (applicationId, store path) pairs whose inverted file was written
 #: THIS session — same idiom as mixing._FP_INDEX_BUILT: the build is
 #: paid (and visible) once per session, probes reuse the layout.
@@ -1199,6 +1339,107 @@ def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("n_id"), "c_id", "s", "m"
     )
     return adc_topk(n_codes, probes, dt, _IVF_K)
+
+
+# --- OPQ: the LEARNED rotation (Ge et al. 2013), rows-only entry ---
+
+#: OPQ trains on a bounded sample (FAISS trains on ~2^16 vectors at
+#: any corpus size); the alternation never touches the full corpus.
+_OPQ_SAMPLE = 2048
+_OPQ_ITERS = 3
+
+#: (appId, sf, dials) → (R, books, history): the learned rotation and
+#: codebooks train ONCE per session per corpus (the quantizer-cache
+#: idiom of _KM_CENTROIDS_CACHE — a fresh session pays and shows the
+#: training cost exactly once; stale-session entries pruned).
+_OPQ_CACHE: dict = {}
+
+
+def _opq_trained(spark: SparkSession, sf_dir: str, vecs: DataFrame):
+    import os as _os
+
+    from kcidb_spark.operators.opq import givens_rotation, opq_train
+
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.realpath(sf_dir), _PQK_SUBS, _PQK_CODES,
+           _OPQ_ITERS)
+    if key not in _OPQ_CACHE:
+        for stale in [k for k in _OPQ_CACHE if k[0] != app]:
+            del _OPQ_CACHE[stale]
+        sample = vecs.filter(F.col("id") < _OPQ_SAMPLE)
+        _OPQ_CACHE[key] = opq_train(
+            sample, _PQK_SUBS, _PQK_SUBDIM, _PQK_CODES,
+            lloyd_rounds=_PQK_ROUNDS, iters=_OPQ_ITERS,
+            r_init=givens_rotation(_PQK_SUBS * _PQK_SUBDIM),
+        )
+    return _OPQ_CACHE[key]
+
+
+@register(
+    "opq_adc_topk",
+    tags=("similarity", "clustering", "opq"),
+    schema="q_id bigint, n_id bigint, rk bigint",
+)
+def opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ — the LEARNED rotation completing the PQ family (VERDICT
+    r11 #7; ivf_pq_rotated_adc_topk's docstring names it as the
+    documented extension): alternate per-subspace float Lloyd with
+    closed-form orthogonal-Procrustes solves (operators/opq.py, Ge et
+    al. CVPR 2013), initialized at the hash-certified fixed 3-4-5
+    Givens rotation with keep-best, so the learned rotation's
+    quantization distortion is PROVABLY ≤ the fixed one's.  Search is
+    the flat-PQ ADC scan (FAISS IndexPQ) over the learned books:
+    rotate + encode the corpus (broadcast d×d matrix and S·M·D books;
+    per-row projections, min_by partial aggs), per-query distance
+    tables broadcast, candidates summed and ranked per query.
+
+    ROWS-ONLY by necessity, like the BPE/unigram trainers: a learned
+    rotation is the output of float alternation (ordering-dependent
+    means), which no static SQL oracle can replay.  The property
+    harness (tests/test_opq.py) pins what the hash gate cannot:
+    orthogonality of R, distortion ≤ the Givens init's (history[0]),
+    monotone keep-best, and recall@k vs the exact cosine oracle at
+    least matching the fixed-rotation pipeline's.  Training runs on a
+    {_OPQ_SAMPLE}-vector sample per session (the FAISS posture —
+    never alternate over the corpus); the full corpus is touched once
+    by the encode pass."""
+    from kcidb_spark.operators.ivf import pq_assign_codes, subvectors
+    from kcidb_spark.operators.opq import d2_float_expr, rotate
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = scoped_persist(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr("cast(embedding as array<double>)").alias("x"),
+        )
+    )
+    r_learned, books, _hist = _opq_trained(spark, sf_dir, vecs)
+    xr = rotate(vecs, r_learned, "x", "q").select("id", "q")
+    subs = subvectors(xr, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
+    bdf = spark.createDataFrame(
+        books, "s bigint, m bigint, bq array<double>"
+    )
+    scored = scoped_persist(
+        subs.join(F.broadcast(bdf), on="s").select(
+            "s", "id", "q", "m",
+            F.expr(d2_float_expr("q", "bq")).alias("d2"),
+        )
+    )
+    codes = pq_assign_codes(scored)
+    dt = scored.filter(F.col("id") < _IVF_QUERIES).select(
+        F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
+    )
+    w_rank = W.partitionBy("q_id").orderBy("adc", "n_id")
+    return (
+        codes.withColumnRenamed("id", "n_id")
+        .join(F.broadcast(dt), on=["s", "m"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d").alias("adc"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= _IVF_K)
+        .select("q_id", "n_id", "rk")
+    )
 
 
 # --- residual IVF-PQ: encode (x − coarse centroid), the IVFADC form ---

@@ -1587,3 +1587,129 @@ def t21_stream_serve_during_ingest(
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF store COMPACTION — the maintenance operator t20's docstring names
+# ---------------------------------------------------------------------------
+
+#: Overlapping arrival ranges (each hex prefix lands in 1-2 batches):
+#: the re-crawl shape where a later batch replays vectors an earlier
+#: one already ingested — what compaction's first-occurrence dedup is
+#: FOR (the t17 accept semantic applied to the vector store).
+_COMPACT_RANGES = ("01234567", "456789ab", "89abcdef")
+
+
+def _compact_oracle() -> str:
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    when = " ".join(
+        f"WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN "
+        f"({', '.join(repr(c) for c in chars)}) THEN {i}"
+        for i, chars in enumerate(_COMPACT_RANGES)
+    )
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id FROM (
+                SELECT vecs.vec_id, cents.c_id,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos.format(a='v', b='cv')} DESC,
+                                    cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        grp AS (
+            SELECT vec_id, CASE {when} END AS src_batch FROM vecs
+        )
+        SELECT a.vec_id, a.c_id, CAST(g.src_batch AS BIGINT) AS src_batch
+        FROM assign a JOIN grp g ON a.vec_id = g.vec_id
+    """)
+
+
+@register(
+    "ivf_store_compact",
+    oracle=_compact_oracle(),
+    tags=("similarity", "ivf", "index", "layout"),
+)
+def ivf_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the ingest-shaped ``batch_id=N/c_id=K`` inverted
+    file into the long-term serving layout ``c_id=K`` — the
+    fpindex_build analog t20's docstring promises.  Ingest leaves one
+    subtree per arrival batch (append-shaped, transactional); left
+    uncompacted, a year of batches means a probe lists thousands of
+    small files per probed cluster.  Compaction reads the
+    manifest-visible store once, keeps each vector's FIRST occurrence
+    (min batch_id — the t17 accept semantic: a re-crawl replaying
+    vectors an earlier batch already owns must not move or duplicate
+    them, which the OVERLAPPING staged ranges here force ~50% of the
+    corpus to exercise), and rewrites partitioned by c_id alone.  The
+    certified result reads the COMPACTED store back whole:
+    (vec_id, c_id, src_batch) must match the batch oracle's
+    nearest-centroid assignment joined to first-membership.
+
+    Scale shape: one scan of the store (partition pruning on
+    ``batch_id <= watermark``), one map-side min_by partial agg per
+    vec_id, one partitioned write; centroids stay broadcast literals;
+    nothing corpus-sized on the driver.  Composes the SAME transaction
+    bodies t21 certifies (ingest_vec_batch_txn), so the staged store
+    here is the real ingest layout, not a test double."""
+    import shutil
+
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    store = tempfile.mkdtemp(prefix="compact_store_")
+    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    for i, chars in enumerate(_COMPACT_RANGES):
+        ingest_vec_batch_txn(
+            vecs.filter(pfx.isin(*list(chars))), store, i, cents
+        )
+    wm = read_serve_watermark(store)
+    first = (
+        spark.read.schema(_T21_SCHEMA)
+        .parquet(os.path.join(store, "data"))
+        .filter(F.col("batch_id") <= F.lit(wm))
+        .groupBy("vec_id")
+        .agg(
+            F.min("batch_id").alias("src_batch"),
+            F.min_by("c_id", "batch_id").alias("c_id"),
+            F.min_by("v", "batch_id").alias("v"),
+            F.min_by("nrm", "batch_id").alias("nrm"),
+        )
+    )
+    compacted = tempfile.mkdtemp(prefix="compact_out_")
+    first.write.mode("overwrite").partitionBy("c_id").parquet(compacted)
+    shutil.rmtree(store, ignore_errors=True)
+    return (
+        spark.read.schema(
+            "vec_id long, src_batch bigint, v array<double>,"
+            " nrm double, c_id bigint"
+        )
+        .parquet(compacted)
+        .select("vec_id", "c_id", "src_batch")
+    )

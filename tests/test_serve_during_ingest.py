@@ -133,3 +133,31 @@ def test_probe_on_empty_store_serves_nothing(spark, tmp_path):
     rows = _probe(spark, store)
     assert rows == []
     assert read_serve_watermark(store) == -1
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The 100 TB contract in the PLAN: the probe's store scan must
+    carry PARTITION filters on BOTH partition columns — batch_id
+    bounded by the manifest watermark and c_id restricted to the
+    probed clusters — so uncommitted batches and unprobed clusters
+    are pruned at the directory listing, before any file I/O."""
+    import re
+
+    store = str(tmp_path / "store")
+    b0 = _vecs(
+        spark,
+        [(10 + i, (0.9 - 0.01 * i, 0.1 + 0.01 * i)) for i in range(6)],
+    )
+    ingest_vec_batch_txn(b0, store, 0, CENTS)
+    ingest_vec_batch_txn(
+        _vecs(spark, [(30, (0.5, 0.5))]), store, 1, CENTS,
+        fail_before_manifest=True,
+    )
+    df = probe_visible_topk(
+        _vecs(spark, [(100, (1.0, 0.1))]), store, CENTS, 3, nprobe=1
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m_b = re.search(r"PartitionFilters: \[[^\]]*batch_id#\d+[^\]]*\]", plan)
+    assert m_b, plan[:2000]
+    pf = m_b.group(0)
+    assert "c_id" in pf and "<=" in pf, pf

@@ -834,7 +834,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
                             "bpe", "tokenizer", "sketch", "lm", "vocab",
-                            "skew", "hotkey", "recovery"):
+                            "skew", "hotkey", "recovery", "serve"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -926,6 +926,27 @@ def main() -> None:
             "recovery": run_recovery(scaled_dir, f"rec{k}x", spark, k),
         }
         result["ratios"] = {}
+    elif suite == "serve":
+        # SERVE-TIER rehearsal (round 12): the t19/t20/t21 family +
+        # compaction on a Kx embeddings corpus — per-batch walls
+        # (interleaving must not make ingest or probe batches grow
+        # with the store beyond the committed-data scan), shuffle
+        # volume, and the usual base-vs-scaled ratios.
+        names = [
+            "t21_stream_serve_during_ingest",
+            "t20_stream_ivf_ingest",
+            "t19_store_build",
+            "t19_stream_ann_probe",
+            "ivf_store_compact",
+        ]
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "base": run_streaming(BASE_SF, "sf0.1", spark, names),
+            "scaled": run_streaming(scaled_dir, f"{k}x", spark, names),
+        }
+        result["ratios"] = _ratios(result["base"], result["scaled"], names)
     elif suite == "skew":
         # SKEW rehearsal (VERDICT r9 "Next round" #1 done-criterion):
         # one stratum holds 90% of a Kx corpus; the six selection
