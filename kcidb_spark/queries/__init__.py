@@ -39,6 +39,7 @@ _GATE_PRIORITY = (
     "opq_adc_topk",
     "ivf_store_compact",
     "ann_filtered_topk",
+    "hybrid_rrf_topk",
 )
 
 

@@ -507,3 +507,170 @@ def group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + semantic legs fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60          # the standard RRF constant (Cormack et al. 2009)
+_RRF_QUERIES = 5     # doc_id/vec_id < 5 — the standard query workload
+_RRF_LEG_K = 10      # per-leg shortlist depth
+_RRF_FINAL_K = 5     # fused top-k
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        lex AS (
+            SELECT q_id, n_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY ovl DESC, n_id
+                   ) AS BIGINT) AS r_lex
+            FROM (
+                SELECT q.doc_id AS q_id, t.doc_id AS n_id,
+                       count(*) AS ovl
+                FROM toks q JOIN toks t ON q.w = t.w
+                WHERE q.doc_id < {_RRF_QUERIES} AND t.doc_id <> q.doc_id
+                GROUP BY q.doc_id, t.doc_id
+            ) QUALIFY r_lex <= {_RRF_LEG_K}
+        ),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        sem AS (
+            SELECT q_id, n_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, n_id
+                   ) AS BIGINT) AS r_sem
+            FROM (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       round(list_dot_product(q.v, n.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(n.v, n.v))),
+                             4) AS sim
+                FROM vecs q CROSS JOIN vecs n
+                WHERE q.vec_id < {_RRF_QUERIES}
+                  AND n.vec_id <> q.vec_id
+            ) QUALIFY r_sem <= {_RRF_LEG_K}
+        )
+        SELECT q_id, n_id, r_lex, r_sem, rrf, rk FROM (
+            SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+                   COALESCE(lex.n_id, sem.n_id) AS n_id,
+                   lex.r_lex, sem.r_sem,
+                   CASE
+                     WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN
+                       CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)
+                       / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))
+                     WHEN r_lex IS NOT NULL THEN
+                       CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)
+                     ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem)
+                   END AS rrf,
+                   CAST(row_number() OVER (
+                       PARTITION BY COALESCE(lex.q_id, sem.q_id)
+                       ORDER BY CASE
+                         WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN
+                           CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)
+                           / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))
+                         WHEN r_lex IS NOT NULL THEN
+                           CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)
+                         ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem)
+                       END DESC, COALESCE(lex.n_id, sem.n_id)
+                   ) AS BIGINT) AS rk
+            FROM lex FULL JOIN sem
+              ON lex.q_id = sem.q_id AND lex.n_id = sem.n_id
+        ) WHERE rk <= {_RRF_FINAL_K}
+    """),
+    tags=("pipeline", "ranking", "similarity"),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the fusion layer every modern RAG/search
+    stack puts above its index pair: a LEXICAL leg (distinct-token
+    overlap through a term-keyed join — the inverted-index shape) and
+    a SEMANTIC leg (exact cosine over the embedding column) each
+    produce a top-{_RRF_LEG_K} shortlist per query, fused by
+    reciprocal-rank fusion (Cormack et al. 2009):
+    ``score = Σ_legs 1/({_RRF_C} + rank)``, a candidate missing from
+    a leg contributing nothing.
+
+    Cross-engine exactness (module doctrine): RRF scores are computed
+    as ONE division of integer expressions per candidate —
+    ``1/a + 1/b`` rewritten to ``(a + b)/(a·b)`` — so every score is
+    a single correctly-rounded IEEE operation on exact integers, and
+    the fused ranking hashes identically on both engines; rank ties
+    break on n_id.
+
+    Scale shape: the lexical leg is a term-keyed join (posting-list
+    join; heavy terms are the classic skew — at 100 TB the term
+    dictionary is df-capped upstream, the tfidf/boilerplate entries'
+    posture) feeding a map-side partial count; the semantic leg here
+    is the exact-cosine baseline (broadcast {_RRF_QUERIES} queries —
+    swap in any certified ANN entry for the 100 TB path: RRF only
+    needs RANKS, which is why serving tiers love it); both legs end
+    in WindowGroupLimit top-{_RRF_LEG_K} windows, and the fusion
+    joins two ≤ queries×{_RRF_LEG_K}-row frames — control-plane
+    sized."""
+    from kcidb_spark.operators.similarity import dot_expr
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+    ).distinct()
+    q_toks = toks.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    w_lex = W.partitionBy("q_id").orderBy(F.desc("ovl"), F.asc("n_id"))
+    lex = (
+        q_toks.join(toks, on="w")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("n_id"))
+        .agg(F.count(F.lit(1)).alias("ovl"))
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("long"))
+        .filter(F.col("r_lex") <= _RRF_LEG_K)
+        .select("q_id", "n_id", "r_lex")
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q_vecs = vecs.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sim = F.expr(
+        f"round({dot_expr('qv', 'v')} / (sqrt({dot_expr('qv', 'qv')})"
+        f" * sqrt({dot_expr('v', 'v')})), 4)"
+    )
+    w_sem = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    sem = (
+        vecs.crossJoin(F.broadcast(q_vecs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), sim.alias("sim"))
+        .withColumn("r_sem", F.row_number().over(w_sem).cast("long"))
+        .filter(F.col("r_sem") <= _RRF_LEG_K)
+        .select("q_id", "n_id", "r_sem")
+    )
+
+    rrf = (
+        f"CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN"
+        f" CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)"
+        f" / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))"
+        f" WHEN r_lex IS NOT NULL THEN"
+        f" CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)"
+        f" ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem) END"
+    )
+    w_rrf = W.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("n_id"))
+    return (
+        lex.join(sem, on=["q_id", "n_id"], how="full_outer")
+        .withColumn("rrf", F.expr(rrf))
+        .withColumn("rk", F.row_number().over(w_rrf).cast("long"))
+        .filter(F.col("rk") <= _RRF_FINAL_K)
+        .select("q_id", "n_id", "r_lex", "r_sem", "rrf", "rk")
+    )
