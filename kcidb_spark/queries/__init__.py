@@ -40,6 +40,8 @@ _GATE_PRIORITY = (
     "ivf_store_compact",
     "ann_filtered_topk",
     "hybrid_rrf_topk",
+    "bm25_topk",
+    "corpus_temperature_mix",
 )
 
 
@@ -60,8 +62,10 @@ _GATE_RECHECK = (
     "pipeline_assemble_corpus",
     # t19's one-off store build moved out of its serve wall onto the
     # session-keyed store (VERDICT r11 #5) — oracle unchanged, but the
-    # serve path now READS the shared store, so re-certify.
+    # serve path now READS the shared store, so re-certify; t20's
+    # arrival staging consolidated to one partitioned write.
     "t19_stream_ann_probe",
+    "t20_stream_ivf_ingest",
     # Block 2 — the ENTIRE r7-stale slice (VERDICT r11 #4): every
     # entry whose gate-of-record row is ≥4 rounds old, so nothing
     # stays certified-but-unchecked older than r8 after this round.

@@ -1786,3 +1786,115 @@ def hilbert_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_sec",
         F.expr(hilbert_expr("hx", "hy")).alias("hkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mix ALLOCATION — the integer completion of
+# corpus_mix_weights (whose docstring keeps the normalizing constant
+# out of the hash because a sum of DOUBLES is aggregation-order
+# dependent; summing floor'd integer weights is not)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=dedent("""
+        WITH g AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs,
+                   CAST(floor(sqrt(n_docs) * 1048576) AS BIGINT) AS wq
+            FROM g
+        ),
+        t AS (
+            SELECT CAST(sum(wq) AS BIGINT) AS wsum,
+                   CAST(sum(n_docs) // 2 AS BIGINT) AS budget
+            FROM w
+        ),
+        base AS (
+            SELECT source, n_docs, wq, wsum, budget,
+                   (budget * wq) // wsum AS alloc0,
+                   (budget * wq) % wsum AS rem,
+                   budget - CAST(sum((budget * wq) // wsum)
+                                 OVER () AS BIGINT) AS leftover
+            FROM w CROSS JOIN t
+        )
+        SELECT source, n_docs, wq AS weight_q20,
+               CAST(alloc0 + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY rem DESC, source) AS BIGINT) AS rnk
+            FROM base
+        )
+    """),
+    tags=("pipeline", "mixing"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling ALLOCATION at alpha = 0.5 (the
+    multilingual rebalance of mBERT/XLM-R: sample ∝ n^alpha): turn
+    per-source temperature weights into EXACT integer document
+    budgets summing to the total budget (floor(N/2) here), via
+    largest-remainder apportionment.
+
+    corpus_mix_weights ships the unnormalized weights and documents
+    WHY it stops there: Σ of double weights is aggregation-order
+    dependent, so a hashed allocation can't be built on it.  The
+    integer route can: each weight is floor(sqrt(n)·2^20) — IEEE
+    sqrt is correctly ROUNDED by spec, multiplication by 2^20 is
+    exact, floor is deterministic — and the SUM of those BIGINTs is
+    order-free.  Base shares are budget·w div Σw; the ≤|sources|
+    leftover units go to the largest integer remainders
+    (budget·w mod Σw, ties to source asc) — the Hamilton method, all
+    in BIGINT, so Σ alloc = budget exactly and every engine agrees
+    bit-for-bit.
+
+    Plan: ONE partial-agg corpus scan to ≤|sources| rows; every
+    window after that (the leftover count, the remainder rank) runs
+    on the control-plane frame — same posture as
+    corpus_unimax_budget."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    w = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(1048576))
+        .cast("long")
+        .alias("wq"),
+    )
+    t = w.agg(
+        F.sum("wq").cast("long").alias("wsum"),
+        F.expr("sum(n_docs) div 2").alias("budget"),
+    )
+    base = (
+        w.crossJoin(F.broadcast(t))
+        .withColumn("alloc0", F.expr("(budget * wq) div wsum"))
+        .withColumn("rem", F.expr("(budget * wq) % wsum"))
+        .withColumn(
+            "leftover",
+            F.col("budget")
+            - F.sum("alloc0").over(W.partitionBy()).cast("long"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    )
+    return (
+        base.withColumn("rnk", rnk.cast("long"))
+        .select(
+            "source",
+            "n_docs",
+            F.col("wq").alias("weight_q20"),
+            (
+                F.col("alloc0")
+                + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

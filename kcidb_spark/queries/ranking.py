@@ -674,3 +674,152 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RRF_FINAL_K)
         .select("q_id", "n_id", "r_lex", "r_sem", "rrf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 (rational, micro-bit) — the classic lexical ranker
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = 5
+_BM25_K = 5
+#: floor(term_score · 2^20) — multiplication by a power of two is
+#: EXACT in IEEE doubles (exponent shift), so the only rounding in a
+#: term score is its two correctly-rounded divisions.
+_BM25_SCALE = 1 << 20
+
+#: Shared SQL text for one term's micro-bit BM25 score.  Rational
+#: forms of the classic components (module doctrine — transcendental
+#: log is not bit-portable):
+#: * idf  := (2N + 2)/(2df + 1)  — the Lucene always-positive shape
+#:   1 + (N − df + 0.5)/(df + 0.5) with its +0.5s cleared to
+#:   integers; monotone decreasing in df.
+#: * sat  := tf·(k1 + 1)/(tf + k1·(1 − b + b·len/avglen)) at the
+#:   standard k1 = 1.2, b = 0.75, with avglen = S/N substituted and
+#:   the fractions cleared: 22·tf·S / (10·tf·S + 3·S + 9·len·N) —
+#:   numerator and denominator pure BIGINT.
+#: Each factor is ONE correctly-rounded division of exact integers,
+#: their product one correctly-rounded multiplication, the 2^20
+#: scaling exact, the floor deterministic — so the summed BIGINT
+#: score hashes identically cross-engine under any aggregation order.
+_BM25_TERM_MICRO = (
+    "CAST(floor("
+    " (CAST(2 * {N} + 2 AS DOUBLE) / (2 * {df} + 1))"
+    " * (CAST(22 * {tf} * {S} AS DOUBLE)"
+    "    / (10 * {tf} * {S} + 3 * {S} + 9 * {len} * {N}))"
+    " * {scale}) AS BIGINT)"
+)
+
+
+@register(
+    "bm25_topk",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+            GROUP BY doc_id
+        ),
+        dft AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len) AS BIGINT) AS s
+            FROM dlen
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS q_id, w FROM toks
+            WHERE doc_id < {_BM25_QUERIES}
+        )
+        SELECT q_id, n_id, score_micro, rk FROM (
+            SELECT q_id, n_id, score_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY score_micro DESC, n_id
+                   ) AS BIGINT) AS rk
+            FROM (
+                SELECT q.q_id, tf.doc_id AS n_id,
+                       CAST(sum({_BM25_TERM_MICRO.format(
+                           N='tot.n', df='dft.df', tf='tf.tf',
+                           S='tot.s', len='dlen.len',
+                           scale=_BM25_SCALE)}) AS BIGINT)
+                           AS score_micro
+                FROM qterms q
+                JOIN tf ON tf.w = q.w AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.w = tf.w
+                JOIN dlen ON dlen.doc_id = tf.doc_id
+                CROSS JOIN tot
+                GROUP BY q.q_id, tf.doc_id
+            )
+        ) WHERE rk <= {_BM25_K}
+    """),
+    tags=("pipeline", "ranking"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking (Robertson/Spärck Jones), rational
+    micro-bit form — the classic retrieval scorer underneath every
+    keyword search leg (the serious version of hybrid_rrf_topk's
+    overlap leg; swap it in there for Lucene-grade hybrid search).
+    Query = each of the first {_BM25_QUERIES} documents' distinct
+    token sets; candidates score the standard
+    ``Σ_terms idf(w) · tf-saturation(tf, len)`` with both factors in
+    rational form (see _BM25_TERM_MICRO) and each term score floored
+    to BIGINT micro-bits, so the per-candidate sum is
+    aggregation-order-free and the whole ranking hashes identically
+    against DuckDB.
+
+    Plan: tokenize → (doc, term) tf partial agg (persisted: feeds
+    doc-length, df, AND the match join) → term-keyed join of query
+    terms against postings (the inverted-index shape; df-capped
+    upstream at 100 TB — heavy terms are the classic skew, same
+    posture as tfidf) → per-(q, candidate) BIGINT sum (map-side
+    partial) → per-query WindowGroupLimit top-{_BM25_K}.  N and S
+    ride a broadcast 1-row aggregate; doc lengths join candidate-
+    keyed.  BIGINT headroom: 22·tf·S needs tf·S < 4·10^17 — at
+    planet scale rescale S to mega-tokens (same doctrine note as the
+    sketch entries)."""
+    from kcidb_spark.cache import scoped_persist
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+    )
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tot = dlen.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("s"),
+    )
+    qterms = tf.filter(F.col("doc_id") < _BM25_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    term_micro = _BM25_TERM_MICRO.format(
+        N="n", df="df", tf="tf", S="s", len="len", scale=_BM25_SCALE
+    )
+    w_rank = W.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc("n_id")
+    )
+    return (
+        qterms.join(tf.withColumnRenamed("doc_id", "n_id"), on="w")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .join(dft, on="w")
+        .join(dlen.withColumnRenamed("doc_id", "n_id"), on="n_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum(F.expr(term_micro)).cast("long").alias("score_micro"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= _BM25_K)
+        .select("q_id", "n_id", "score_micro", "rk")
+    )

@@ -906,6 +906,29 @@ def t14_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_file(stage: str, rel: str, schema_df: DataFrame) -> str:
+    """The part file of a staged partition directory, or a shared
+    schema-correct EMPTY file when the partition has no rows: a
+    partitioned write emits no directory at all for an empty group
+    (the empty-corpus degenerate the sweep in test_empty_corpus.py
+    drives), so arrival staging falls back to one empty parquet per
+    stage dir — the stream still sees every scheduled arrival, each
+    carrying zero rows."""
+    import glob
+
+    parts = glob.glob(os.path.join(stage, rel, "part-*.parquet"))
+    if parts:
+        return parts[0]
+    empty_dir = os.path.join(stage, "_empty")
+    parts = glob.glob(os.path.join(empty_dir, "part-*.parquet"))
+    if not parts:
+        schema_df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            empty_dir
+        )
+        parts = glob.glob(os.path.join(empty_dir, "part-*.parquet"))
+    return parts[0]
+
+
 # ---------------------------------------------------------------------------
 # t19: ONLINE ANN SERVING — a query stream probes the persisted IVF store
 # ---------------------------------------------------------------------------
@@ -976,16 +999,18 @@ def t19_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     # Stage each query as its own parquet file (ordered mtimes): one
-    # query per micro-batch — the online arrival pattern.
+    # query per micro-batch — the online arrival pattern.  ONE Spark
+    # job: partition the query workload by a duplicate of vec_id (the
+    # partition column itself is directory-only, so the files keep
+    # the (vec_id, v) schema the stream reads).
     watch = tempfile.mkdtemp(prefix="t19_in_")
     stage = tempfile.mkdtemp(prefix="t19_stage_")
     now = time.time()
+    vecs.filter(F.col("vec_id") < _IVF_QUERIES).withColumn(
+        "_q", F.col("vec_id")
+    ).coalesce(1).write.mode("overwrite").partitionBy("_q").parquet(stage)
     for i in range(_IVF_QUERIES):
-        sdir = os.path.join(stage, f"q{i}")
-        vecs.filter(F.col("vec_id") == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sdir)
-        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+        part = _staged_file(stage, f"_q={i}", vecs)
         dst = os.path.join(watch, f"q{i:04d}.parquet")
         shutil.copyfile(part, dst)
         os.utime(dst, (now - 300 + 10 * i, now - 300 + 10 * i))
@@ -1173,12 +1198,16 @@ def t20_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = time.time()
     pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
     ranges = ("0123", "4567", "89ab", "cdef")
-    for i, chars in enumerate(ranges):
-        sdir = os.path.join(stage, f"b{i}")
-        vecs.filter(
-            pfx.isin(*list(chars))
-        ).coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+    # ONE staging job: all four arrival batches in one partitioned
+    # write (the _g partition column is directory-only).
+    grp = F.when(pfx.isin(*list(ranges[0])), 0).when(
+        pfx.isin(*list(ranges[1])), 1
+    ).when(pfx.isin(*list(ranges[2])), 2).otherwise(3)
+    vecs.withColumn("_g", grp).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("_g").parquet(stage)
+    for i in range(len(ranges)):
+        part = _staged_file(stage, f"_g={i}", vecs)
         dst = os.path.join(watch, f"batch_{i}.parquet")
         shutil.copyfile(part, dst)
         os.utime(dst, (now - 300 + 10 * i, now - 300 + 10 * i))
@@ -1534,25 +1563,40 @@ def t21_stream_serve_during_ingest(
     ]
 
     # Stage the interleaved arrivals: ingest batch i then a probe of
-    # the full query workload, alternating, mtime-ordered.
+    # the full query workload, alternating, mtime-ordered.  TWO Spark
+    # jobs total: all ingest groups land in one partitioned write
+    # (coalesce(1) → one file per _g dir; staging volume is one
+    # corpus pass either way) and the probe workload — identical
+    # every round — is written once and hard-copied per round.
     watch = tempfile.mkdtemp(prefix="t21_in_")
     stage = tempfile.mkdtemp(prefix="t21_stage_")
     now = time.time()
     pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    queries = vecs.filter(F.col("vec_id") < _IVF_QUERIES)
+    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+        pfx.isin(*list(_T21_RANGES[1])), 1
+    ).otherwise(2)
+    vecs.withColumn("_g", grp).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+    vecs.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "probe"))
+    probe_part = glob.glob(
+        os.path.join(stage, "probe", "part-*.parquet")
+    )[0]
 
-    def _stage_one(df: DataFrame, name: str, order: int) -> None:
-        sdir = os.path.join(stage, name)
-        df.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+    def _arrive(src: str, name: str, order: int) -> None:
         dst = os.path.join(watch, f"{order:02d}_{name}.parquet")
-        shutil.copyfile(part, dst)
+        shutil.copyfile(src, dst)
         ts = now - 600 + 10 * order
         os.utime(dst, (ts, ts))
 
-    for i, chars in enumerate(_T21_RANGES):
-        _stage_one(vecs.filter(pfx.isin(*list(chars))), f"i{i}", 2 * i)
-        _stage_one(queries, f"p{i}", 2 * i + 1)
+    for i in range(len(_T21_RANGES)):
+        ingest_part = _staged_file(
+            os.path.join(stage, "ingest"), f"_g={i}", vecs
+        )
+        _arrive(ingest_part, f"i{i}", 2 * i)
+        _arrive(probe_part, f"p{i}", 2 * i + 1)
 
     store = tempfile.mkdtemp(prefix="t21_store_")
     out_dir = tempfile.mkdtemp(prefix="t21_out_")
