@@ -42,6 +42,7 @@ _GATE_PRIORITY = (
     "hybrid_rrf_topk",
     "bm25_topk",
     "corpus_temperature_mix",
+    "t22_stream_compact_while_serving",
 )
 
 

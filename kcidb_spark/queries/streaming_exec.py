@@ -1757,3 +1757,319 @@ def ivf_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compacted)
         .select("vec_id", "c_id", "src_batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# t22: COMPACTION WHILE SERVING — the full store lifecycle online
+# ---------------------------------------------------------------------------
+
+def read_serve_manifest(store: str) -> dict:
+    """Tiered-store manifest: ``{"wm": N, "compacted_upto": M,
+    "compacted_dir": name}`` — ONE json file swapped atomically, so a
+    reader always sees a consistent (watermark, compaction) pair.
+    Missing file = empty store.  The t21 ``_watermark`` file is the
+    single-field special case; the tiered layout needs the pair to
+    change TOGETHER (a compaction that moved batches ≤ M into a new
+    generation must atomically stop readers from also reading those
+    batches' old subtrees)."""
+    import json
+
+    try:
+        with open(os.path.join(store, "_manifest.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {"wm": -1, "compacted_upto": -1, "compacted_dir": None}
+
+
+def _publish_serve_manifest(store: str, **updates) -> None:
+    """Atomic read-modify-replace; ``wm`` and ``compacted_upto`` are
+    monotone (a replayed old transaction can only re-publish)."""
+    import json
+
+    cur = read_serve_manifest(store)
+    for k, v in updates.items():
+        if k in ("wm", "compacted_upto"):
+            cur[k] = max(cur.get(k, -1), v)
+        else:
+            cur[k] = v
+    tmp = os.path.join(store, f"_manifest.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(cur, fh)
+    os.replace(tmp, os.path.join(store, "_manifest.json"))
+
+
+def ingest_vec_batch_tiered(
+    batch_df: DataFrame,
+    store: str,
+    batch_id: int,
+    cents: list,
+    fail_before_manifest: bool = False,
+) -> None:
+    """t21's ingest transaction against the tiered manifest: same
+    subtree overwrite, manifest advance through the json swap."""
+    ingest_vec_batch_txn(
+        batch_df, store, batch_id, cents, fail_before_manifest=True
+    )
+    if fail_before_manifest:
+        return
+    _publish_serve_manifest(store, wm=batch_id)
+
+
+def compact_store_txn(
+    spark: SparkSession,
+    store: str,
+    upto: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One COMPACTION transaction: fold every committed batch subtree
+    with ``batch_id <= upto`` (plus the previous compacted
+    generation, if any) into a fresh generation directory partitioned
+    by c_id alone — first occurrence wins (min batch_id, carried
+    between generations as ``src_batch``) — then atomically swap the
+    manifest so readers flip from {old gen + batches ≤ upto + tail}
+    to {new gen + tail} in one step.  A crash before the swap leaves
+    readers on the old layout (the half-written generation dir is
+    invisible — same argument as the ingest manifest); replay
+    overwrites the generation dir and swaps.  Superseded batch
+    subtrees and old generations become garbage, deletable lazily —
+    never read again because the manifest no longer references them
+    (the LSM discipline: readers follow the manifest, cleaners follow
+    the readers)."""
+    man = read_serve_manifest(store)
+    gen_dir = f"gen_{upto}"
+    tail_schema = _T21_SCHEMA + ", src_batch bigint"
+    tiers = []
+    data = os.path.join(store, "data")
+    if os.path.isdir(data):
+        tiers.append(
+            spark.read.schema(_T21_SCHEMA)
+            .parquet(data)
+            .filter(F.col("batch_id") <= F.lit(upto))
+            .withColumn("src_batch", F.col("batch_id"))
+            .select(
+                "vec_id", "v", "nrm", "c_id", "src_batch"
+            )
+        )
+    if man.get("compacted_dir"):
+        tiers.append(
+            spark.read.schema(
+                "vec_id long, v array<double>, nrm double,"
+                " src_batch bigint, c_id bigint"
+            )
+            .parquet(os.path.join(store, man["compacted_dir"]))
+            .select("vec_id", "v", "nrm", "c_id", "src_batch")
+        )
+    assert tiers, tail_schema
+    merged = tiers[0]
+    for t in tiers[1:]:
+        merged = merged.unionByName(t)
+    first = merged.groupBy("vec_id").agg(
+        F.min("src_batch").alias("src_batch"),
+        F.min_by("c_id", "src_batch").alias("c_id"),
+        F.min_by("v", "src_batch").alias("v"),
+        F.min_by("nrm", "src_batch").alias("nrm"),
+    )
+    first.write.mode("overwrite").partitionBy("c_id").parquet(
+        os.path.join(store, gen_dir)
+    )
+    if fail_before_manifest:
+        return
+    _publish_serve_manifest(
+        store, compacted_upto=upto, compacted_dir=gen_dir
+    )
+
+
+def probe_tiered_topk(
+    batch_df: DataFrame,
+    store: str,
+    cents: list,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """t21's manifest-visible probe over the TIERED layout: members =
+    the compacted generation (already ≤ compacted_upto) ∪ tail
+    batches (compacted_upto < batch_id ≤ wm), both partition-pruned
+    to the probed clusters.  Results carry probe_round = wm, exactly
+    like the flat probe — compaction must be invisible in results,
+    which is precisely what the t22 oracle certifies."""
+    from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+    from kcidb_spark.operators.similarity import dot_expr, ivf_rank
+
+    sess = batch_df.sparkSession
+    man = read_serve_manifest(store)
+    wm, cupto = man["wm"], man["compacted_upto"]
+    cdf = sess.createDataFrame(
+        cents, "c_id bigint, cv array<double>, cn double"
+    )
+    q = batch_df.withColumn(
+        "qn", F.expr(f"sqrt({dot_expr('v', 'v')})")
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "qn"
+    )
+    c_sim = F.expr(f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)")
+    w_probe = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    q_probe = (
+        q.crossJoin(F.broadcast(cdf))
+        .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "c_id", "qv", "qn")
+    ).persist()
+    try:
+        probed = sorted(
+            r["c_id"] for r in q_probe.select("c_id").distinct().collect()
+        )
+        tiers = []
+        if man.get("compacted_dir") and cupto >= 0:
+            tiers.append(
+                sess.read.schema(
+                    "vec_id long, v array<double>, nrm double,"
+                    " src_batch bigint, c_id bigint"
+                )
+                .parquet(os.path.join(store, man["compacted_dir"]))
+                .filter(F.col("c_id").isin(probed))
+                .select("vec_id", "v", "nrm", "c_id")
+            )
+        tiers.append(
+            sess.read.schema(_T21_SCHEMA)
+            .parquet(os.path.join(store, "data"))
+            .filter(
+                (F.col("batch_id") > F.lit(cupto))
+                & (F.col("batch_id") <= F.lit(wm))
+                & F.col("c_id").isin(probed)
+            )
+            .select("vec_id", "v", "nrm", "c_id")
+        )
+        members = tiers[0]
+        for t in tiers[1:]:
+            members = members.unionByName(t)
+        members = members.select(
+            F.col("vec_id").alias("n_id"),
+            "c_id",
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+        )
+        return ivf_rank(members, q_probe, k).withColumn(
+            "probe_round", F.lit(wm).cast("long")
+        )
+    finally:
+        q_probe.unpersist()
+
+
+@register(
+    "t22_stream_compact_while_serving",
+    oracle=_t21_oracle(),
+    tags=("T2", "T3", "streaming", "similarity", "ivf", "index", "layout"),
+)
+def t22_stream_compact_while_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full store lifecycle ONLINE: the t21 interleaving
+    (I0,P0,I1,P1,I2,P2) with a COMPACTION transaction folded into the
+    stream after ingest batch 1 — batches 0-1 merge into a
+    ``gen_1/c_id=K`` generation, the manifest swaps atomically, and
+    the remaining probes read {generation ∪ tail} through the same
+    partition pruning.  The oracle is t21's, UNCHANGED — that is the
+    theorem this entry certifies: compaction changes the LAYOUT a
+    probe reads, never the rows it returns, even though probe round 1
+    runs immediately after the swap and round 2 reads one compacted
+    generation plus one tail batch.  Crash windows are t21's twice
+    over (ingest and compaction each publish only after their subtree
+    write returns; both replays overwrite their own target and
+    re-swap — pinned in tests/test_serve_during_ingest.py).
+
+    Scale shape: compaction reads each tier once (pruned to
+    ``batch_id <= upto``), one map-side min_by partial agg, one
+    partitioned write — the LSM maintenance cost, paid off-stream in
+    production but certified in-stream here so the read path crosses
+    a live generation swap; probes stay query-sized (the t21/serve
+    rehearsal measured the flat-probe wall at 1.13× for 100× data,
+    and the tiered read adds one more pruned directory tree)."""
+    import glob
+    import shutil
+    import time
+
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    watch = tempfile.mkdtemp(prefix="t22_in_")
+    stage = tempfile.mkdtemp(prefix="t22_stage_")
+    now = time.time()
+    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+        pfx.isin(*list(_T21_RANGES[1])), 1
+    ).otherwise(2)
+    vecs.withColumn("_g", grp).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+    vecs.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "probe"))
+    probe_part = glob.glob(
+        os.path.join(stage, "probe", "part-*.parquet")
+    )[0]
+
+    def _arrive(src: str, name: str, order: int) -> None:
+        dst = os.path.join(watch, f"{order:02d}_{name}.parquet")
+        shutil.copyfile(src, dst)
+        ts = now - 600 + 10 * order
+        os.utime(dst, (ts, ts))
+
+    for i in range(len(_T21_RANGES)):
+        _arrive(
+            _staged_file(os.path.join(stage, "ingest"), f"_g={i}", vecs),
+            f"i{i}", 2 * i,
+        )
+        _arrive(probe_part, f"p{i}", 2 * i + 1)
+
+    store = tempfile.mkdtemp(prefix="t22_store_")
+    out_dir = tempfile.mkdtemp(prefix="t22_out_")
+    shutil.rmtree(out_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id % 2 == 0:                      # ingest epoch
+            bid = epoch_id // 2
+            ingest_vec_batch_tiered(batch_df, store, bid, cents)
+            if bid == 1:
+                # Fold batches 0-1 into a generation MID-STREAM: the
+                # next probe (epoch 3) serves across the swap.
+                compact_store_txn(batch_df.sparkSession, store, 1)
+        else:                                      # probe epoch
+            probe_tiered_topk(
+                batch_df, store, cents, _IVF_K
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="t22_ckpt_")
+    q = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("t22_stream_compact_while_serving", q)
+    for d in (ckpt, watch, stage, store):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "probe_round", "q_id", "n_id", "sim"
+    )

@@ -161,3 +161,98 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     assert m_b, plan[:2000]
     pf = m_b.group(0)
     assert "c_id" in pf and "<=" in pf, pf
+
+
+# ---------------------------------------------------------------------------
+# t22: the tiered (compacting) store — crash windows and invariance
+# ---------------------------------------------------------------------------
+
+
+def _tprobe(spark, store, qs=((100, (1.0, 0.1)),), k=5):
+    from kcidb_spark.queries.streaming_exec import probe_tiered_topk
+
+    return sorted(
+        (r["probe_round"], r["q_id"], r["n_id"], r["sim"])
+        for r in probe_tiered_topk(_vecs(spark, qs), store, CENTS, k).collect()
+    )
+
+
+def test_compaction_is_invisible_to_probes(spark, tmp_path):
+    """The t22 theorem at unit scale: identical probe rows before the
+    compaction, while its generation dir is written-but-unpublished
+    (crash window), and after the manifest swap — then a tail batch
+    lands and the tiered read serves generation ∪ tail."""
+    from kcidb_spark.queries.streaming_exec import (
+        compact_store_txn,
+        ingest_vec_batch_tiered,
+        read_serve_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(20, (0.95, 0.05))]), store, 1, CENTS
+    )
+    before = _tprobe(spark, store)
+    assert {r[2] for r in before} == {10, 11, 20}
+
+    # Crash: generation written, manifest NOT swapped.
+    compact_store_txn(spark, store, 1, fail_before_manifest=True)
+    assert read_serve_manifest(store)["compacted_upto"] == -1
+    assert _tprobe(spark, store) == before
+
+    # Replay completes; rows identical, layout now the generation.
+    compact_store_txn(spark, store, 1)
+    man = read_serve_manifest(store)
+    assert man["compacted_upto"] == 1 and man["compacted_dir"] == "gen_1"
+    assert _tprobe(spark, store) == before
+
+    # A tail batch after the compaction: generation ∪ tail served.
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(30, (0.97, 0.02))]), store, 2, CENTS
+    )
+    after = _tprobe(spark, store)
+    assert {r[2] for r in after} == {10, 11, 20, 30}
+    assert all(r[0] == 2 for r in after)
+
+
+def test_second_generation_folds_first(spark, tmp_path):
+    """Generations chain: compacting again after more batches folds
+    the PREVIOUS generation (src_batch preserved — first occurrence
+    stays with its original batch across generations)."""
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.queries.streaming_exec import (
+        compact_store_txn,
+        ingest_vec_batch_tiered,
+        read_serve_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    # vec 10 arrives in batch 0 AND re-arrives in batch 2 (re-crawl).
+    ingest_vec_batch_tiered(_vecs(spark, [(10, (0.9, 0.1))]), store, 0, CENTS)
+    ingest_vec_batch_tiered(_vecs(spark, [(20, (0.1, 0.9))]), store, 1, CENTS)
+    compact_store_txn(spark, store, 1)
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(10, (0.9, 0.1)), (30, (0.8, 0.2))]), store, 2, CENTS
+    )
+    compact_store_txn(spark, store, 2)
+    man = read_serve_manifest(store)
+    assert man["compacted_dir"] == "gen_2"
+    rows = {
+        (r["vec_id"], r["src_batch"])
+        for r in spark.read.schema(
+            "vec_id long, v array<double>, nrm double,"
+            " src_batch bigint, c_id bigint"
+        )
+        .parquet(f"{store}/gen_2")
+        .select("vec_id", "src_batch")
+        .collect()
+    }
+    # First occurrence of 10 is batch 0, through two generations.
+    assert rows == {(10, 0), (20, 1), (30, 2)}
+    assert _tprobe(spark, store) and all(
+        r[0] == 2 for r in _tprobe(spark, store)
+    )
