@@ -934,6 +934,7 @@ def main() -> None:
         # volume, and the usual base-vs-scaled ratios.
         names = [
             "t21_stream_serve_during_ingest",
+            "t22_stream_compact_while_serving",
             "t20_stream_ivf_ingest",
             "t19_store_build",
             "t19_stream_ann_probe",
