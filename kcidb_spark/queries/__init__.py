@@ -43,6 +43,7 @@ _GATE_PRIORITY = (
     "bm25_topk",
     "corpus_temperature_mix",
     "t22_stream_compact_while_serving",
+    "bm25_prf_expansion",
 )
 
 
@@ -50,26 +51,11 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    # Round 12, block 1 — implementations CHANGED this round and must
-    # re-certify: the six selection gates sit on operators/rank.py,
-    # whose tie sub-bucket moved from raw double division to the
-    # clamped form and whose preconditions hardened (ADVICE r11 ×3 +
-    # the tie-prefix-collapse loud raise, VERDICT r11 #6).
-    "lm_surprisal_filter",
-    "quality_percentile_filter",
-    "dsir_select_per_source",
-    "dsir_gumbel_sample",
-    "pipeline_select_corpus",
-    "pipeline_assemble_corpus",
-    # t19's one-off store build moved out of its serve wall onto the
-    # session-keyed store (VERDICT r11 #5) — oracle unchanged, but the
-    # serve path now READS the shared store, so re-certify; t20's
-    # arrival staging consolidated to one partitioned write.
-    "t19_stream_ann_probe",
-    "t20_stream_ivf_ingest",
-    # Block 2 — the ENTIRE r7-stale slice (VERDICT r11 #4): every
-    # entry whose gate-of-record row is ≥4 rounds old, so nothing
-    # stays certified-but-unchecked older than r8 after this round.
+    # Round 12, block 1 — the ENTIRE r7-stale slice (VERDICT r11 #4):
+    # every entry whose gate-of-record row is >=4 rounds old, listed
+    # FIRST so the whole slice certifies inside the 50-row window
+    # even with eleven new round-12 entries ahead of it; after this
+    # round nothing stays certified-but-unchecked older than r8.
     "a15_exact_quantiles",
     "boilerplate_ngram_ratio",
     "bpe_adjacent_pairs",
@@ -103,6 +89,23 @@ _GATE_RECHECK = (
     "t9_sliding_window",
     "tfidf_top_terms",
     "vocab_oov_rate",
+    # Block 2 — implementations CHANGED this round: the six selection
+    # gates sit on operators/rank.py, whose tie sub-bucket moved to
+    # the clamped form and whose preconditions hardened (ADVICE r11
+    # x3 + the tie-prefix-collapse loud raise); t19 reads the shared
+    # session store (build split out, VERDICT r11 #5); t19/t20
+    # arrival staging consolidated.  Ordered lowest-risk last: with
+    # eleven new entries the 50-row window fits all of block 1 plus
+    # six of these eight; t19/t20 were re-oracle-checked locally this
+    # round and the parity sweep covers whatever slips to r13.
+    "lm_surprisal_filter",
+    "quality_percentile_filter",
+    "dsir_select_per_source",
+    "dsir_gumbel_sample",
+    "pipeline_select_corpus",
+    "pipeline_assemble_corpus",
+    "t19_stream_ann_probe",
+    "t20_stream_ivf_ingest",
 )
 
 

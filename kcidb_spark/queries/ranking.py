@@ -823,3 +823,173 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BM25_K)
         .select("q_id", "n_id", "score_micro", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback — query expansion over the BM25 top docs
+# ---------------------------------------------------------------------------
+
+_PRF_DOCS = 3     # pseudo-relevant set size (BM25 top-k per query)
+_PRF_TERMS = 5    # expansion terms returned per query
+
+#: One (doc, term) expansion contribution in micro-bits:
+#: floor(tf · idf · 2^20) with the same rational idf as BM25 — one
+#: correctly-rounded division, one multiplication (tf exact as a
+#: double), the exact 2^20 scaling, floor to BIGINT; summed over the
+#: ≤{_PRF_DOCS} pseudo-relevant docs as integers (order-free).
+_PRF_TERM_MICRO = (
+    "CAST(floor("
+    " (CAST(2 * {N} + 2 AS DOUBLE) / (2 * {df} + 1))"
+    " * {tf} * {scale}) AS BIGINT)"
+)
+
+
+@register(
+    "bm25_prf_expansion",
+    oracle=dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+            GROUP BY doc_id
+        ),
+        dft AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len) AS BIGINT) AS s
+            FROM dlen
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS q_id, w FROM toks
+            WHERE doc_id < {_BM25_QUERIES}
+        ),
+        prf AS (
+            SELECT q_id, n_id FROM (
+                SELECT q.q_id, tf.doc_id AS n_id,
+                       CAST(sum({_BM25_TERM_MICRO.format(
+                           N='tot.n', df='dft.df', tf='tf.tf',
+                           S='tot.s', len='dlen.len',
+                           scale=_BM25_SCALE)}) AS BIGINT)
+                           AS score_micro
+                FROM qterms q
+                JOIN tf ON tf.w = q.w AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.w = tf.w
+                JOIN dlen ON dlen.doc_id = tf.doc_id
+                CROSS JOIN tot
+                GROUP BY q.q_id, tf.doc_id
+            ) QUALIFY row_number() OVER (
+                PARTITION BY q_id ORDER BY score_micro DESC, n_id
+            ) <= {_PRF_DOCS}
+        )
+        SELECT q_id, term, weight_micro, rk FROM (
+            SELECT q_id, term, weight_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY weight_micro DESC, term
+                   ) AS BIGINT) AS rk
+            FROM (
+                SELECT prf.q_id, tf.w AS term,
+                       CAST(sum({_PRF_TERM_MICRO.format(
+                           N='tot.n', df='dft.df', tf='tf.tf',
+                           scale=_BM25_SCALE)}) AS BIGINT)
+                           AS weight_micro
+                FROM prf
+                JOIN tf ON tf.doc_id = prf.n_id
+                JOIN dft ON dft.w = tf.w
+                CROSS JOIN tot
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM qterms q
+                    WHERE q.q_id = prf.q_id AND q.w = tf.w
+                )
+                GROUP BY prf.q_id, tf.w
+            )
+        ) WHERE rk <= {_PRF_TERMS}
+    """),
+    tags=("pipeline", "ranking"),
+)
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback QUERY EXPANSION (Rocchio/RM-style):
+    run BM25, take each query's top-{_PRF_DOCS} documents as the
+    pseudo-relevant set, and rank the NEW terms those documents
+    contribute (anti-joined against the query's own vocabulary) by
+    Σ_docs tf·idf in micro-bits — the classic recall-repair loop a
+    search stack runs before its second retrieval pass.  Same
+    exactness doctrine as bm25_topk: every term weight is one
+    correctly-rounded division and multiplication floored to BIGINT,
+    so the summed weights and therefore the expansion ranking
+    hash-match DuckDB.
+
+    Plan: the bm25 subtree (tf persisted once, feeding length/df/
+    match/expansion joins) → per-query WindowGroupLimit top-{_PRF_DOCS}
+    (a ≤ queries×{_PRF_DOCS}-row control-plane frame, broadcast into
+    the expansion join) → candidate-doc tf scan keyed by the
+    pseudo-relevant ids → LEFT ANTI join on the query vocabulary →
+    integer partial-agg sum → per-query WindowGroupLimit
+    top-{_PRF_TERMS}."""
+    from kcidb_spark.cache import scoped_persist
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+    )
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tot = dlen.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("s"),
+    )
+    qterms = tf.filter(F.col("doc_id") < _BM25_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    bm25_micro = _BM25_TERM_MICRO.format(
+        N="n", df="df", tf="tf", S="s", len="len", scale=_BM25_SCALE
+    )
+    w_doc = W.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc("n_id")
+    )
+    prf = (
+        qterms.join(tf.withColumnRenamed("doc_id", "n_id"), on="w")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .join(dft, on="w")
+        .join(dlen.withColumnRenamed("doc_id", "n_id"), on="n_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum(F.expr(bm25_micro)).cast("long").alias("score_micro"))
+        .withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= _PRF_DOCS)
+        .select("q_id", "n_id")
+    )
+    prf_micro = _PRF_TERM_MICRO.format(
+        N="n", df="df", tf="tf", scale=_BM25_SCALE
+    )
+    w_term = W.partitionBy("q_id").orderBy(
+        F.desc("weight_micro"), F.asc("term")
+    )
+    cand = (
+        F.broadcast(prf)
+        .join(tf.withColumnRenamed("doc_id", "n_id"), on="n_id")
+        .join(qterms, on=["q_id", "w"], how="left_anti")
+        .join(dft, on="w")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        cand.groupBy("q_id", F.col("w").alias("term"))
+        .agg(F.sum(F.expr(prf_micro)).cast("long").alias("weight_micro"))
+        .withColumn("rk", F.row_number().over(w_term).cast("long"))
+        .filter(F.col("rk") <= _PRF_TERMS)
+        .select("q_id", "term", "weight_micro", "rk")
+    )
