@@ -2073,3 +2073,40 @@ def t22_stream_compact_while_serving(
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "sim"
     )
+
+
+def serve_store_gc(store: str) -> list:
+    """Garbage-collect the tiered store: delete what the manifest no
+    longer references — batch subtrees with ``batch_id <=
+    compacted_upto`` (folded into the current generation) and
+    generation directories other than the current one.  Returns the
+    deleted paths.  Safe order is the LSM discipline: readers follow
+    the manifest, cleaners follow the readers — the manifest swap
+    happened strictly before, so no reader planning a scan after the
+    swap can list these directories; a reader that planned BEFORE the
+    swap must finish before GC runs (production: a grace period of
+    one max-query-duration; this single-process engine has no such
+    overlap).  Crash-safety: GC is pure deletion of unreferenced
+    paths, so a crash mid-GC just leaves some garbage for the next
+    run — the manifest is never touched."""
+    import re
+    import shutil
+
+    man = read_serve_manifest(store)
+    cupto = man.get("compacted_upto", -1)
+    current = man.get("compacted_dir")
+    deleted = []
+    data = os.path.join(store, "data")
+    if os.path.isdir(data) and cupto >= 0:
+        for d in os.listdir(data):
+            m = re.fullmatch(r"batch_id=(\d+)", d)
+            if m and int(m.group(1)) <= cupto:
+                path = os.path.join(data, d)
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(path)
+    for d in os.listdir(store):
+        if re.fullmatch(r"gen_\d+", d) and d != current:
+            path = os.path.join(store, d)
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(path)
+    return sorted(deleted)

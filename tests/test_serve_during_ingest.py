@@ -256,3 +256,138 @@ def test_second_generation_folds_first(spark, tmp_path):
     assert _tprobe(spark, store) and all(
         r[0] == 2 for r in _tprobe(spark, store)
     )
+
+
+def test_gc_deletes_only_unreferenced_and_probes_unchanged(spark, tmp_path):
+    """The lifecycle's last step: after a compaction, GC removes the
+    folded batch subtrees and superseded generations — and NOTHING
+    the manifest still references — leaving every probe result
+    byte-identical.  A second GC is a no-op (idempotent, like every
+    transaction in this store)."""
+    import os as _os
+
+    from kcidb_spark.queries.streaming_exec import (
+        compact_store_txn,
+        ingest_vec_batch_tiered,
+        serve_store_gc,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(20, (0.95, 0.05))]), store, 1, CENTS
+    )
+    compact_store_txn(spark, store, 1)
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(30, (0.97, 0.02))]), store, 2, CENTS
+    )
+    compact_store_txn(spark, store, 2)       # gen_2 supersedes gen_1
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(40, (0.2, 0.8))]), store, 3, CENTS
+    )
+    before = _tprobe(spark, store)
+    assert {r[2] for r in before} == {10, 11, 20, 30, 40}
+
+    deleted = serve_store_gc(store)
+    names = {_os.path.basename(p) for p in deleted}
+    # Folded batches 0-2 and the superseded gen_1 go; the current
+    # generation and the live tail batch stay.
+    assert names == {"batch_id=0", "batch_id=1", "batch_id=2", "gen_1"}
+    assert _os.path.isdir(_os.path.join(store, "gen_2"))
+    assert _os.path.isdir(_os.path.join(store, "data", "batch_id=3"))
+    assert _tprobe(spark, store) == before
+    assert serve_store_gc(store) == []        # idempotent
+
+
+def test_t21_stream_restart_mid_run(spark, tmp_path):
+    """The t21 pipeline across a RESTART: drain I0,P0,I1 with
+    availableNow, go down, let P1,I2,P2 arrive, drain again from the
+    SAME checkpoint.  The source ledger must hand the second drain
+    only the new files with CONTINUING epoch ids (the parity dispatch
+    depends on it), and the union of probe outputs must equal the
+    sequential no-stream reference — ingest exactly-once and
+    watermark visibility surviving the restart end-to-end through the
+    real engine."""
+    import glob
+    import os as _os
+    import shutil
+    import time
+
+    from kcidb_spark.queries.streaming_exec import (
+        ingest_vec_batch_txn,
+        probe_visible_topk,
+    )
+
+    batches = [
+        [(10, (0.9, 0.1)), (11, (0.1, 0.9))],
+        [(20, (0.95, 0.05))],
+        [(30, (0.3, 0.8))],
+    ]
+    queries = [(100, (1.0, 0.1)), (101, (0.1, 1.0))]
+    watch = tmp_path / "in"
+    watch.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+
+    def stage(df, name, order):
+        sdir = str(tmp_path / f"st_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(sdir + "/part-*.parquet")[0]
+        dst = str(watch / f"{order:02d}_{name}.parquet")
+        shutil.copyfile(part, dst)
+        ts = now - 600 + 10 * order
+        _os.utime(dst, (ts, ts))
+
+    def handle(batch_df, epoch_id):
+        if epoch_id % 2 == 0:
+            ingest_vec_batch_txn(batch_df, store, epoch_id // 2, CENTS)
+        else:
+            probe_visible_topk(
+                batch_df, store, CENTS, 5
+            ).write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def drain():
+        q = (
+            spark.readStream.schema("vec_id long, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(watch))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    qdf = _vecs(spark, queries)
+    stage(_vecs(spark, batches[0]), "i0", 0)
+    stage(qdf, "p0", 1)
+    stage(_vecs(spark, batches[1]), "i1", 2)
+    drain()
+    # Query is DOWN; the next interleaving wave arrives.
+    stage(qdf, "p1", 3)
+    stage(_vecs(spark, batches[2]), "i2", 4)
+    stage(qdf, "p2", 5)
+    drain()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("probe_round", "q_id", "n_id", "sim")
+        .collect()
+    )
+    ref_store = str(tmp_path / "ref")
+    expected = []
+    for i, b in enumerate(batches):
+        ingest_vec_batch_txn(_vecs(spark, b), ref_store, i, CENTS)
+        expected += [
+            tuple(r)
+            for r in probe_visible_topk(qdf, ref_store, CENTS, 5)
+            .select("probe_round", "q_id", "n_id", "sim")
+            .collect()
+        ]
+    assert got == sorted(expected)
+    assert {r[0] for r in got} == {0, 1, 2}
