@@ -135,6 +135,10 @@ _GLOBAL_WINDOW_OK = {
     # construction, stated in the entry's docstring; the corpus is
     # touched only by the partial-agg token count.
     "corpus_unimax_budget",
+    # Same posture (r12): the largest-remainder apportionment windows
+    # run over the PER-SOURCE aggregate — ≤ |sources| rows; the
+    # corpus is touched only by the one partial-agg count scan.
+    "corpus_temperature_mix",
 }
 
 
