@@ -44,6 +44,7 @@ _GATE_PRIORITY = (
     "corpus_temperature_mix",
     "t22_stream_compact_while_serving",
     "bm25_prf_expansion",
+    "ann_serve_with_deletes",
 )
 
 

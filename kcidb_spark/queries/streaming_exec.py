@@ -1411,13 +1411,84 @@ def probe_visible_topk(
                 "c_id",
                 F.col("v").alias("nv"),
                 F.col("nrm").alias("nn"),
+                F.col("batch_id").alias("m_batch"),
             )
+        )
+        members = _drop_tombstoned(sess, store, wm, members).drop(
+            "m_batch"
         )
         return ivf_rank(members, q_probe, k).withColumn(
             "probe_round", F.lit(wm).cast("long")
         )
     finally:
         q_probe.unpersist()
+
+
+def _drop_tombstoned(sess, store: str, wm: int, members: DataFrame):
+    """Anti-join the manifest-visible tombstones against candidate
+    members under LSM ordering semantics: a tombstone at batch T
+    hides copies ingested at batches ≤ T (``m_batch <= tomb_batch``);
+    a LATER re-ingest is a new version and stays visible — which is
+    also what makes a fully folded tombstone SPENT and GC-able after
+    compaction, with no visibility discontinuity at the fold."""
+    tomb = _visible_tombstones(sess, store, wm)
+    if tomb is None:
+        return members
+    t = F.broadcast(tomb.withColumnRenamed("vec_id", "n_id"))
+    return members.join(
+        t,
+        on=[
+            members["n_id"] == t["n_id"],
+            members["m_batch"] <= t["tomb_batch"],
+        ],
+        how="left_anti",
+    )
+
+
+def _visible_tombstones(sess, store: str, upto: int):
+    """(vec_id) rows of every DELETE transaction with batch_id ≤ the
+    given watermark, or None when the store has no tombstones dir —
+    so the t21/t22 paths are byte-unchanged until a delete happens.
+    Tombstones ride the SAME batch discipline as ingest (one
+    ``batch_id=N`` subtree per delete transaction, manifest publish
+    after the write), so visibility and replay semantics are
+    inherited, not reimplemented.  Broadcast-sized by contract:
+    deletes are request-scale (GDPR erasure, moderation), not
+    corpus-scale — a corpus-scale delete is a rebuild."""
+    tdir = os.path.join(store, "tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    return (
+        sess.read.schema("vec_id long, batch_id bigint")
+        .parquet(tdir)
+        .filter(F.col("batch_id") <= F.lit(upto))
+        .groupBy("vec_id")
+        .agg(F.max("batch_id").alias("tomb_batch"))
+    )
+
+
+def delete_vec_batch_txn(
+    spark: SparkSession,
+    ids_df: DataFrame,
+    store: str,
+    batch_id: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One DELETE transaction against the serving store: write the
+    tombstone set under ``tombstones/batch_id=N`` (overwrite — replay
+    replaces itself), then advance the SAME watermark ingest uses, so
+    a probe that can see batch N's data can also see batch N's
+    deletes and never a torn mixture.  ``ids_df``: (vec_id)."""
+    ids_df.select("vec_id").write.mode("overwrite").parquet(
+        os.path.join(store, "tombstones", f"batch_id={batch_id}")
+    )
+    if fail_before_manifest:
+        return
+    # Layout-agnostic publish: flat stores read `_watermark`, tiered
+    # stores read `_manifest.json` — a delete advances whichever the
+    # store's probes follow (both files are tiny atomic swaps).
+    _publish_serve_watermark(store, batch_id)
+    _publish_serve_manifest(store, wm=batch_id)
 
 
 #: Deterministic 3-way arrival split by md5(vec_id) first hex char —
@@ -1863,6 +1934,22 @@ def compact_store_txn(
     merged = tiers[0]
     for t in tiers[1:]:
         merged = merged.unionByName(t)
+    # Fold tombstones with batch ≤ upto: drop the copies they hide
+    # (src_batch ≤ tomb_batch).  Once folded, those tombstones are
+    # SPENT — every row they could ever hide is gone from the
+    # generation, and tail rows have batch_id > upto ≥ tomb_batch —
+    # so GC reclaims their subtrees (serve_store_gc).
+    tomb = _visible_tombstones(spark, store, upto)
+    if tomb is not None:
+        tb = F.broadcast(tomb)
+        merged = merged.join(
+            tb,
+            on=[
+                merged["vec_id"] == tb["vec_id"],
+                merged["src_batch"] <= tb["tomb_batch"],
+            ],
+            how="left_anti",
+        )
     first = merged.groupBy("vec_id").agg(
         F.min("src_batch").alias("src_batch"),
         F.min_by("c_id", "src_batch").alias("c_id"),
@@ -1929,7 +2016,10 @@ def probe_tiered_topk(
                 )
                 .parquet(os.path.join(store, man["compacted_dir"]))
                 .filter(F.col("c_id").isin(probed))
-                .select("vec_id", "v", "nrm", "c_id")
+                .select(
+                    "vec_id", "v", "nrm", "c_id",
+                    F.col("src_batch").alias("m_batch"),
+                )
             )
         tiers.append(
             sess.read.schema(_T21_SCHEMA)
@@ -1939,7 +2029,10 @@ def probe_tiered_topk(
                 & (F.col("batch_id") <= F.lit(wm))
                 & F.col("c_id").isin(probed)
             )
-            .select("vec_id", "v", "nrm", "c_id")
+            .select(
+                "vec_id", "v", "nrm", "c_id",
+                F.col("batch_id").alias("m_batch"),
+            )
         )
         members = tiers[0]
         for t in tiers[1:]:
@@ -1949,6 +2042,10 @@ def probe_tiered_topk(
             "c_id",
             F.col("v").alias("nv"),
             F.col("nrm").alias("nn"),
+            "m_batch",
+        )
+        members = _drop_tombstoned(sess, store, wm, members).drop(
+            "m_batch"
         )
         return ivf_rank(members, q_probe, k).withColumn(
             "probe_round", F.lit(wm).cast("long")
@@ -2109,4 +2206,136 @@ def serve_store_gc(store: str) -> list:
             path = os.path.join(store, d)
             shutil.rmtree(path, ignore_errors=True)
             deleted.append(path)
+    # Spent tombstones: a tombstone with batch ≤ compacted_upto was
+    # folded into the generation (its hidden copies are gone) and can
+    # never hide a tail row (tail batch > compacted_upto ≥ its own).
+    tombs = os.path.join(store, "tombstones")
+    if os.path.isdir(tombs) and cupto >= 0:
+        for d in os.listdir(tombs):
+            m = re.fullmatch(r"batch_id=(\d+)", d)
+            if m and int(m.group(1)) <= cupto:
+                path = os.path.join(tombs, d)
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(path)
     return sorted(deleted)
+
+
+def _serve_deletes_oracle() -> str:
+    """The nprobe-2 oracle with tombstoned vectors excluded from the
+    MEMBER side (erase-everywhere semantics): tombstone set = md5
+    second hex char in 0-3 (~25% of the corpus, deterministic)."""
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+    )
+
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    cos_v_cv = cos.format(a="v", b="cv")
+    cos_qv_nv = cos.format(a="p.qv", b="m.v")
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, v AS qv FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= 2
+        )
+        SELECT q_id, n_id, sim FROM (
+            SELECT p.q_id, m.vec_id AS n_id, {cos_qv_nv} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {cos_qv_nv} DESC, m.vec_id
+                   ) AS rn
+            FROM probes p
+            JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+             AND substr(md5(CAST(m.vec_id AS VARCHAR)), 2, 1)
+                 NOT IN ('0', '1', '2', '3')
+        ) WHERE rn <= {_IVF_K}
+    """)
+
+
+@register(
+    "ann_serve_with_deletes",
+    oracle=_serve_deletes_oracle(),
+    tags=("similarity", "ivf", "index"),
+)
+def ann_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION in the serving tier — the last lifecycle verb
+    (FAISS remove_ids / a vector DB's delete API, the GDPR-erasure
+    path): a delete transaction writes its tombstone set under the
+    SAME ``batch_id=N`` discipline as ingest (delete_vec_batch_txn)
+    and advances the same watermark, so any probe that can see a
+    batch's data also sees its deletes — never a torn mixture — and
+    replay overwrites its own subtree like every other transaction.
+    Probes anti-join the manifest-visible tombstones against the
+    candidate set (broadcast by contract: deletes are request-scale;
+    a corpus-scale delete is a rebuild), with erase-everywhere
+    semantics (a tombstone hides every ingested copy of the id).
+
+    The store here is built with three t21 ingest transactions plus
+    one delete transaction covering a deterministic ~25% of the
+    corpus; the oracle is the standard nprobe search with the
+    tombstoned vectors excluded from the MEMBER side only (a deleted
+    vector can still ask queries, it just cannot be returned).
+    Compaction drops tombstoned rows and GC then reclaims fully
+    folded tombstone subtrees (pinned in
+    tests/test_serve_during_ingest.py)."""
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    store = tempfile.mkdtemp(prefix="serve_del_")
+    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    for i, chars in enumerate(_T21_RANGES):
+        ingest_vec_batch_txn(
+            vecs.filter(pfx.isin(*list(chars))), store, i, cents
+        )
+    snd = F.substring(F.md5(F.col("vec_id").cast("string")), 2, 1)
+    delete_vec_batch_txn(
+        spark,
+        vecs.filter(snd.isin("0", "1", "2", "3")).select("vec_id"),
+        store,
+        3,
+    )
+    return probe_visible_topk(
+        vecs.filter(F.col("vec_id") < _IVF_QUERIES), store, cents, _IVF_K
+    ).select("q_id", "n_id", "sim")

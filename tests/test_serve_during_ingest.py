@@ -391,3 +391,93 @@ def test_t21_stream_restart_mid_run(spark, tmp_path):
         ]
     assert got == sorted(expected)
     assert {r[0] for r in got} == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Deletion (tombstones): the last lifecycle verb
+# ---------------------------------------------------------------------------
+
+
+def test_delete_compact_gc_lifecycle(spark, tmp_path):
+    """LSM tombstone semantics end-to-end: a delete hides copies
+    ingested at or before its batch; a LATER re-ingest is a new
+    version and stays visible (no discontinuity at the fold);
+    compaction drops the hidden copies; GC reclaims the spent
+    tombstone; probes are byte-identical across compaction and GC."""
+    import os as _os
+
+    from kcidb_spark.queries.streaming_exec import (
+        compact_store_txn,
+        delete_vec_batch_txn,
+        ingest_vec_batch_tiered,
+        serve_store_gc,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    # Delete vec 10 at batch 1 (tombstone rides the same watermark).
+    delete_vec_batch_txn(
+        spark, _vecs(spark, [(10, (0.0, 0.0))]).select("vec_id"), store, 1
+    )
+    hidden = _tprobe(spark, store)
+    assert {r[2] for r in hidden} == {11} and all(r[0] == 1 for r in hidden)
+
+    # Re-ingest vec 10 at batch 2: a NEW version, visible again.
+    ingest_vec_batch_tiered(
+        _vecs(spark, [(10, (0.9, 0.1))]), store, 2, CENTS
+    )
+    back = _tprobe(spark, store)
+    assert {r[2] for r in back} == {10, 11}
+
+    # Compaction folding batches ≤ 2 (tombstone included): the batch-0
+    # copy of vec 10 is dropped, the batch-2 copy survives; probe
+    # rows identical (modulo probe_round, which is unchanged here).
+    compact_store_txn(spark, store, 2)
+    assert _tprobe(spark, store) == back
+    gen_rows = {
+        (r["vec_id"], r["src_batch"])
+        for r in spark.read.schema(
+            "vec_id long, v array<double>, nrm double,"
+            " src_batch bigint, c_id bigint"
+        ).parquet(f"{store}/gen_2").select("vec_id", "src_batch").collect()
+    }
+    assert gen_rows == {(10, 2), (11, 0)}
+
+    # GC reclaims the folded batches AND the spent tombstone.
+    deleted = serve_store_gc(store)
+    names = {_os.path.basename(p) for p in deleted}
+    assert "batch_id=1" in names  # the tombstone subtree
+    assert not _os.path.isdir(_os.path.join(store, "tombstones", "batch_id=1"))
+    assert _tprobe(spark, store) == back
+
+
+def test_flat_probe_tombstone_ordering(spark, tmp_path):
+    """The flat (t21) probe under the same ordering semantics, plus
+    the crash window: an unpublished tombstone is invisible."""
+    from kcidb_spark.queries.streaming_exec import (
+        delete_vec_batch_txn,
+        ingest_vec_batch_txn,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_txn(
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    before = _probe(spark, store)
+    # Tombstone written but crash before the watermark advance.
+    delete_vec_batch_txn(
+        spark, _vecs(spark, [(10, (0.0, 0.0))]).select("vec_id"),
+        store, 1, fail_before_manifest=True,
+    )
+    assert _probe(spark, store) == before
+    # Replay publishes; vec 10 disappears.
+    delete_vec_batch_txn(
+        spark, _vecs(spark, [(10, (0.0, 0.0))]).select("vec_id"), store, 1
+    )
+    after = _probe(spark, store)
+    assert {r[2] for r in after} == {11}
+    # Re-ingest at batch 2: visible again (ordering, not erase-forever).
+    ingest_vec_batch_txn(_vecs(spark, [(10, (0.9, 0.1))]), store, 2, CENTS)
+    assert {r[2] for r in _probe(spark, store)} == {10, 11}
