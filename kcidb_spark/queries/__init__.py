@@ -96,9 +96,10 @@ _GATE_RECHECK = (
     # x3 + the tie-prefix-collapse loud raise); t19 reads the shared
     # session store (build split out, VERDICT r11 #5); t19/t20
     # arrival staging consolidated.  Ordered lowest-risk last: with
-    # eleven new entries the 50-row window fits all of block 1 plus
-    # six of these eight; t19/t20 were re-oracle-checked locally this
-    # round and the parity sweep covers whatever slips to r13.
+    # twelve new entries the 50-row window fits all of block 1 plus
+    # five of these eight; t19/t20/the serve family were re-oracle-
+    # checked locally this round and the parity sweep covers whatever
+    # slips to r13.
     "lm_surprisal_filter",
     "quality_percentile_filter",
     "dsir_select_per_source",
