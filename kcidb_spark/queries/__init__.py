@@ -45,6 +45,7 @@ _GATE_PRIORITY = (
     "t22_stream_compact_while_serving",
     "bm25_prf_expansion",
     "ann_serve_with_deletes",
+    "ann_probe_as_of",
 )
 
 

@@ -1362,6 +1362,7 @@ def probe_visible_topk(
     cents: list,
     k: int,
     nprobe: int = 2,
+    as_of: int = None,
 ) -> DataFrame:
     """One serving-tier probe transaction against the MANIFEST-VISIBLE
     snapshot: read the watermark once (driver-side, one tiny file),
@@ -1371,13 +1372,28 @@ def probe_visible_topk(
     ``batch_id <= watermark AND c_id IN probed`` are both partition
     columns, so the scan lists only committed, probed directories.
     Returns (probe_round=watermark, q_id, n_id, sim): the snapshot the
-    probe served from is part of its result contract."""
+    probe served from is part of its result contract.
+
+    ``as_of`` selects a PAST snapshot by explicit watermark — the
+    time-travel read every manifest-gated store gets for free, since
+    nothing in a committed ``batch_id ≤ N`` prefix is ever mutated
+    (compaction aside — the flat layout here keeps batch subtrees
+    as-is; tombstones re-apply at their own batch positions, so a
+    historical read replays historical visibility).  Must not exceed
+    the committed watermark: the future is not readable."""
     from pyspark.sql import Window as W  # noqa: F811 — batch scope
 
     from kcidb_spark.operators.similarity import dot_expr, ivf_rank
 
     sess = batch_df.sparkSession
     wm = read_serve_watermark(store)
+    if as_of is not None:
+        if as_of > wm:
+            raise ValueError(
+                f"as_of={as_of} exceeds the committed watermark {wm}: "
+                f"uncommitted batches are not readable"
+            )
+        wm = as_of
     cdf = sess.createDataFrame(
         cents, "c_id bigint, cv array<double>, cn double"
     )
@@ -2339,3 +2355,114 @@ def ann_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_visible_topk(
         vecs.filter(F.col("vec_id") < _IVF_QUERIES), store, cents, _IVF_K
     ).select("q_id", "n_id", "sim")
+
+
+def _as_of_oracle() -> str:
+    """The t21 visibility rule frozen at watermark 1: members are the
+    vectors of ingest groups 0-1 only, even though batch 2 is
+    committed in the store the entry builds."""
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+    )
+
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    cos_v_cv = cos.format(a="v", b="cv")
+    cos_qv_nv = cos.format(a="p.qv", b="m.v")
+    visible = "', '".join(_T21_RANGES[0] + _T21_RANGES[1])
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, v AS qv FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= 2
+        )
+        SELECT CAST(1 AS BIGINT) AS probe_round, q_id, n_id, sim FROM (
+            SELECT p.q_id, m.vec_id AS n_id, {cos_qv_nv} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {cos_qv_nv} DESC, m.vec_id
+                   ) AS rn
+            FROM probes p
+            JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+             AND substr(md5(CAST(m.vec_id AS VARCHAR)), 1, 1)
+                 IN ('{visible}')
+        ) WHERE rn <= {_IVF_K}
+    """)
+
+
+@register(
+    "ann_probe_as_of",
+    oracle=_as_of_oracle(),
+    tags=("similarity", "ivf", "index"),
+)
+def ann_probe_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL read of the serving store: probe AT an explicit
+    past watermark (``as_of=1``) while the store's committed
+    watermark is already 2 — the result must be exactly what a live
+    probe returned when batch 1 had just committed.  A manifest-gated
+    immutable-prefix store gets this for free: nothing under
+    ``batch_id ≤ N`` is ever mutated, so visibility at any historical
+    watermark is replayable by changing ONE literal in the partition
+    filter — the same reason the reference's BigQuery backend can
+    query its append-only ``_<table>`` at a snapshot.  Probing the
+    FUTURE (as_of beyond the committed watermark) raises.
+
+    Scale shape identical to the live probe: partition pruning on
+    (batch_id ≤ as_of, probed c_id); no extra state, no extra
+    scan."""
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    store = tempfile.mkdtemp(prefix="asof_store_")
+    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    for i, chars in enumerate(_T21_RANGES):
+        ingest_vec_batch_txn(
+            vecs.filter(pfx.isin(*list(chars))), store, i, cents
+        )
+    assert read_serve_watermark(store) == 2
+    return probe_visible_topk(
+        vecs.filter(F.col("vec_id") < _IVF_QUERIES),
+        store, cents, _IVF_K, as_of=1,
+    ).select("probe_round", "q_id", "n_id", "sim")

@@ -481,3 +481,45 @@ def test_flat_probe_tombstone_ordering(spark, tmp_path):
     # Re-ingest at batch 2: visible again (ordering, not erase-forever).
     ingest_vec_batch_txn(_vecs(spark, [(10, (0.9, 0.1))]), store, 2, CENTS)
     assert {r[2] for r in _probe(spark, store)} == {10, 11}
+
+
+def test_as_of_probe_replays_history_and_future_raises(spark, tmp_path):
+    """Time travel on the flat store: a probe at as_of=N equals the
+    live probe taken when N was the watermark (including tombstone
+    visibility at its own position); probing past the committed
+    watermark raises."""
+    import pytest as _pytest
+
+    from kcidb_spark.queries.streaming_exec import (
+        delete_vec_batch_txn,
+        ingest_vec_batch_txn,
+        probe_visible_topk,
+    )
+
+    store = str(tmp_path / "store")
+    live = []
+    ingest_vec_batch_txn(
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    live.append(_probe(spark, store))
+    delete_vec_batch_txn(
+        spark, _vecs(spark, [(10, (0.0, 0.0))]).select("vec_id"), store, 1
+    )
+    live.append(_probe(spark, store))
+    ingest_vec_batch_txn(_vecs(spark, [(10, (0.9, 0.1))]), store, 2, CENTS)
+    live.append(_probe(spark, store))
+
+    def as_of(n):
+        return sorted(
+            (r["probe_round"], r["q_id"], r["n_id"], r["sim"])
+            for r in probe_visible_topk(
+                _vecs(spark, ((100, (1.0, 0.1)),)), store, CENTS, 5,
+                as_of=n,
+            ).collect()
+        )
+
+    assert as_of(0) == live[0]
+    assert as_of(1) == live[1]
+    assert as_of(2) == live[2]
+    with _pytest.raises(ValueError, match="watermark"):
+        as_of(3)
