@@ -48,10 +48,20 @@ _PLAN_EPOCHS: dict[str, int] = {
 
 
 def _round_stamp() -> int:
-    """Current round number = 1 + the highest committed BENCH_r{N}.
-    The driver writes BENCH_r{N}.json AFTER the round's bench run, so
-    during round N the highest on disk is N−1.  Deterministic from
-    committed artifacts only."""
+    """Round number for the BENCH_DETAIL_r{N} side file.
+
+    ``SPARK_GRAFT_ROUND`` wins when set — the unambiguous path for any
+    in-round re-run (ADVICE r12: once the driver has committed this
+    round's BENCH_r{N}.json, the inference below reads N+1 and a
+    re-run would pollute next round's detail slot AND evaluate the
+    _PLAN_EPOCHS ``rnd < epoch`` filter under the wrong round when
+    folded as a baseline).  Fallback: 1 + the highest committed
+    BENCH_r{N} — the driver writes BENCH_r{N}.json AFTER the round's
+    bench run, so during a normal round N the highest on disk is N−1;
+    deterministic from committed artifacts only."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
     rounds = [
         int(m.group(1))
         for p in REPO.glob("BENCH_r*.json")

@@ -31,21 +31,12 @@ from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
 #: 50-row gate window rotates across rounds until every query has a
 #: driver-certified row.
 _GATE_PRIORITY = (
-    # Round-12 additions — never yet certified by the driver gate.
-    # (r11's nine priority entries all certified in the r11 window;
+    # Round-13 additions — never yet certified by the driver gate.
+    # (r12's twelve priority entries all certified in the r12 window;
     # the satisfied head is pruned each round — VERDICT r11 #8.)
-    "t21_stream_serve_during_ingest",
-    "t19_store_build",
-    "opq_adc_topk",
-    "ivf_store_compact",
-    "ann_filtered_topk",
-    "hybrid_rrf_topk",
-    "bm25_topk",
-    "corpus_temperature_mix",
-    "t22_stream_compact_while_serving",
-    "bm25_prf_expansion",
-    "ann_serve_with_deletes",
-    "ann_probe_as_of",
+    "ivf_store_retrain",
+    "t23_stream_postings_serve",
+    "hybrid_serve_as_of",
 )
 
 
@@ -53,62 +44,24 @@ _GATE_PRIORITY = (
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
 _GATE_RECHECK = (
-    # Round 12, block 1 — the ENTIRE r7-stale slice (VERDICT r11 #4):
-    # every entry whose gate-of-record row is >=4 rounds old, listed
-    # FIRST so the whole slice certifies inside the 50-row window
-    # even with eleven new round-12 entries ahead of it; after this
-    # round nothing stays certified-but-unchecked older than r8.
-    "a15_exact_quantiles",
-    "boilerplate_ngram_ratio",
-    "bpe_adjacent_pairs",
-    "corpus_mix_weights",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "group_sample_topn",
-    "ivf_pq_adc_topk",
-    "j_asof_last_click",
-    "jaccard_estimate_minhash",
-    "length_bucket_hist",
-    "notif_emoji_count_table",
-    "o6_topk_per_group",
-    "pq_encode",
-    "q11_important_parts",
-    "q12_late_priority",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
-    "q2_top_supplier_per_nation",
-    "q4_priority_exists",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_stratified",
-    "semdedup_prune",
-    "seq_pack_windows",
-    "simhash_wide_fingerprint",
-    "simhash_wide_hamming_pairs",
-    "t10_session_window",
-    "t9_sliding_window",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    # Block 2 — implementations CHANGED this round: the six selection
-    # gates sit on operators/rank.py, whose tie sub-bucket moved to
-    # the clamped form and whose preconditions hardened (ADVICE r11
-    # x3 + the tie-prefix-collapse loud raise); t19 reads the shared
-    # session store (build split out, VERDICT r11 #5); t19/t20
-    # arrival staging consolidated.  Ordered lowest-risk last: with
-    # twelve new entries the 50-row window fits all of block 1 plus
-    # five of these eight; t19/t20/the serve family were re-oracle-
-    # checked locally this round and the parity sweep covers whatever
-    # slips to r13.
-    "lm_surprisal_filter",
-    "quality_percentile_filter",
-    "dsir_select_per_source",
-    "dsir_gumbel_sample",
-    "pipeline_select_corpus",
-    "pipeline_assemble_corpus",
+    # Round 13, block 1 — the changed-impl slice that SLIPPED the r12
+    # window (VERDICT r12 "Next round" #2), at the very head: no entry
+    # whose implementation changed in round N may keep a round-<N
+    # gate-of-record row past the next window.
     "t19_stream_ann_probe",
     "t20_stream_ivf_ingest",
+    "pipeline_assemble_corpus",
+    # Block 2 — implementations CHANGED this round (r13): the serving
+    # tier's probes now resolve one version per vec_id (last-write-
+    # wins, ADVICE r12 medium), compaction keeps max src_batch to
+    # match, and every transaction publishes visibility through the
+    # unified json manifest (VERDICT r12 #3).
+    "t21_stream_serve_during_ingest",
+    "t22_stream_compact_while_serving",
+    "ivf_store_compact",
+    "ann_serve_with_deletes",
+    "ann_probe_as_of",
+    "t19_store_build",
 )
 
 

@@ -973,10 +973,9 @@ def _coarse_centroids_trained(
     key = (app, _os.path.realpath(sf_dir), _IVF_CENTROIDS, _KM_ROUNDS,
            space)
     if key not in _KM_CENTROIDS_CACHE:
-        for stale in [k for k in _KM_CENTROIDS_CACHE if k[0] != app]:
-            del _KM_CENTROIDS_CACHE[stale]
-        _KM_CENTROIDS_CACHE[key] = kmeans_centroids_exact(
-            vecs, _IVF_CENTROIDS, _KM_ROUNDS
+        _trainer_cache_put(
+            _KM_CENTROIDS_CACHE, app, key,
+            kmeans_centroids_exact(vecs, _IVF_CENTROIDS, _KM_ROUNDS),
         )
     return _KM_CENTROIDS_CACHE[key]
 
@@ -1354,6 +1353,25 @@ _OPQ_ITERS = 3
 #: training cost exactly once; stale-session entries pruned).
 _OPQ_CACHE: dict = {}
 
+#: Cross-app eviction bounds these trainer caches across SESSIONS but
+#: not across sf_dirs WITHIN one long-lived session (ADVICE r12): a
+#: driver training over many corpora accumulates one control-plane
+#: entry per (sf, dials).  Each entry is a few hundred KB, so the cap
+#: is a symmetry/backstop bound, not a memory fix — oldest-inserted
+#: evicts first (dict preserves insertion order).
+_TRAINER_CACHE_MAX = 8
+
+
+def _trainer_cache_put(cache: dict, app: str, key, value) -> None:
+    """Shared insert discipline for the driver-held trainer caches:
+    prune stale-session entries, then cap same-session entries at
+    ``_TRAINER_CACHE_MAX`` by evicting the oldest-inserted."""
+    for stale in [k for k in cache if k[0] != app]:
+        del cache[stale]
+    while len(cache) >= _TRAINER_CACHE_MAX:
+        del cache[next(iter(cache))]
+    cache[key] = value
+
 
 def _opq_trained(spark: SparkSession, sf_dir: str, vecs: DataFrame):
     import os as _os
@@ -1364,13 +1382,14 @@ def _opq_trained(spark: SparkSession, sf_dir: str, vecs: DataFrame):
     key = (app, _os.path.realpath(sf_dir), _PQK_SUBS, _PQK_CODES,
            _OPQ_ITERS)
     if key not in _OPQ_CACHE:
-        for stale in [k for k in _OPQ_CACHE if k[0] != app]:
-            del _OPQ_CACHE[stale]
         sample = vecs.filter(F.col("id") < _OPQ_SAMPLE)
-        _OPQ_CACHE[key] = opq_train(
-            sample, _PQK_SUBS, _PQK_SUBDIM, _PQK_CODES,
-            lloyd_rounds=_PQK_ROUNDS, iters=_OPQ_ITERS,
-            r_init=givens_rotation(_PQK_SUBS * _PQK_SUBDIM),
+        _trainer_cache_put(
+            _OPQ_CACHE, app, key,
+            opq_train(
+                sample, _PQK_SUBS, _PQK_SUBDIM, _PQK_CODES,
+                lloyd_rounds=_PQK_ROUNDS, iters=_OPQ_ITERS,
+                r_init=givens_rotation(_PQK_SUBS * _PQK_SUBDIM),
+            ),
         )
     return _OPQ_CACHE[key]
 

@@ -1854,7 +1854,18 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE partial-agg corpus scan to ≤|sources| rows; every
     window after that (the leftover count, the remainder rank) runs
     on the control-plane frame — same posture as
-    corpus_unimax_budget."""
+    corpus_unimax_budget.
+
+    BIGINT headroom (ADVICE r12 — same doctrine note as bm25_topk's
+    ``22·tf·S``): the base share's ``budget · wq`` needs
+    (N div 2) · floor(sqrt(max_n) · 2^20) < 2^63, i.e. N^1.5 < 2^44
+    for a single dominant source — the corpus must stay under ~6.6e8
+    documents.  Past that, rescale EITHER factor before the divide
+    and the allocation is unchanged: drop the 2^20 quantization
+    scale to 2^10 (alloc0 = budget·wq div Σwq is scale-invariant;
+    only remainder TIE ORDER among near-equal sources can shift,
+    the same class of tie the scale already arbitrates), or divide
+    budget and wq by a common 2^s first."""
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents", spread=True)
