@@ -220,8 +220,9 @@ def test_compaction_is_invisible_to_probes(spark, tmp_path):
 
 def test_second_generation_folds_first(spark, tmp_path):
     """Generations chain: compacting again after more batches folds
-    the PREVIOUS generation (src_batch preserved — first occurrence
-    stays with its original batch across generations)."""
+    the PREVIOUS generation (src_batch preserved — the NEWEST copy
+    keeps its own batch across generations: last-write-wins, the
+    same winner probes resolve to — ADVICE r12)."""
     from pyspark.sql import functions as F
 
     from kcidb_spark.queries.streaming_exec import (
@@ -251,8 +252,9 @@ def test_second_generation_folds_first(spark, tmp_path):
         .select("vec_id", "src_batch")
         .collect()
     }
-    # First occurrence of 10 is batch 0, through two generations.
-    assert rows == {(10, 0), (20, 1), (30, 2)}
+    # Newest copy of 10 is its batch-2 re-ingest: last write wins
+    # through two generations (the batch-0 copy is superseded).
+    assert rows == {(10, 2), (20, 1), (30, 2)}
     assert _tprobe(spark, store) and all(
         r[0] == 2 for r in _tprobe(spark, store)
     )
@@ -523,3 +525,104 @@ def test_as_of_probe_replays_history_and_future_raises(spark, tmp_path):
     assert as_of(2) == live[2]
     with _pytest.raises(ValueError, match="watermark"):
         as_of(3)
+
+
+# ---------------------------------------------------------------------------
+# r13: re-ingest VERSION semantics (ADVICE r12 medium) and the unified
+# visibility manifest (VERDICT r12 "Next round" #3)
+# ---------------------------------------------------------------------------
+
+
+def test_reingest_changed_vector_serves_newest_once(spark, tmp_path):
+    """An id re-ingested with a DIFFERENT vector (no intervening
+    tombstone) must consume ONE candidate slot and serve its NEWEST
+    copy — and compaction must keep that same winner, so folding the
+    store never changes what a probe returns (the ADVICE r12 shape:
+    first-wins compaction under all-copies probes silently flipped
+    the served version)."""
+    from kcidb_spark.queries.streaming_exec import compact_store_txn
+
+    store = str(tmp_path / "store")
+    # vec 10 at (0.9, 0.1) in batch 0, re-crawled as (0.5, 0.1) in
+    # batch 2 — same nearest centroid (c=0), different similarity.
+    ingest_vec_batch_txn(
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    ingest_vec_batch_txn(_vecs(spark, [(20, (0.95, 0.05))]), store, 1, CENTS)
+    ingest_vec_batch_txn(_vecs(spark, [(10, (0.5, 0.1))]), store, 2, CENTS)
+
+    rows = _probe(spark, store)
+    n10 = [r for r in rows if r[2] == 10]
+    assert len(n10) == 1, rows                 # one slot, not one per copy
+    expected_new = round(
+        (1.0 * 0.5 + 0.1 * 0.1)
+        / ((1.0**2 + 0.1**2) ** 0.5 * (0.5**2 + 0.1**2) ** 0.5),
+        4,
+    )
+    assert n10[0][3] == pytest.approx(expected_new)   # the batch-2 copy
+
+    # Compaction keeps the SAME winner: probes byte-identical.
+    compact_store_txn(spark, store, 2)
+    assert _tprobe(spark, store) == rows
+
+
+def test_visibility_manifest_is_layout_agnostic(spark, tmp_path):
+    """One manifest, every layout: a watermark published by the flat
+    ingest path is visible to tiered probes and vice versa, a delete
+    transaction advances the same single file, and a legacy store
+    carrying only the r12 ``_watermark`` file is still readable
+    (read-only fallback)."""
+    from kcidb_spark.queries.streaming_exec import (
+        delete_vec_batch_txn,
+        ingest_vec_batch_tiered,
+        read_serve_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_txn(                       # flat publish
+        _vecs(spark, [(10, (0.9, 0.1)), (11, (0.1, 0.9))]), store, 0, CENTS
+    )
+    ingest_vec_batch_tiered(                    # tiered publish
+        _vecs(spark, [(20, (0.95, 0.05))]), store, 1, CENTS
+    )
+    # Both paths advanced ONE file; both probe layouts see both batches.
+    assert not os.path.exists(os.path.join(store, "_watermark"))
+    assert read_serve_manifest(store)["wm"] == 1
+    assert {r[2] for r in _probe(spark, store)} == {10, 11, 20}
+    assert {r[2] for r in _tprobe(spark, store)} == {10, 11, 20}
+
+    # A delete rides the same manifest: visible to BOTH probe layouts.
+    delete_vec_batch_txn(
+        spark, _vecs(spark, [(20, (0.0, 0.0))]).select("vec_id"), store, 2
+    )
+    assert read_serve_manifest(store)["wm"] == 2
+    assert {r[2] for r in _probe(spark, store)} == {10, 11}
+    assert {r[2] for r in _tprobe(spark, store)} == {10, 11}
+
+
+def test_legacy_watermark_file_still_readable(spark, tmp_path):
+    """A store written before the unification (only ``_watermark`` on
+    disk) reads at its legacy watermark; the first new-style
+    transaction migrates it to the json manifest."""
+    from kcidb_spark.queries.streaming_exec import read_serve_manifest
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_txn(
+        _vecs(spark, [(10, (0.9, 0.1))]), store, 0, CENTS
+    )
+    ingest_vec_batch_txn(
+        _vecs(spark, [(20, (0.95, 0.05))]), store, 1,
+        CENTS, fail_before_manifest=True,
+    )
+    # Rewrite the store's visibility as the r12 flat layout: no json,
+    # legacy _watermark pointing at batch 1.
+    os.remove(os.path.join(store, "_manifest.json"))
+    with open(os.path.join(store, "_watermark"), "w") as fh:
+        fh.write("1")
+    assert read_serve_watermark(store) == 1
+    assert read_serve_manifest(store)["compacted_upto"] == -1
+    assert {r[2] for r in _probe(spark, store)} == {10, 20}
+    # A new transaction publishes the json; the legacy file is inert.
+    ingest_vec_batch_txn(_vecs(spark, [(30, (0.8, 0.2))]), store, 2, CENTS)
+    assert read_serve_manifest(store)["wm"] == 2
+    assert {r[2] for r in _probe(spark, store)} == {10, 20, 30}
