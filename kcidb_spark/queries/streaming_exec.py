@@ -3055,3 +3055,626 @@ def ivf_store_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs_q.filter(F.col("vec_id") < _IVF_QUERIES),
         store, _IVF_K, nprobe=_KM_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# t23: INCREMENTAL POSTINGS INDEX — the lexical analog of t20/t21
+# (VERDICT r12 #4): term-partitioned postings written under the SAME
+# batch/manifest discipline as the vector store, probes computing
+# BM25 over manifest-visible postings with df/N/S from per-batch
+# partial aggregates — so "hybrid retrieval at 100 TB" no longer
+# means batch-rebuilding the lexical side.
+# ---------------------------------------------------------------------------
+
+#: Term buckets — the postings' partition key (pmod(xxhash64(term))).
+#: Internal routing only (never surfaces in results), so no
+#: cross-engine hash contract applies.  8 at toy scale; the 100 TB
+#: figure is a few thousand, sized so one bucket's postings fit an
+#: executor (the classic sharded-inverted-index layout).
+_PB = 8
+
+
+def _tok_tf_len(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, w, tf, len): per-document term frequencies with the
+    document length DENORMALIZED onto every posting row (the Lucene
+    norm-in-posting layout) — candidate scoring then needs NO
+    doc-keyed side join at probe time."""
+    from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+    from kcidb_spark.queries.pipeline import _norm_text
+
+    toks = docs_df.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    return tf.withColumn(
+        "len", F.sum("tf").over(W.partitionBy("doc_id")).cast("long")
+    )
+
+
+def ingest_postings_batch_txn(
+    batch_df: DataFrame,
+    store: str,
+    batch_id: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One lexical ingest transaction: tokenize the batch's documents
+    and write, all under ``batch_id=N`` subtrees that overwrite
+    themselves on replay —
+
+    * ``postings/batch_id=N/wb=K``: (doc_id, w, tf, len) partitioned
+      by term bucket, so a probe reads only its query terms' buckets;
+    * ``tstats/batch_id=N/wb=K``: per-term document-frequency PARTIAL
+      (df over this batch's docs) — visible df is the SUM of visible
+      partials, never a corpus re-scan (batches own disjoint docs;
+      re-crawling a document is tombstone-then-reinsert, the vector
+      store's upsert contract);
+    * ``cstats/batch_id=N``: ONE row (n_docs, sum_len) — corpus
+      normalization constants as a visible-batch sum.
+
+    Then one manifest publish (publish_visibility) — the identical
+    crash/replay contract as ingest_vec_batch_txn, so a vector store
+    and a postings store can share one manifest (hybrid_serve_as_of
+    does exactly that)."""
+    tf = _tok_tf_len(batch_df).withColumn(
+        "wb", F.expr(f"pmod(xxhash64(w), {_PB})")
+    )
+    tf.select("doc_id", "w", "tf", "len", "wb").write.mode(
+        "overwrite"
+    ).partitionBy("wb").parquet(
+        os.path.join(store, "postings", f"batch_id={batch_id}")
+    )
+    tf.groupBy("wb", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("df_b")
+    ).write.mode("overwrite").partitionBy("wb").parquet(
+        os.path.join(store, "tstats", f"batch_id={batch_id}")
+    )
+    tf.select("doc_id", "len").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("s_b"),
+    ).write.mode("overwrite").parquet(
+        os.path.join(store, "cstats", f"batch_id={batch_id}")
+    )
+    if fail_before_manifest:
+        return
+    publish_visibility(store, wm=batch_id)
+
+
+_POSTINGS_SCHEMA = (
+    "doc_id long, w string, tf long, len long,"
+    " wb bigint, batch_id bigint"
+)
+_TSTATS_SCHEMA = "w string, df_b long, wb bigint, batch_id bigint"
+_CSTATS_SCHEMA = "n_b long, s_b long, batch_id bigint"
+
+
+def probe_postings_bm25(
+    batch_df: DataFrame, store: str, k: int, as_of: int = None
+) -> DataFrame:
+    """One lexical probe transaction: score the batch's query
+    documents with BM25 (the certified rational micro-bit arithmetic
+    of bm25_topk — every term score one pair of correctly-rounded
+    integer divisions, floored to BIGINT, so the per-candidate sum is
+    aggregation-order-free) against the MANIFEST-VISIBLE postings.
+
+    Reads: the watermark (one tiny file); cstats (≤wm rows — the
+    corpus constants as a broadcast 1-row sum); tstats and postings
+    pruned to ``batch_id <= wm AND wb IN (query buckets)`` — both
+    partition columns, so only committed, probed term shards are
+    listed.  Query terms broadcast (request-scale); df = Σ visible
+    partials per matched term (a broadcast-sized frame).  Returns
+    (probe_round, q_id, n_id, score_micro, rk); ``as_of`` replays a
+    historical watermark, same contract as probe_visible_topk."""
+    from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+    from kcidb_spark.queries.pipeline import _norm_text
+    from kcidb_spark.queries.ranking import _BM25_SCALE, _BM25_TERM_MICRO
+
+    sess = batch_df.sparkSession
+    wm = read_serve_watermark(store)
+    if as_of is not None:
+        if as_of > wm:
+            raise ValueError(
+                f"as_of={as_of} exceeds the committed watermark {wm}"
+            )
+        wm = as_of
+    qterms = (
+        batch_df.select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(
+                F.split(_norm_text(F.col("text")), " ")
+            ).alias("w"),
+        )
+        .distinct()
+        .withColumn("wb", F.expr(f"pmod(xxhash64(w), {_PB})"))
+    ).persist()
+    try:
+        qbuckets = sorted(
+            r["wb"] for r in qterms.select("wb").distinct().collect()
+        )
+        tot = (
+            sess.read.schema(_CSTATS_SCHEMA)
+            .parquet(os.path.join(store, "cstats"))
+            .filter(F.col("batch_id") <= F.lit(wm))
+            .agg(
+                F.coalesce(F.sum("n_b"), F.lit(0)).cast("long").alias("n"),
+                F.coalesce(F.sum("s_b"), F.lit(0)).cast("long").alias("s"),
+            )
+        )
+        dft = (
+            sess.read.schema(_TSTATS_SCHEMA)
+            .parquet(os.path.join(store, "tstats"))
+            .filter(
+                (F.col("batch_id") <= F.lit(wm))
+                & F.col("wb").isin(qbuckets)
+            )
+            .join(F.broadcast(qterms.select("w").distinct()), on="w")
+            .groupBy("w")
+            .agg(F.sum("df_b").cast("long").alias("df"))
+        )
+        matches = (
+            sess.read.schema(_POSTINGS_SCHEMA)
+            .parquet(os.path.join(store, "postings"))
+            .filter(
+                (F.col("batch_id") <= F.lit(wm))
+                & F.col("wb").isin(qbuckets)
+            )
+            .withColumnRenamed("doc_id", "n_id")
+            .join(F.broadcast(qterms.select("q_id", "w")), on="w")
+            .filter(F.col("n_id") != F.col("q_id"))
+            .join(F.broadcast(dft), on="w")
+            .crossJoin(F.broadcast(tot))
+        )
+        term_micro = _BM25_TERM_MICRO.format(
+            N="n", df="df", tf="tf", S="s", len="len",
+            scale=_BM25_SCALE,
+        )
+        w_rank = W.partitionBy("q_id").orderBy(
+            F.desc("score_micro"), F.asc("n_id")
+        )
+        return (
+            matches.groupBy("q_id", "n_id")
+            .agg(
+                F.sum(F.expr(term_micro)).cast("long").alias(
+                    "score_micro"
+                )
+            )
+            .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select(
+                F.lit(wm).cast("long").alias("probe_round"),
+                "q_id", "n_id", "score_micro", "rk",
+            )
+        )
+    finally:
+        qterms.unpersist()
+
+
+def _t23_oracle() -> str:
+    """Batch replay of the interleaved lexical serve: probe round r
+    (fired after ingest batch r committed) scores BM25 with EVERY
+    statistic — df, N, S — computed over exactly the documents of
+    batches 0..r (the md5-prefix groups), in the certified micro-bit
+    arithmetic of bm25_topk."""
+    from kcidb_spark.queries.pipeline import _NORM_SQL
+    from kcidb_spark.queries.ranking import (
+        _BM25_K,
+        _BM25_QUERIES,
+        _BM25_SCALE,
+        _BM25_TERM_MICRO,
+    )
+
+    groups = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN "
+        f"({', '.join(repr(c) for c in chars)}) THEN {i}"
+        for i, chars in enumerate(_T21_RANGES[:-1])
+    )
+    term_micro = _BM25_TERM_MICRO.format(
+        N="tot.n", df="dft.df", tf="v.tf", S="tot.s", len="dlen.len",
+        scale=_BM25_SCALE,
+    )
+    return dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+            GROUP BY doc_id
+        ),
+        grp AS (
+            SELECT doc_id,
+                   CASE {groups} ELSE {len(_T21_RANGES) - 1} END AS b
+            FROM documents
+        ),
+        rounds AS (
+            SELECT unnest(generate_series(0, {len(_T21_RANGES) - 1}))
+                   AS probe_round
+        ),
+        vis AS (
+            SELECT r.probe_round, t.doc_id, t.w, t.tf
+            FROM rounds r
+            JOIN grp g ON g.b <= r.probe_round
+            JOIN tf t ON t.doc_id = g.doc_id
+        ),
+        dft AS (
+            SELECT probe_round, w, CAST(count(*) AS BIGINT) AS df
+            FROM vis GROUP BY probe_round, w
+        ),
+        tot AS (
+            SELECT r.probe_round,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d.len) AS BIGINT) AS s
+            FROM rounds r
+            JOIN grp g ON g.b <= r.probe_round
+            JOIN dlen d ON d.doc_id = g.doc_id
+            GROUP BY r.probe_round
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS q_id, w FROM toks
+            WHERE doc_id < {_BM25_QUERIES}
+        )
+        SELECT probe_round, q_id, n_id, score_micro, rk FROM (
+            SELECT probe_round, q_id, n_id, score_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY probe_round, q_id
+                       ORDER BY score_micro DESC, n_id
+                   ) AS BIGINT) AS rk
+            FROM (
+                SELECT v.probe_round, q.q_id, v.doc_id AS n_id,
+                       CAST(sum({term_micro}) AS BIGINT) AS score_micro
+                FROM qterms q
+                JOIN vis v ON v.w = q.w AND v.doc_id <> q.q_id
+                JOIN dft ON dft.w = v.w
+                       AND dft.probe_round = v.probe_round
+                JOIN dlen ON dlen.doc_id = v.doc_id
+                JOIN tot ON tot.probe_round = v.probe_round
+                GROUP BY v.probe_round, q.q_id, v.doc_id
+            )
+        ) WHERE rk <= {_BM25_K}
+    """)
+
+
+@register(
+    "t23_stream_postings_serve",
+    oracle=_t23_oracle(),
+    tags=("T2", "T3", "streaming", "ranking", "pipeline", "index"),
+)
+def t23_stream_postings_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LEXICAL serving tier ONLINE — t21's interleave (I0, P0,
+    I1, P1, I2, P2) with BM25 probes against the incremental postings
+    index: each ingest transaction commits term-bucketed postings +
+    df/length partials under ``batch_id=N`` and publishes the shared
+    manifest; each probe scores the full query workload over exactly
+    the manifest-visible postings, with df, N, and S assembled from
+    visible PARTIAL aggregates — never a corpus re-scan.  The drained
+    probe outputs must equal the batch oracle: round r ranks candidates
+    among batches 0..r with round-r statistics (df/N/S all shrink-
+    grow with visibility, which is what makes this a real incremental
+    index and not a cached batch result).
+
+    Scale shape: postings and stats are partition-pruned on
+    (batch_id ≤ wm, term bucket); query terms and the matched-term df
+    frame ride broadcasts; the one corpus-sized structure is the
+    postings layout itself, written once per batch (the posting-list
+    reality, df-capped upstream at 100 TB — tfidf's posture).  The
+    manifest is ONE tiny file per transaction — identical discipline,
+    and identical code (publish_visibility), as the vector store, so
+    the two can share a store (hybrid_serve_as_of)."""
+    import glob
+    import shutil
+    import time
+
+    from kcidb_spark.queries.ranking import _BM25_K, _BM25_QUERIES
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    watch = tempfile.mkdtemp(prefix="t23_in_")
+    stage = tempfile.mkdtemp(prefix="t23_stage_")
+    now = time.time()
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+        pfx.isin(*list(_T21_RANGES[1])), 1
+    ).otherwise(2)
+    docs.withColumn("_g", grp).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+    docs.filter(F.col("doc_id") < _BM25_QUERIES).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "probe"))
+    probe_part = glob.glob(
+        os.path.join(stage, "probe", "part-*.parquet")
+    )[0]
+
+    def _arrive(src: str, name: str, order: int) -> None:
+        dst = os.path.join(watch, f"{order:02d}_{name}.parquet")
+        shutil.copyfile(src, dst)
+        ts = now - 600 + 10 * order
+        os.utime(dst, (ts, ts))
+
+    for i in range(len(_T21_RANGES)):
+        _arrive(
+            _staged_file(os.path.join(stage, "ingest"), f"_g={i}", docs),
+            f"i{i}", 2 * i,
+        )
+        _arrive(probe_part, f"p{i}", 2 * i + 1)
+
+    store = tempfile.mkdtemp(prefix="t23_store_")
+    out_dir = tempfile.mkdtemp(prefix="t23_out_")
+    shutil.rmtree(out_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id % 2 == 0:                      # ingest epoch
+            ingest_postings_batch_txn(batch_df, store, epoch_id // 2)
+        else:                                      # probe epoch
+            probe_postings_bm25(
+                batch_df, store, _BM25_K
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="t23_ckpt_")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("t23_stream_postings_serve", q)
+    for d in (ckpt, watch, stage, store):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "probe_round", "q_id", "n_id", "score_micro", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid serving: BOTH retrieval legs under ONE manifest
+# ---------------------------------------------------------------------------
+
+_HYB_LEG_K = 10      # per-leg shortlist depth (hybrid_rrf_topk's)
+_HYB_FINAL_K = 5     # fused top-k
+_HYB_QUERIES = 5     # doc_id/vec_id < 5 — the standard workload
+
+
+def _hybrid_serve_oracle() -> str:
+    """Batch replay of the hybrid probe at watermark 1: the lexical
+    leg is bm25_topk restricted to the documents of ingest groups 0-1
+    (statistics included), the semantic leg is the nprobe-2 IVF probe
+    restricted to the same groups' vectors (the ann_probe_as_of
+    visibility rule), fused by the certified integer-exact RRF."""
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+    from kcidb_spark.queries.pipeline import _NORM_SQL
+    from kcidb_spark.queries.ranking import (
+        _BM25_SCALE,
+        _BM25_TERM_MICRO,
+        _RRF_C,
+    )
+
+    visible = "', '".join(_T21_RANGES[0] + _T21_RANGES[1])
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    cos_v_cv = cos.format(a="v", b="cv")
+    cos_qv_nv = cos.format(a="p.qv", b="m.v")
+    term_micro = _BM25_TERM_MICRO.format(
+        N="tot.n", df="dft.df", tf="tf.tf", S="tot.s", len="dlen.len",
+        scale=_BM25_SCALE,
+    )
+    rrf = (
+        f"CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN"
+        f" CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)"
+        f" / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))"
+        f" WHEN r_lex IS NOT NULL THEN"
+        f" CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)"
+        f" ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem) END"
+    )
+    return dedent(f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, v AS qv FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_HYB_QUERIES}
+            ) WHERE rn <= 2
+        ),
+        sem AS (
+            SELECT q_id, n_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, n_id
+                   ) AS BIGINT) AS r_sem
+            FROM (
+                SELECT DISTINCT p.q_id, m.vec_id AS n_id,
+                       {cos_qv_nv} AS sim
+                FROM probes p
+                JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+                 AND substr(md5(CAST(m.vec_id AS VARCHAR)), 1, 1)
+                     IN ('{visible}')
+            ) QUALIFY r_sem <= {_HYB_LEG_K}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        vtf AS (
+            SELECT t.doc_id, t.w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks t
+            WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)
+                  IN ('{visible}')
+            GROUP BY t.doc_id, t.w
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM vtf
+            GROUP BY doc_id
+        ),
+        dft AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM vtf GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len) AS BIGINT) AS s
+            FROM dlen
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS q_id, w FROM toks
+            WHERE doc_id < {_HYB_QUERIES}
+        ),
+        lex AS (
+            SELECT q_id, n_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY score_micro DESC, n_id
+                   ) AS BIGINT) AS r_lex
+            FROM (
+                SELECT q.q_id, tf.doc_id AS n_id,
+                       CAST(sum({term_micro}) AS BIGINT) AS score_micro
+                FROM qterms q
+                JOIN vtf tf ON tf.w = q.w AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.w = tf.w
+                JOIN dlen ON dlen.doc_id = tf.doc_id
+                CROSS JOIN tot
+                GROUP BY q.q_id, tf.doc_id
+            ) QUALIFY r_lex <= {_HYB_LEG_K}
+        )
+        SELECT q_id, n_id, r_lex, r_sem, rrf, rk FROM (
+            SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+                   COALESCE(lex.n_id, sem.n_id) AS n_id,
+                   lex.r_lex, sem.r_sem,
+                   {rrf} AS rrf,
+                   CAST(row_number() OVER (
+                       PARTITION BY COALESCE(lex.q_id, sem.q_id)
+                       ORDER BY {rrf} DESC,
+                                COALESCE(lex.n_id, sem.n_id)
+                   ) AS BIGINT) AS rk
+            FROM lex FULL JOIN sem
+              ON lex.q_id = sem.q_id AND lex.n_id = sem.n_id
+        ) WHERE rk <= {_HYB_FINAL_K}
+    """)
+
+
+@register(
+    "hybrid_serve_as_of",
+    oracle=_hybrid_serve_oracle(),
+    tags=("similarity", "ivf", "ranking", "pipeline", "index"),
+)
+def hybrid_serve_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval served ONLINE from one store: the postings
+    index (t23's transactions) and the vector inverted file (t21's)
+    live under the SAME manifest — one ingest batch commits both
+    subtrees, then ONE publish makes text and vectors visible
+    together, so the two legs can never serve torn snapshots of each
+    other.  The probe here reads at ``as_of=1`` while the store's
+    committed watermark is 2: BOTH legs replay watermark-1 visibility
+    (statistics included — the BM25 leg's df/N/S are watermark-1
+    sums), and the fused ranking must equal the batch
+    hybrid-over-groups-0-1 recompute.  Fusion is the certified
+    integer-exact RRF of hybrid_rrf_topk: one correctly-rounded
+    division per candidate, ranks only — which is exactly why a
+    manifest-gated IVF probe can stand in as the semantic leg at any
+    corpus size.
+
+    Scale shape: each leg is its own partition-pruned,
+    broadcast-routed probe (documented on probe_postings_bm25 /
+    probe_visible_topk); the fusion joins two ≤ queries×{_HYB_LEG_K}
+    frames — control-plane sized."""
+    from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+    from kcidb_spark.queries.ranking import _RRF_C
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    store, built = _session_store_dir(spark, sf_dir, "hybrid")
+    if not built:
+        dpfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        vpfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        for i, chars in enumerate(_T21_RANGES):
+            # One batch = both modalities; ONE publish covers both
+            # subtrees (the postings txn defers its publish).
+            ingest_postings_batch_txn(
+                docs.filter(dpfx.isin(*list(chars))), store, i,
+                fail_before_manifest=True,
+            )
+            ingest_vec_batch_txn(
+                vecs.filter(vpfx.isin(*list(chars))), store, i, cents
+            )
+        _mark_store_built(spark, store)
+
+    lex = probe_postings_bm25(
+        docs.filter(F.col("doc_id") < _HYB_QUERIES),
+        store, _HYB_LEG_K, as_of=1,
+    ).select("q_id", "n_id", F.col("rk").alias("r_lex"))
+    w_sem = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    sem = (
+        probe_visible_topk(
+            vecs.filter(F.col("vec_id") < _HYB_QUERIES),
+            store, cents, _HYB_LEG_K, as_of=1,
+        )
+        .select("q_id", "n_id", "sim")
+        .withColumn("r_sem", F.row_number().over(w_sem).cast("long"))
+        .select("q_id", "n_id", "r_sem")
+    )
+    rrf = (
+        f"CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN"
+        f" CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)"
+        f" / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))"
+        f" WHEN r_lex IS NOT NULL THEN"
+        f" CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)"
+        f" ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem) END"
+    )
+    w_rrf = W.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("n_id"))
+    return (
+        lex.join(sem, on=["q_id", "n_id"], how="full_outer")
+        .withColumn("rrf", F.expr(rrf))
+        .withColumn("rk", F.row_number().over(w_rrf).cast("long"))
+        .filter(F.col("rk") <= _HYB_FINAL_K)
+        .select("q_id", "n_id", "r_lex", "r_sem", "rrf", "rk")
+    )

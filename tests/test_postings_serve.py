@@ -1,0 +1,137 @@
+"""t23 lexical serving: the postings index under the shared manifest.
+
+Pins what the registry oracles cannot see in isolation:
+
+* a probe racing an UNPUBLISHED postings transaction serves the old
+  watermark's exact rows AND statistics (df/N/S are visibility-scoped,
+  not cached corpus constants);
+* the as_of read replays historical statistics, not just historical
+  candidates;
+* in a hybrid store, one publish gates BOTH modalities — a crash
+  between the postings subtree and the manifest leaves text and
+  vectors invisible TOGETHER.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from kcidb_spark.queries.streaming_exec import (
+    ingest_postings_batch_txn,
+    probe_postings_bm25,
+    read_serve_watermark,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows],
+        "doc_id long, text string",
+    )
+
+
+#: Query doc 100 asks for "apple banana"; candidates overlap on one
+#: or both terms.
+Q = ((100, "apple banana"),)
+
+
+def _probe(spark, store, k=10, as_of=None):
+    return sorted(
+        (r["probe_round"], r["q_id"], r["n_id"], r["score_micro"], r["rk"])
+        for r in probe_postings_bm25(
+            _docs(spark, Q), store, k, as_of=as_of
+        ).collect()
+    )
+
+
+def test_probe_never_sees_unpublished_postings(spark, tmp_path):
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    before = _probe(spark, store)
+    assert {r[2] for r in before} == {1, 2}
+
+    # Batch 1 commits its subtrees but crashes before the publish:
+    # candidates AND statistics stay at watermark 0.
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1,
+        fail_before_manifest=True,
+    )
+    assert read_serve_watermark(store) == 0
+    assert _probe(spark, store) == before
+
+    # Replay completes: doc 3 appears, and every score changes
+    # because df/N/S moved with visibility (df(apple) 1→2 etc.) —
+    # the statistics are watermark-scoped, not cached.
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1
+    )
+    after = _probe(spark, store)
+    assert {r[2] for r in after} == {1, 2, 3}
+    s_before = {r[2]: r[3] for r in before}
+    s_after = {r[2]: r[3] for r in after}
+    assert s_after[1] != s_before[1]
+
+
+def test_as_of_replays_historical_statistics(spark, tmp_path):
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    live_at_0 = _probe(spark, store)
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1
+    )
+    assert _probe(spark, store, as_of=0) == live_at_0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="watermark"):
+        _probe(spark, store, as_of=9)
+
+
+def test_hybrid_store_publishes_both_modalities_atomically(spark, tmp_path):
+    from kcidb_spark.queries.streaming_exec import (
+        ingest_vec_batch_txn,
+        probe_visible_topk,
+    )
+
+    cents = [(0, [1.0, 0.0], 1.0), (1, [0.0, 1.0], 1.0)]
+
+    def _vecs(rows):
+        return spark.createDataFrame(
+            [Row(vec_id=i, v=[float(x), float(y)]) for i, (x, y) in rows],
+            "vec_id long, v array<double>",
+        )
+
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie")]), store, 0,
+        fail_before_manifest=True,
+    )
+    ingest_vec_batch_txn(_vecs([(1, (0.9, 0.1))]), store, 0, cents)
+
+    # One publish made BOTH visible.
+    assert read_serve_watermark(store) == 0
+    assert {r[2] for r in _probe(spark, store)} == {1}
+    sem = probe_visible_topk(
+        _vecs([(100, (1.0, 0.1))]), store, cents, 5
+    ).collect()
+    assert {r["n_id"] for r in sem} == {1}
+
+    # Batch 1: postings land, the vector txn crashes BEFORE the
+    # publish — neither modality's batch-1 data is visible.
+    ingest_postings_batch_txn(
+        _docs(spark, [(2, "banana split")]), store, 1,
+        fail_before_manifest=True,
+    )
+    ingest_vec_batch_txn(
+        _vecs([(2, (0.1, 0.9))]), store, 1, cents,
+        fail_before_manifest=True,
+    )
+    assert read_serve_watermark(store) == 0
+    assert {r[2] for r in _probe(spark, store)} == {1}
+    sem = probe_visible_topk(
+        _vecs([(100, (1.0, 0.1))]), store, cents, 5
+    ).collect()
+    assert {r["n_id"] for r in sem} == {1}
