@@ -43,6 +43,10 @@ _GATE_PRIORITY = (
 #: Certified queries whose implementation changed since their last
 #: gate-of-record row — force a re-check at the head of the next gate
 #: window instead of waiting for the rotation to come around.
+#: Since r13 this list is COMPUTED from implementation hashes
+#: (see :func:`_stale_certified` / kcidb_spark/queries/impl_hash.py);
+#: the manual tuple remains as an escape hatch for semantic staleness
+#: no source hash can see (e.g. an input-data contract change).
 _GATE_RECHECK = (
     # Round 13, block 1 — the changed-impl slice that SLIPPED the r12
     # window (VERDICT r12 "Next round" #2), at the very head: no entry
@@ -93,23 +97,64 @@ def _certified_names() -> tuple[set[str], int]:
     return seen, len(paths)
 
 
+def _stale_certified(
+    certified: set[str], recorded: dict | None = None
+) -> list[str]:
+    """Certified queries whose CURRENT implementation hash differs
+    from the hash recorded at their last certification
+    (GATE_HASHES.json, refreshed each round by
+    tools/update_gate_hashes.py) — auto-detected gate staleness
+    (VERDICT r12 #5).  Ordered: own-function-body changes first, then
+    module/helper-neighborhood changes; names absent from the record
+    (never hashed) sort last within their class.  Failure mode is
+    safe-side: a missing/corrupt record or an over-broad module edit
+    only ADDS re-check rows."""
+    import json
+    from pathlib import Path
+
+    from kcidb_spark.queries.impl_hash import impl_hashes
+
+    if recorded is None:
+        rec_path = (
+            Path(__file__).resolve().parents[2] / "GATE_HASHES.json"
+        )
+        try:
+            recorded = json.loads(rec_path.read_text())
+        except (OSError, ValueError):
+            return []
+    fn_changed, env_changed = [], []
+    for name in REGISTRY:
+        if name not in certified or name not in recorded:
+            continue
+        fn_h, env_h = impl_hashes(REGISTRY[name].spark)
+        if recorded[name].get("fn") != fn_h:
+            fn_changed.append(name)
+        elif recorded[name].get("env") != env_h:
+            env_changed.append(name)
+    return fn_changed + env_changed
+
+
 def _gate_order() -> list[str]:
     """Registry names: uncertified first (priority set leading), then
-    the already-certified queries ROTATED by round so the tail of the
-    50-row gate window re-verifies a different certified slice each
-    round (a certified query is not immune to regression — e.g. a
-    shared-helper change can silently break a query last checked
-    rounds ago)."""
+    hash-detected stale certified queries, then the manual re-check
+    escape hatch, then the already-certified queries ROTATED by round
+    so the tail of the 50-row gate window re-verifies a different
+    certified slice each round (a certified query is not immune to
+    regression — e.g. a shared-helper change can silently break a
+    query last checked rounds ago)."""
     certified, n_rounds = _certified_names()
     names = list(REGISTRY)
     prio = [n for n in _GATE_PRIORITY if n in REGISTRY and n not in certified]
-    recheck = [
-        n
-        for n in _GATE_RECHECK
-        if n in REGISTRY and n in certified and n not in prio
-    ]
-    rest_new = [n for n in names if n not in certified and n not in prio]
-    done = [n for n in names if n in certified and n not in recheck]
+    seen = set(prio)
+    recheck = []
+    for n in _stale_certified(certified) + [
+        n for n in _GATE_RECHECK if n in REGISTRY and n in certified
+    ]:
+        if n not in seen:
+            recheck.append(n)
+            seen.add(n)
+    rest_new = [n for n in names if n not in certified and n not in seen]
+    done = [n for n in names if n in certified and n not in seen]
     if done:
         # ~37 certified re-checks fit per 50-row window; stepping by 37
         # per correctness file cycles the whole certified set in ~3
