@@ -24,6 +24,7 @@ from kcidb_spark.queries import integrity  # noqa: F401,E402
 from kcidb_spark.queries import lm  # noqa: F401,E402
 from kcidb_spark.queries import dsir  # noqa: F401,E402
 from kcidb_spark.queries import streaming_exec  # noqa: F401,E402
+from kcidb_spark.queries import quality_clf  # noqa: F401,E402
 
 
 #: Queries the driver gate should certify first this round (never yet
