@@ -3152,7 +3152,11 @@ _CSTATS_SCHEMA = "n_b long, s_b long, batch_id bigint"
 
 
 def probe_postings_bm25(
-    batch_df: DataFrame, store: str, k: int, as_of: int = None
+    batch_df: DataFrame,
+    store: str,
+    k: int,
+    as_of: int = None,
+    df_cap: int = None,
 ) -> DataFrame:
     """One lexical probe transaction: score the batch's query
     documents with BM25 (the certified rational micro-bit arithmetic
@@ -3167,7 +3171,18 @@ def probe_postings_bm25(
     listed.  Query terms broadcast (request-scale); df = Σ visible
     partials per matched term (a broadcast-sized frame).  Returns
     (probe_round, q_id, n_id, score_micro, rk); ``as_of`` replays a
-    historical watermark, same contract as probe_visible_topk."""
+    historical watermark, same contract as probe_visible_topk.
+
+    ``df_cap`` drops query terms whose VISIBLE document frequency
+    exceeds the cap — the standard stop-word elision every serious
+    BM25 server applies (Lucene's common-terms handling): a term
+    matching half the corpus contributes ~zero idf but pulls a
+    corpus-sized posting list through the probe, so the cap is what
+    keeps probe cost bounded by the query's SELECTIVE terms at
+    100 TB.  The df lookup itself reads only the (tiny) tstats
+    partials, so the cap is decided before any posting row moves;
+    capped probes are measured flat in SCALE.md's lexical
+    rehearsal."""
     from pyspark.sql import Window as W  # noqa: F811 — batch scope
 
     from kcidb_spark.queries.pipeline import _norm_text
@@ -3215,6 +3230,8 @@ def probe_postings_bm25(
             .groupBy("w")
             .agg(F.sum("df_b").cast("long").alias("df"))
         )
+        if df_cap is not None:
+            dft = dft.filter(F.col("df") <= F.lit(int(df_cap)))
         matches = (
             sess.read.schema(_POSTINGS_SCHEMA)
             .parquet(os.path.join(store, "postings"))

@@ -135,3 +135,34 @@ def test_hybrid_store_publishes_both_modalities_atomically(spark, tmp_path):
         _vecs([(100, (1.0, 0.1))]), store, cents, 5
     ).collect()
     assert {r["n_id"] for r in sem} == {1}
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The probe's postings/tstats scans carry BOTH partition
+    predicates — batch_id ≤ watermark AND term-bucket IN (query
+    buckets) — so uncommitted batches and unprobed term shards are
+    never listed into the scan (the t21 pin, lexical edition)."""
+    import re
+
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "cherry tart")]), store, 1,
+        fail_before_manifest=True,
+    )
+    plan = (
+        probe_postings_bm25(_docs(spark, Q), store, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pruned = [
+        m.group(0)
+        for m in re.finditer(r"PartitionFilters: \[[^\]]*\]", plan)
+        if "batch_id" in m.group(0)
+    ]
+    assert pruned, plan[:2000]
+    assert all("<= 0" in p for p in pruned), pruned
+    assert any("wb" in p and " IN " in p for p in pruned), pruned

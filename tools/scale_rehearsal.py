@@ -778,6 +778,63 @@ def run_queries(sf_dir: str, label: str, spark, names) -> dict:
 
 
 
+def run_postings_probe(spark, k: int, scaled_dir: str) -> dict:
+    """Isolated postings-probe walls: ONE store per corpus size (all
+    docs in one committed batch), the SAME single-query workload
+    (base doc 0's text — identical at both sizes because replication
+    keeps rep-0 text), probed uncapped and with ``df_cap`` — walls
+    and shuffle from min-of-2 runs."""
+    import shutil
+    import tempfile
+
+    from kcidb_spark.queries.streaming_exec import (
+        ingest_postings_batch_txn,
+        probe_postings_bm25,
+    )
+
+    ui = "http://127.0.0.1:4040"
+    qdoc = (
+        spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+        .filter("doc_id = 0")
+        .select("doc_id", "text")
+        .cache()
+    )
+    qdoc.count()
+    out = {}
+    for label, sf_dir in (("base", BASE_SF), (f"{k}x", scaled_dir)):
+        store = tempfile.mkdtemp(prefix=f"lexreh_{label}_")
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        ingest_postings_batch_txn(docs, store, 0)
+        for cap_label, cap in (("uncapped", None), ("df_cap_100", 100)):
+            walls = []
+            before = _stage_metrics(ui)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                probe_postings_bm25(
+                    qdoc, store, 5, df_cap=cap
+                ).write.mode("overwrite").format("noop").save()
+                walls.append(round(time.perf_counter() - t0, 3))
+            after = _stage_metrics(ui)
+            new = {s: v for s, v in after.items() if s not in before}
+            out[f"{label}.{cap_label}"] = {
+                "wall_s": min(walls),
+                "shuffle_write_mb": round(
+                    sum(v["shuffle_write"] for v in new.values())
+                    / 2**20, 2
+                ),
+                "input_mb": round(
+                    sum(v["input"] for v in new.values()) / 2**20, 2
+                ),
+            }
+            print("probe", label, cap_label, out[f"{label}.{cap_label}"],
+                  flush=True)
+        shutil.rmtree(store, ignore_errors=True)
+    qdoc.unpersist()
+    return out
+
+
 def synthesize_rich_corpus(spark, out_dir: str, n_words: int = 100_000,
                            freq_top: int = 2_000,
                            langs: tuple = ("xx",)) -> None:
@@ -834,7 +891,8 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
                             "bpe", "tokenizer", "sketch", "lm", "vocab",
-                            "skew", "hotkey", "recovery", "serve"):
+                            "skew", "hotkey", "recovery", "serve",
+                            "lexical"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -948,6 +1006,35 @@ def main() -> None:
             "scaled": run_streaming(scaled_dir, f"{k}x", spark, names),
         }
         result["ratios"] = _ratios(result["base"], result["scaled"], names)
+    elif suite == "lexical":
+        # LEXICAL-SERVE rehearsal (round 13): t23/hybrid/retrain walls
+        # base-vs-Kx, plus the isolated postings PROBE wall — uncapped
+        # (every replicated-corpus term is stop-word-grade, so the
+        # probe's posting volume is the worst case and grows with the
+        # corpus) vs df-capped (the production posture: heavy terms
+        # elided before any posting row moves — the wall must go
+        # FLAT).
+        names_stream = ["t23_stream_postings_serve"]
+        names_batch = ["hybrid_serve_as_of", "ivf_store_retrain"]
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        base = run_streaming(BASE_SF, "sf0.1", spark, names_stream)
+        base.update(run_queries(BASE_SF, "sf0.1", spark, names_batch))
+        scaled = run_streaming(scaled_dir, f"{k}x", spark, names_stream)
+        scaled.update(
+            run_queries(scaled_dir, f"{k}x", spark, names_batch)
+        )
+        result = {
+            "k": k,
+            "base": base,
+            "scaled": scaled,
+            "probe_isolation": run_postings_probe(
+                spark, k, scaled_dir
+            ),
+        }
+        result["ratios"] = _ratios(
+            base, scaled, names_stream + names_batch
+        )
     elif suite == "skew":
         # SKEW rehearsal (VERDICT r9 "Next round" #1 done-criterion):
         # one stratum holds 90% of a Kx corpus; the six selection
