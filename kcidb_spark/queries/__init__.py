@@ -38,6 +38,9 @@ _GATE_PRIORITY = (
     "ivf_store_retrain",
     "t23_stream_postings_serve",
     "hybrid_serve_as_of",
+    "bm25_serve_with_deletes",
+    "quality_classifier_train",
+    "quality_classifier_score",
 )
 
 

@@ -1340,7 +1340,7 @@ def publish_visibility(store: str, **updates) -> None:
 
     cur = read_serve_manifest(store)
     for k, v in updates.items():
-        if k in ("wm", "compacted_upto"):
+        if k in ("wm", "compacted_upto", "postings_upto"):
             cur[k] = max(cur.get(k, -1), v)
         else:
             cur[k] = v
@@ -3189,11 +3189,22 @@ def probe_postings_bm25(
     from kcidb_spark.queries.ranking import _BM25_SCALE, _BM25_TERM_MICRO
 
     sess = batch_df.sparkSession
-    wm = read_serve_watermark(store)
+    man = read_serve_manifest(store)
+    wm = man["wm"]
+    pupto = man.get("postings_upto", -1)
+    pgen = man.get("postings_gen")
     if as_of is not None:
         if as_of > wm:
             raise ValueError(
                 f"as_of={as_of} exceeds the committed watermark {wm}"
+            )
+        if as_of < pupto:
+            raise ValueError(
+                f"as_of={as_of} predates the compacted point {pupto}:"
+                f" batches at or before it were folded (and their"
+                f" superseded copies dropped), so that snapshot is no"
+                f" longer reconstructible — retain batch subtrees"
+                f" (defer GC) for the time-travel horizon you need"
             )
         wm = as_of
     qterms = (
@@ -3210,36 +3221,106 @@ def probe_postings_bm25(
         qbuckets = sorted(
             r["wb"] for r in qterms.select("wb").distinct().collect()
         )
-        tot = (
+        # Statistics and postings each read {generation ∪ tail}: the
+        # generation's stats were RECOMPUTED at fold time (exact —
+        # tombstones applied); tail partials stack on top.  Tail =
+        # batches in (postings_upto, wm].
+        c_tiers, t_tiers, p_tiers = [], [], []
+        if pgen:
+            gdir = os.path.join(store, pgen)
+            c_tiers.append(
+                sess.read.schema("n_b long, s_b long")
+                .parquet(os.path.join(gdir, "cstats"))
+            )
+            t_tiers.append(
+                sess.read.schema(
+                    _TSTATS_SCHEMA.replace(", batch_id bigint", "")
+                )
+                .parquet(os.path.join(gdir, "tstats"))
+                .filter(F.col("wb").isin(qbuckets))
+                .select("w", "df_b")
+            )
+            p_tiers.append(
+                sess.read.schema(
+                    _POSTINGS_SCHEMA.replace("batch_id", "src_batch")
+                )
+                .parquet(os.path.join(gdir, "postings"))
+                .filter(F.col("wb").isin(qbuckets))
+                .select(
+                    "doc_id", "w", "tf", "len",
+                    F.col("src_batch").alias("m_batch"),
+                )
+            )
+        c_tiers.append(
             sess.read.schema(_CSTATS_SCHEMA)
             .parquet(os.path.join(store, "cstats"))
-            .filter(F.col("batch_id") <= F.lit(wm))
-            .agg(
-                F.coalesce(F.sum("n_b"), F.lit(0)).cast("long").alias("n"),
-                F.coalesce(F.sum("s_b"), F.lit(0)).cast("long").alias("s"),
+            .filter(
+                (F.col("batch_id") > F.lit(pupto))
+                & (F.col("batch_id") <= F.lit(wm))
             )
+            .select("n_b", "s_b")
         )
-        dft = (
+        t_tiers.append(
             sess.read.schema(_TSTATS_SCHEMA)
             .parquet(os.path.join(store, "tstats"))
             .filter(
-                (F.col("batch_id") <= F.lit(wm))
+                (F.col("batch_id") > F.lit(pupto))
+                & (F.col("batch_id") <= F.lit(wm))
                 & F.col("wb").isin(qbuckets)
             )
-            .join(F.broadcast(qterms.select("w").distinct()), on="w")
+            .select("w", "df_b")
+        )
+        p_tiers.append(
+            sess.read.schema(_POSTINGS_SCHEMA)
+            .parquet(os.path.join(store, "postings"))
+            .filter(
+                (F.col("batch_id") > F.lit(pupto))
+                & (F.col("batch_id") <= F.lit(wm))
+                & F.col("wb").isin(qbuckets)
+            )
+            .select(
+                "doc_id", "w", "tf", "len",
+                F.col("batch_id").alias("m_batch"),
+            )
+        )
+        cstats = c_tiers[0]
+        for t in c_tiers[1:]:
+            cstats = cstats.unionByName(t)
+        tot = cstats.agg(
+            F.coalesce(F.sum("n_b"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.sum("s_b"), F.lit(0)).cast("long").alias("s"),
+        )
+        tstats = t_tiers[0]
+        for t in t_tiers[1:]:
+            tstats = tstats.unionByName(t)
+        dft = (
+            tstats.join(
+                F.broadcast(qterms.select("w").distinct()), on="w"
+            )
             .groupBy("w")
             .agg(F.sum("df_b").cast("long").alias("df"))
         )
         if df_cap is not None:
             dft = dft.filter(F.col("df") <= F.lit(int(df_cap)))
-        matches = (
-            sess.read.schema(_POSTINGS_SCHEMA)
-            .parquet(os.path.join(store, "postings"))
-            .filter(
-                (F.col("batch_id") <= F.lit(wm))
-                & F.col("wb").isin(qbuckets)
+        postings = p_tiers[0]
+        for t in p_tiers[1:]:
+            postings = postings.unionByName(t)
+        # Lucene deletion semantics: tombstoned docs leave the
+        # CANDIDATE set now; stats exclude them only once a
+        # compaction folds (the generation's recomputed stats).
+        dtomb = _visible_doc_tombstones(sess, store, wm)
+        if dtomb is not None:
+            tb = F.broadcast(dtomb.withColumnRenamed("doc_id", "t_id"))
+            postings = postings.join(
+                tb,
+                on=[
+                    postings["doc_id"] == tb["t_id"],
+                    postings["m_batch"] <= tb["tomb_batch"],
+                ],
+                how="left_anti",
             )
-            .withColumnRenamed("doc_id", "n_id")
+        matches = (
+            postings.withColumnRenamed("doc_id", "n_id")
             .join(F.broadcast(qterms.select("q_id", "w")), on="w")
             .filter(F.col("n_id") != F.col("q_id"))
             .join(F.broadcast(dft), on="w")
@@ -3695,3 +3776,275 @@ def hybrid_serve_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HYB_FINAL_K)
         .select("q_id", "n_id", "r_lex", "r_sem", "rrf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical lifecycle symmetry (round 13): DELETE + COMPACT + GC for the
+# postings store, same grammar as the vector side
+# ---------------------------------------------------------------------------
+
+
+def _visible_doc_tombstones(sess, store: str, upto: int):
+    """(doc_id, tomb_batch) of every document-DELETE transaction with
+    batch_id ≤ the watermark, or None when none exist — the vector
+    store's _visible_tombstones, lexical edition."""
+    tdir = os.path.join(store, "ptombstones")
+    if not os.path.isdir(tdir):
+        return None
+    return (
+        sess.read.schema("doc_id long, batch_id bigint")
+        .parquet(tdir)
+        .filter(F.col("batch_id") <= F.lit(upto))
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("tomb_batch"))
+    )
+
+
+def delete_docs_batch_txn(
+    spark: SparkSession,
+    ids_df: DataFrame,
+    store: str,
+    batch_id: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One document-DELETE transaction: tombstone set under
+    ``ptombstones/batch_id=N`` (replay overwrites itself), then the
+    shared manifest advance — a probe that can see a batch's postings
+    can see its deletes.  Semantics are Lucene's: tombstoned docs
+    leave the CANDIDATE set immediately, but remain in df/N/S until a
+    compaction folds them out (recomputing exact statistics) — the
+    same score-staleness trade every segment-merge engine ships."""
+    ids_df.select("doc_id").write.mode("overwrite").parquet(
+        os.path.join(store, "ptombstones", f"batch_id={batch_id}")
+    )
+    if fail_before_manifest:
+        return
+    publish_visibility(store, wm=batch_id)
+
+
+def compact_postings_txn(
+    spark: SparkSession,
+    store: str,
+    upto: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One postings COMPACTION transaction: fold batch subtrees ≤
+    ``upto`` (plus the previous postings generation) into a fresh
+    ``pgen_<upto>`` generation — tombstones applied (a doc's postings
+    with src_batch ≤ its tomb_batch are dropped), last-write-wins per
+    doc_id (max src_batch keeps ALL its rows; earlier copies' rows
+    go) — and RECOMPUTE the generation's term/corpus statistics from
+    the folded postings, so df/N/S are exact again after the fold
+    (the Lucene segment-merge contract).  One atomic manifest swap
+    flips readers to {generation ∪ tail}; crash-before-swap leaves
+    the old layout; replay overwrites and re-swaps."""
+    from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+    man = read_serve_manifest(store)
+    gen_dir = f"pgen_{upto}"
+    tiers = []
+    pdir = os.path.join(store, "postings")
+    if os.path.isdir(pdir):
+        tiers.append(
+            spark.read.schema(_POSTINGS_SCHEMA)
+            .parquet(pdir)
+            .filter(F.col("batch_id") <= F.lit(upto))
+            .select(
+                "doc_id", "w", "tf", "len", "wb",
+                F.col("batch_id").alias("src_batch"),
+            )
+        )
+    if man.get("postings_gen"):
+        tiers.append(
+            spark.read.schema(_POSTINGS_SCHEMA.replace(
+                "batch_id", "src_batch"
+            ))
+            .parquet(os.path.join(store, man["postings_gen"], "postings"))
+            .select("doc_id", "w", "tf", "len", "wb", "src_batch")
+        )
+    merged = tiers[0]
+    for t in tiers[1:]:
+        merged = merged.unionByName(t)
+    tomb = _visible_doc_tombstones(spark, store, upto)
+    if tomb is not None:
+        tb = F.broadcast(tomb.withColumnRenamed("doc_id", "t_id"))
+        merged = merged.join(
+            tb,
+            on=[
+                merged["doc_id"] == tb["t_id"],
+                merged["src_batch"] <= tb["tomb_batch"],
+            ],
+            how="left_anti",
+        )
+    newest = F.max("src_batch").over(W.partitionBy("doc_id"))
+    folded = merged.withColumn("_mx", newest).filter(
+        F.col("src_batch") == F.col("_mx")
+    ).drop("_mx")
+    folded.write.mode("overwrite").partitionBy("wb").parquet(
+        os.path.join(store, gen_dir, "postings")
+    )
+    gen = spark.read.schema(
+        _POSTINGS_SCHEMA.replace("batch_id", "src_batch")
+    ).parquet(os.path.join(store, gen_dir, "postings"))
+    gen.groupBy("wb", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("df_b")
+    ).write.mode("overwrite").partitionBy("wb").parquet(
+        os.path.join(store, gen_dir, "tstats")
+    )
+    gen.select("doc_id", "len").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("s_b"),
+    ).write.mode("overwrite").parquet(
+        os.path.join(store, gen_dir, "cstats")
+    )
+    if fail_before_manifest:
+        return
+    publish_visibility(store, postings_upto=upto, postings_gen=gen_dir)
+
+
+def postings_store_gc(store: str) -> list:
+    """GC the postings store: delete folded batch subtrees
+    (postings/tstats/cstats with batch_id ≤ postings_upto),
+    superseded generations, and SPENT doc tombstones (batch ≤
+    postings_upto — their hidden rows are gone from the generation
+    and tail rows postdate them).  serve_store_gc's discipline:
+    readers follow the manifest, cleaners follow the readers."""
+    import re
+    import shutil
+
+    man = read_serve_manifest(store)
+    pupto = man.get("postings_upto", -1)
+    current = man.get("postings_gen")
+    deleted = []
+    for sub in ("postings", "tstats", "cstats", "ptombstones"):
+        base = os.path.join(store, sub)
+        if not os.path.isdir(base) or pupto < 0:
+            continue
+        for d in os.listdir(base):
+            m = re.fullmatch(r"batch_id=(\d+)", d)
+            if m and int(m.group(1)) <= pupto:
+                path = os.path.join(base, d)
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(path)
+    for d in os.listdir(store):
+        if re.fullmatch(r"pgen_\d+", d) and d != current:
+            path = os.path.join(store, d)
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(path)
+    return sorted(deleted)
+
+
+def _bm25_deletes_oracle() -> str:
+    """bm25_topk with the tombstoned ~25% of documents (md5 second
+    hex char 0-3 — the ann_serve_with_deletes set, lexical edition)
+    excluded from BOTH the candidate side and the statistics: the
+    entry compacts after the delete, and compaction recomputes df/N/S
+    from surviving postings, so the oracle is simply BM25 over the
+    surviving corpus.  Query docs are the probe workload's and may
+    themselves be deleted (a deleted doc can still ask)."""
+    from kcidb_spark.queries.pipeline import _NORM_SQL
+    from kcidb_spark.queries.ranking import (
+        _BM25_K,
+        _BM25_QUERIES,
+        _BM25_SCALE,
+        _BM25_TERM_MICRO,
+    )
+
+    term_micro = _BM25_TERM_MICRO.format(
+        N="tot.n", df="dft.df", tf="tf.tf", S="tot.s", len="dlen.len",
+        scale=_BM25_SCALE,
+    )
+    return dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                  NOT IN ('0', '1', '2', '3')
+            GROUP BY doc_id, w
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+            GROUP BY doc_id
+        ),
+        dft AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len) AS BIGINT) AS s
+            FROM dlen
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS q_id, w FROM toks
+            WHERE doc_id < {_BM25_QUERIES}
+        )
+        SELECT q_id, n_id, score_micro, rk FROM (
+            SELECT q_id, n_id, score_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY score_micro DESC, n_id
+                   ) AS BIGINT) AS rk
+            FROM (
+                SELECT q.q_id, tf.doc_id AS n_id,
+                       CAST(sum({term_micro}) AS BIGINT) AS score_micro
+                FROM qterms q
+                JOIN tf ON tf.w = q.w AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.w = tf.w
+                JOIN dlen ON dlen.doc_id = tf.doc_id
+                CROSS JOIN tot
+                GROUP BY q.q_id, tf.doc_id
+            )
+        ) WHERE rk <= {_BM25_K}
+    """)
+
+
+@register(
+    "bm25_serve_with_deletes",
+    oracle=_bm25_deletes_oracle(),
+    tags=("ranking", "pipeline", "index"),
+)
+def bm25_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION in the lexical serving tier, certified through the
+    FULL lifecycle: three postings ingest transactions, one
+    document-DELETE transaction (deterministic ~25% of the corpus,
+    the ann_serve_with_deletes tombstone set), then a postings
+    COMPACTION — which drops the tombstoned docs' rows AND recomputes
+    the generation's df/N/S from survivors (the Lucene segment-merge
+    contract: tombstones hide candidates immediately, statistics
+    become exact at the fold).  The certified probe runs post-fold,
+    so it must equal batch BM25 over the surviving corpus —
+    statistics included, which is the part a candidates-only delete
+    would get wrong.
+
+    Store is session-keyed (no per-invocation staging); every
+    transaction rides the unified manifest (publish_visibility), so
+    crash windows are the standard ones pinned in
+    tests/test_postings_serve.py."""
+    from kcidb_spark.queries.ranking import _BM25_K, _BM25_QUERIES
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    store, built = _session_store_dir(spark, sf_dir, "pdel")
+    if not built:
+        pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        for i, chars in enumerate(_T21_RANGES):
+            ingest_postings_batch_txn(
+                docs.filter(pfx.isin(*list(chars))), store, i
+            )
+        snd = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+        delete_docs_batch_txn(
+            spark,
+            docs.filter(snd.isin("0", "1", "2", "3")).select("doc_id"),
+            store,
+            3,
+        )
+        compact_postings_txn(spark, store, 3)
+        _mark_store_built(spark, store)
+    return probe_postings_bm25(
+        docs.filter(F.col("doc_id") < _BM25_QUERIES), store, _BM25_K
+    ).select("q_id", "n_id", "score_micro", "rk")

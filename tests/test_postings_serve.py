@@ -166,3 +166,79 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     assert pruned, plan[:2000]
     assert all("<= 0" in p for p in pruned), pruned
     assert any("wb" in p and " IN " in p for p in pruned), pruned
+
+
+def test_delete_compact_gc_lifecycle_lexical(spark, tmp_path):
+    """The lexical lifecycle end-to-end with Lucene deletion
+    semantics: a tombstoned doc leaves the CANDIDATE set immediately
+    but stays in df/N/S until compaction recomputes them; compaction
+    then makes statistics exact; GC reclaims folded batches, the
+    superseded generation, and spent tombstones — probes
+    byte-identical across GC; an as_of read predating the fold
+    raises."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kcidb_spark.queries.streaming_exec import (
+        compact_postings_txn,
+        delete_docs_batch_txn,
+        postings_store_gc,
+        read_serve_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1
+    )
+    full = _probe(spark, store)
+    assert {r[2] for r in full} == {1, 2, 3}
+
+    # DELETE doc 3: candidates shrink NOW, but scores of survivors
+    # are unchanged (stats still include doc 3 — Lucene staleness).
+    delete_docs_batch_txn(
+        spark, _docs(spark, [(3, "x")]).select("doc_id"), store, 2
+    )
+    stale = _probe(spark, store)
+    assert {r[2] for r in stale} == {1, 2}
+    s_full = {r[2]: r[3] for r in full}
+    assert all(r[3] == s_full[r[2]] for r in stale)
+
+    # COMPACT: doc 3's rows folded out, stats recomputed — scores
+    # move; result equals a clean store that never held doc 3.
+    compact_postings_txn(spark, store, 2)
+    exact = _probe(spark, store)
+    assert {r[2] for r in exact} == {1, 2}
+    assert {r[3] for r in exact} != {r[3] for r in stale}
+    clean = str(tmp_path / "clean")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), clean, 2
+    )
+    assert [r[1:] for r in exact] == [r[1:] for r in _probe(spark, clean)]
+
+    # Tail batch after the fold, then GC: folded subtrees + spent
+    # tombstones go, probes byte-identical, second GC a no-op.
+    ingest_postings_batch_txn(
+        _docs(spark, [(4, "banana bread")]), store, 3
+    )
+    before_gc = _probe(spark, store)
+    assert {r[2] for r in before_gc} == {1, 2, 4}
+    deleted = postings_store_gc(store)
+    names = {_os.path.basename(p) for p in deleted}
+    assert "batch_id=0" in names and "batch_id=1" in names
+    assert "batch_id=2" in names          # the spent tombstone txn
+    assert _os.path.isdir(_os.path.join(store, "pgen_2"))
+    assert _os.path.isdir(
+        _os.path.join(store, "postings", "batch_id=3")
+    )
+    assert _probe(spark, store) == before_gc
+    assert postings_store_gc(store) == []
+
+    # Time-travel horizon: as_of before the fold is gone.
+    with _pytest.raises(ValueError, match="compacted point"):
+        _probe(spark, store, as_of=1)
+    man = read_serve_manifest(store)
+    assert man["postings_gen"] == "pgen_2" and man["postings_upto"] == 2
