@@ -2097,13 +2097,21 @@ def probe_tiered_topk(
     cents: list,
     k: int,
     nprobe: int = 2,
+    as_of: int = None,
 ) -> DataFrame:
     """t21's manifest-visible probe over the TIERED layout: members =
     the compacted generation (already ≤ compacted_upto) ∪ tail
     batches (compacted_upto < batch_id ≤ wm), both partition-pruned
     to the probed clusters.  Results carry probe_round = wm, exactly
     like the flat probe — compaction must be invisible in results,
-    which is precisely what the t22 oracle certifies."""
+    which is precisely what the t22 oracle certifies.
+
+    ``as_of`` replays a historical watermark — valid only AT or AFTER
+    the compacted point: batches the generation folded had their
+    superseded copies dropped, so earlier snapshots are not
+    reconstructible (retain batch subtrees — defer GC — for the
+    time-travel horizon needed; the flat probe keeps every batch and
+    so has the full horizon)."""
     from pyspark.sql import Window as W  # noqa: F811 — batch scope
 
     from kcidb_spark.operators.similarity import dot_expr, ivf_rank
@@ -2111,6 +2119,20 @@ def probe_tiered_topk(
     sess = batch_df.sparkSession
     man = read_serve_manifest(store)
     wm, cupto = man["wm"], man["compacted_upto"]
+    if as_of is not None:
+        if as_of > wm:
+            raise ValueError(
+                f"as_of={as_of} exceeds the committed watermark {wm}:"
+                f" uncommitted batches are not readable"
+            )
+        if as_of < cupto:
+            raise ValueError(
+                f"as_of={as_of} predates the compacted point {cupto}:"
+                f" that snapshot's superseded copies were folded away"
+                f" — defer GC/compaction for the time-travel horizon"
+                f" you need"
+            )
+        wm = as_of
     cdf = sess.createDataFrame(
         cents, "c_id bigint, cv array<double>, cn double"
     )

@@ -626,3 +626,42 @@ def test_legacy_watermark_file_still_readable(spark, tmp_path):
     ingest_vec_batch_txn(_vecs(spark, [(30, (0.8, 0.2))]), store, 2, CENTS)
     assert read_serve_manifest(store)["wm"] == 2
     assert {r[2] for r in _probe(spark, store)} == {10, 20, 30}
+
+
+def test_tiered_as_of_respects_the_compaction_horizon(spark, tmp_path):
+    """Time travel on the TIERED store: valid at or after the
+    compacted point (the generation plus a shortened tail), raises
+    before it (superseded copies are folded away) and beyond the
+    committed watermark."""
+    import pytest as _pytest
+
+    from kcidb_spark.queries.streaming_exec import (
+        compact_store_txn,
+        ingest_vec_batch_tiered,
+        probe_tiered_topk,
+    )
+
+    def tp(as_of=None):
+        return sorted(
+            (r["probe_round"], r["q_id"], r["n_id"], r["sim"])
+            for r in probe_tiered_topk(
+                _vecs(spark, ((100, (1.0, 0.1)),)), store, CENTS, 5,
+                as_of=as_of,
+            ).collect()
+        )
+
+    store = str(tmp_path / "store")
+    ingest_vec_batch_tiered(_vecs(spark, [(10, (0.9, 0.1))]), store, 0, CENTS)
+    ingest_vec_batch_tiered(_vecs(spark, [(20, (0.95, 0.05))]), store, 1, CENTS)
+    live_at_1 = tp()
+    compact_store_txn(spark, store, 1)
+    ingest_vec_batch_tiered(_vecs(spark, [(30, (0.97, 0.02))]), store, 2, CENTS)
+
+    assert {r[2] for r in tp()} == {10, 20, 30}
+    # as_of == the compacted point: generation only, equals the live
+    # probe taken at that moment (modulo the probe_round stamp).
+    assert [r[1:] for r in tp(as_of=1)] == [r[1:] for r in live_at_1]
+    with _pytest.raises(ValueError, match="compacted point"):
+        tp(as_of=0)
+    with _pytest.raises(ValueError, match="watermark"):
+        tp(as_of=5)
