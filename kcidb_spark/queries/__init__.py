@@ -39,6 +39,7 @@ _GATE_PRIORITY = (
     "t23_stream_postings_serve",
     "hybrid_serve_as_of",
     "bm25_serve_with_deletes",
+    "t24_stream_retrain_while_serving",
     "quality_classifier_train",
     "quality_classifier_score",
 )

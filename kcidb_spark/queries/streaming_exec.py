@@ -4070,3 +4070,285 @@ def bm25_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_postings_bm25(
         docs.filter(F.col("doc_id") < _BM25_QUERIES), store, _BM25_K
     ).select("q_id", "n_id", "score_micro", "rk")
+
+
+def _t24_oracle() -> str:
+    """Batch replay of retrain-while-serving: probe round 0 ranks
+    batch-0 members under the STATIC generation-0 centroids; the
+    retrain fires after ingest batch 1, so rounds 1 and 2 rank the
+    re-encoded visible members (groups ≤ r) under the Lloyd-trained
+    centroids — training restricted to the bounded sample OF THE
+    MEMBERS VISIBLE AT RETRAIN TIME (groups 0-1), which is what makes
+    this the online verb and not a batch rebuild."""
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+        _KM_NPROBE,
+        _KM_ROUNDS,
+        _KM_SCALE,
+    )
+
+    sample = _RETRAIN_SAMPLE_SQL.format(k=_IVF_CENTROIDS)
+    groups = " ".join(
+        f"WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN "
+        f"({', '.join(repr(c) for c in chars)}) THEN {i}"
+        for i, chars in enumerate(_T21_RANGES[:-1])
+    )
+    parts = [dedent(f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor((x + 1.0) * {_KM_SCALE})
+                                            AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        grp AS (
+            SELECT vec_id,
+                   CASE {groups} ELSE {len(_T21_RANGES) - 1} END AS b
+            FROM v
+        ),
+        vx AS (
+            SELECT v.vec_id, g.b,
+                   unnest(generate_series(1, length(q))) AS pos,
+                   unnest(q) AS x
+            FROM v JOIN grp g ON g.vec_id = v.vec_id
+        ),
+        cs AS (
+            SELECT vec_id AS c_id, pos, x FROM vx
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        sx AS (
+            SELECT * FROM vx WHERE ({sample}) AND b <= 1
+        ),
+        c0 AS (
+            SELECT vec_id AS c_id, pos, x FROM sx
+            WHERE vec_id < {_IVF_CENTROIDS}
+        )""")]
+    for r in range(1, _KM_ROUNDS + 1):
+        parts.append(dedent(f""",
+        d{r} AS (
+            SELECT sx.vec_id, c.c_id,
+                   CAST(sum((sx.x - c.x) * (sx.x - c.x)) AS BIGINT) AS d2
+            FROM sx JOIN c{r - 1} c ON sx.pos = c.pos
+            GROUP BY sx.vec_id, c.c_id
+        ),
+        a{r} AS (
+            SELECT vec_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c_id) AS rn
+                FROM d{r}
+            ) WHERE rn = 1
+        ),
+        c{r} AS (
+            SELECT a.c_id, sx.pos,
+                   CAST(sum(sx.x) // count(*) AS BIGINT) AS x
+            FROM a{r} a JOIN sx ON a.vec_id = sx.vec_id
+            GROUP BY a.c_id, sx.pos
+        )"""))
+    parts.append(dedent(f""",
+        ds AS (
+            SELECT vx.vec_id, vx.b, c.c_id,
+                   CAST(sum((vx.x - c.x) * (vx.x - c.x)) AS BIGINT) AS d2
+            FROM vx JOIN cs c ON vx.pos = c.pos
+            GROUP BY vx.vec_id, vx.b, c.c_id
+        ),
+        afin_s AS (
+            SELECT vec_id, b, c_id FROM (
+                SELECT vec_id, b, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c_id) AS rn
+                FROM ds
+            ) WHERE rn = 1
+        ),
+        probes_s AS (
+            SELECT vec_id AS q_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c_id) AS rn
+                FROM ds WHERE vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= {_KM_NPROBE}
+        ),
+        dt AS (
+            SELECT vx.vec_id, vx.b, c.c_id,
+                   CAST(sum((vx.x - c.x) * (vx.x - c.x)) AS BIGINT) AS d2
+            FROM vx JOIN c{_KM_ROUNDS} c ON vx.pos = c.pos
+            GROUP BY vx.vec_id, vx.b, c.c_id
+        ),
+        afin_t AS (
+            SELECT vec_id, b, c_id FROM (
+                SELECT vec_id, b, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c_id) AS rn
+                FROM dt
+            ) WHERE rn = 1
+        ),
+        probes_t AS (
+            SELECT vec_id AS q_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c_id) AS rn
+                FROM dt WHERE vec_id < {_IVF_QUERIES}
+            ) WHERE rn <= {_KM_NPROBE}
+        ),
+        rounds AS (
+            SELECT unnest(generate_series(1, {len(_T21_RANGES) - 1}))
+                   AS probe_round
+        ),
+        cand AS (
+            SELECT CAST(0 AS BIGINT) AS probe_round,
+                   p.q_id, m.vec_id AS n_id
+            FROM probes_s p
+            JOIN afin_s m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+             AND m.b = 0
+            UNION ALL
+            SELECT r.probe_round, p.q_id, m.vec_id AS n_id
+            FROM rounds r
+            CROSS JOIN probes_t p
+            JOIN afin_t m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+             AND m.b <= r.probe_round
+        ),
+        scoredk AS (
+            SELECT c.probe_round, c.q_id, c.n_id,
+                   CAST(sum((qx.x - nx.x) * (qx.x - nx.x)) AS BIGINT) AS d2
+            FROM cand c
+            JOIN vx qx ON qx.vec_id = c.q_id
+            JOIN vx nx ON nx.vec_id = c.n_id AND nx.pos = qx.pos
+            GROUP BY c.probe_round, c.q_id, c.n_id
+        )
+        SELECT probe_round, q_id, n_id, d2 FROM (
+            SELECT probe_round, q_id, n_id, d2,
+                   row_number() OVER (PARTITION BY probe_round, q_id
+                                      ORDER BY d2, n_id) AS rn
+            FROM scoredk
+        ) WHERE rn <= {_IVF_K}
+    """))
+    return "".join(parts)
+
+
+@register(
+    "t24_stream_retrain_while_serving",
+    oracle=_t24_oracle(),
+    tags=("T2", "T3", "streaming", "similarity", "ivf", "index",
+          "clustering"),
+)
+def t24_stream_retrain_while_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRAIN WHILE SERVING — the t22 theorem for the routing table:
+    the t21 interleave (I0, P0, I1, P1, I2, P2) with the RETRAIN
+    transaction folded into the stream after ingest batch 1.  Probe
+    round 0 serves under the static generation-0 centroids; the swap
+    flips (generation, centroids, compacted point) in ONE atomic
+    manifest publish, so round 1 — running immediately after — serves
+    the re-encoded members under the TRAINED centroids, and ingest
+    batch 2 routes by the manifest's current (trained) table before
+    round 2 serves generation ∪ tail.  The oracle replays the whole
+    schedule batch-side: static assignment for round 0, Lloyd
+    restricted to the retrain-time-visible sample for rounds 1-2 —
+    certifying that online retraining equals the offline rebuild at
+    every watermark, which is the claim that makes recall repair
+    under corpus drift an ONLINE operation.
+
+    Scale shape: everything the parts inherit (sample-bounded
+    training, broadcast routing, double partition pruning, one
+    manifest rename per transaction); the retrain epoch pays one
+    visible-store scan + re-encode — the compaction cost class,
+    in-stream here only so the read path crosses a live swap."""
+    import glob
+    import shutil
+    import time
+
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+        _KM_NPROBE,
+        _KM_ROUNDS,
+        _KM_SCALE,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs_q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
+        ).alias("q"),
+    )
+    init_cents = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["q"]])
+        for r in vecs_q.filter(F.col("vec_id") < _IVF_CENTROIDS).collect()
+    )
+
+    watch = tempfile.mkdtemp(prefix="t24_in_")
+    stage = tempfile.mkdtemp(prefix="t24_stage_")
+    now = time.time()
+    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+        pfx.isin(*list(_T21_RANGES[1])), 1
+    ).otherwise(2)
+    vecs_q.withColumn("_g", grp).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+    vecs_q.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "probe"))
+    probe_part = glob.glob(
+        os.path.join(stage, "probe", "part-*.parquet")
+    )[0]
+
+    def _arrive(src: str, name: str, order: int) -> None:
+        dst = os.path.join(watch, f"{order:02d}_{name}.parquet")
+        shutil.copyfile(src, dst)
+        ts = now - 600 + 10 * order
+        os.utime(dst, (ts, ts))
+
+    for i in range(len(_T21_RANGES)):
+        _arrive(
+            _staged_file(os.path.join(stage, "ingest"), f"_g={i}", vecs_q),
+            f"i{i}", 2 * i,
+        )
+        _arrive(probe_part, f"p{i}", 2 * i + 1)
+
+    store = tempfile.mkdtemp(prefix="t24_store_")
+    init_q_store(store, init_cents)
+    out_dir = tempfile.mkdtemp(prefix="t24_out_")
+    shutil.rmtree(out_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id % 2 == 0:                      # ingest epoch
+            bid = epoch_id // 2
+            ingest_q_batch_txn(batch_df, store, bid)
+            if bid == 1:
+                retrain_store_txn(
+                    batch_df.sparkSession, store,
+                    _IVF_CENTROIDS, _KM_ROUNDS,
+                )
+        else:                                      # probe epoch
+            probe_q_topk(
+                batch_df, store, _IVF_K, nprobe=_KM_NPROBE
+            ).withColumn(
+                "probe_round", F.lit(epoch_id // 2).cast("long")
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="t24_ckpt_")
+    q = (
+        spark.readStream.schema("vec_id long, q array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("t24_stream_retrain_while_serving", q)
+    for d in (ckpt, watch, stage, store):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "probe_round", "q_id", "n_id", "d2"
+    )
