@@ -160,3 +160,38 @@ def test_retrain_replay_is_idempotent(spark, tmp_path):
     assert man["compacted_dir"] == first[1]["compacted_dir"]
     assert man["centroids"] == first[1]["centroids"]
     assert man["wm"] == first[1]["wm"]
+
+
+def test_retrain_folds_tombstones_and_probe_hides_them(spark, tmp_path):
+    """Deletes compose with retraining: a tombstoned id is excluded
+    from the retrain's training sample AND from the re-encoded
+    generation (the fold spends the tombstone), and probes hide it
+    both before and after the swap."""
+    from kcidb_spark.queries.streaming_exec import delete_vec_batch_txn
+
+    store = str(tmp_path / "store")
+    _build(spark, store)
+    delete_vec_batch_txn(
+        spark,
+        spark.createDataFrame([(4,)], "vec_id long"),
+        store,
+        2,
+    )
+    # Pre-retrain probe hides the tombstoned id.
+    assert 4 not in {r[1] for r in _probe(spark, store, k=10)}
+
+    retrain_store_txn(spark, store, 2, 2)
+    # The generation no longer carries it at all.
+    gen_ids = {
+        r["vec_id"]
+        for r in spark.read.schema(
+            "vec_id long, q array<bigint>, src_batch bigint, c_id bigint"
+        ).parquet(f"{tmp_path}/store/gen_retrain_2").collect()
+    }
+    assert gen_ids == set(POINTS) - {4}
+    assert 4 not in {r[1] for r in _probe(spark, store, k=10)}
+
+    # A post-retrain RE-INGEST of the id is a new version (LSM
+    # ordering): visible again, routed by the trained centroids.
+    ingest_q_batch_txn(_qvecs(spark, [(4, (80, 20))]), store, 3)
+    assert 4 in {r[1] for r in _probe(spark, store, k=10)}
