@@ -707,3 +707,70 @@ def lm_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_trigram_surprisal(
         table(spark, sf_dir, "documents", spread=True)
     )
+
+
+@register(
+    "lm_perplexity_buckets",
+    oracle=dedent(f"""
+        WITH {_SCORE_SQL}
+        SELECT lang, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(avg_nll_micros) AS BIGINT) AS sum_avg_nll_micros
+        FROM (
+            SELECT lang, avg_nll_micros,
+                   CASE WHEN rk * 3 <= cnt THEN 'head'
+                        WHEN rk * 3 <= 2 * cnt THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (
+                SELECT lang, avg_nll_micros,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY avg_nll_micros, doc_id
+                       ) AS BIGINT) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM docs_scored
+            )
+        )
+        GROUP BY lang, bucket
+    """),
+    tags=("pipeline", "quality", "lm", "mixing"),
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail PERPLEXITY BUCKETING (Wenzek et al.
+    2020): within each language, split documents into terciles of LM
+    surprisal — head (lowest perplexity, wiki-like), middle, tail
+    (noisiest) — the partition CCNet publishes its crawl under and
+    the mixing knob downstream pipelines sample against.  Bucket
+    boundaries are RANK-based (rk·3 ≤ cnt / ≤ 2·cnt), pure integer
+    arithmetic on the distributed two-phase rank — no per-language
+    value thresholds to float-compare, no stratum-wide sort in one
+    task (operators/rank.py; a lang window at crawl scale is a
+    multi-TB single-task sort).  Returns per-(lang, bucket) document
+    counts and the summed integer surprisal (the monotone perplexity
+    aggregate) — hash-exact cross-engine.  Scored frame from the
+    session score cache shared with the other LM gates: score once,
+    bucket/gate/select many times."""
+    from kcidb_spark.operators.rank import stratified_row_number
+
+    scored = _scored_docs(spark, sf_dir)
+    ranked = stratified_row_number(
+        scored.select("doc_id", "lang", "avg_nll_micros"),
+        "lang",
+        "avg_nll_micros",
+        descending=False,
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("cnt"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("cnt"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("avg_nll_micros").cast("long").alias(
+                "sum_avg_nll_micros"
+            ),
+        )
+    )
