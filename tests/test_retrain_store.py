@@ -195,3 +195,62 @@ def test_retrain_folds_tombstones_and_probe_hides_them(spark, tmp_path):
     # ordering): visible again, routed by the trained centroids.
     ingest_q_batch_txn(_qvecs(spark, [(4, (80, 20))]), store, 3)
     assert 4 in {r[1] for r in _probe(spark, store, k=10)}
+
+
+def test_retrain_recovers_recall_on_drifted_corpus(spark, tmp_path):
+    """The verb's reason to exist: the corpus drifts away from the
+    generation-0 centroids (two true clusters, BOTH on the same side
+    of the static routing boundary), so static routing at nprobe=1
+    splits true neighborhoods across partitions and recall@k against
+    the exact brute force degrades; retraining (Lloyd from the static
+    init, on the standard sample) adapts the routing to the drifted
+    density and recall must be ≥ pre-retrain — strictly greater in
+    this construction."""
+    store = str(tmp_path / "store")
+    # Drifted corpus: cluster A around (60..69, 60..69) diag-ish,
+    # cluster B around (5..14, 5..14) — neither near the static
+    # centroids (100,0)/(0,100); the static boundary x=y cuts BOTH
+    # clusters in half.
+    pts = {}
+    for i in range(10):
+        pts[i] = (60 + i, 69 - i)          # cluster A straddles x=y
+    for i in range(10, 20):
+        pts[i] = (5 + (i - 10), 14 - (i - 10))   # cluster B straddles too
+    init_q_store(store, INIT_CENTS)
+    ingest_q_batch_txn(
+        _qvecs(spark, [(i, pts[i]) for i in sorted(pts) if i < 12]),
+        store, 0,
+    )
+    ingest_q_batch_txn(
+        _qvecs(spark, [(i, pts[i]) for i in sorted(pts) if i >= 12]),
+        store, 1,
+    )
+
+    k = 3
+    queries = {100: (65, 64), 101: (9, 10)}   # one per true cluster
+
+    def exact_topk(qp):
+        d2 = sorted(
+            ((px - qp[0]) ** 2 + (py - qp[1]) ** 2, i)
+            for i, (px, py) in pts.items()
+        )
+        return {i for _, i in d2[:k]}
+
+    def recall():
+        got = {}
+        rows = probe_q_topk(
+            _qvecs(spark, tuple(queries.items())), store, k, nprobe=1
+        ).collect()
+        for r in rows:
+            got.setdefault(r["q_id"], set()).add(r["n_id"])
+        return sum(
+            len(got.get(q, set()) & exact_topk(qp)) / k
+            for q, qp in queries.items()
+        ) / len(queries)
+
+    pre = recall()
+    retrain_store_txn(spark, store, 2, 2)
+    post = recall()
+    assert post >= pre
+    assert post > pre, (pre, post)    # this construction must improve
+    assert post == 1.0, (pre, post)   # adapted routing finds all
