@@ -128,16 +128,23 @@ def _stale_certified(
             recorded = json.loads(rec_path.read_text())
         except (OSError, ValueError):
             return []
-    fn_changed, env_changed = [], []
+    fn_changed, env_changed, unrecorded = [], [], []
     for name in REGISTRY:
-        if name not in certified or name not in recorded:
+        if name not in certified:
+            continue
+        if name not in recorded:
+            # Certified but never hashed (tool not run / crashed
+            # before the write): flag SAFE-SIDE, last within the
+            # stale class — otherwise a later edit to such a query
+            # would be invisible to auto-detection.
+            unrecorded.append(name)
             continue
         fn_h, env_h = impl_hashes(REGISTRY[name].spark)
         if recorded[name].get("fn") != fn_h:
             fn_changed.append(name)
         elif recorded[name].get("env") != env_h:
             env_changed.append(name)
-    return fn_changed + env_changed
+    return fn_changed + env_changed + unrecorded
 
 
 def _gate_order() -> list[str]:

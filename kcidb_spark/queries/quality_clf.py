@@ -39,20 +39,36 @@ _CLF_LR = 2.0
 #: session cache (the _KM_CENTROIDS_CACHE idiom, shared eviction).
 _CLF_CACHE: dict = {}
 
+#: (appId, sf) → the persisted hashed-feature frame, shared by the
+#: trainer (6 scans) and every scoring call — score-once-gate-many,
+#: the lm._SCORED_CACHE idiom (corpus-REDUCED rows: ≤ D buckets per
+#: doc).  Plain persist (not scoped): the frame outlives one query.
+_CLF_FEATS_CACHE: dict = {}
+
 
 def _labeled_feats(spark: SparkSession, sf_dir: str):
-    from kcidb_spark.cache import scoped_persist
+    import os as _os
+
+    from pyspark import StorageLevel
+
     from kcidb_spark.operators.textclf import hash_features
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    feats = scoped_persist(
-        hash_features(docs.select("doc_id", "text"), _CLF_BUCKETS)
-    )
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.realpath(sf_dir))
+    if key not in _CLF_FEATS_CACHE:
+        for k in [k for k in _CLF_FEATS_CACHE if k[0] != app]:
+            del _CLF_FEATS_CACHE[k]
+        feats = hash_features(
+            docs.select("doc_id", "text"), _CLF_BUCKETS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        feats.count()
+        _CLF_FEATS_CACHE[key] = feats
     labels = docs.select(
         "doc_id",
         (F.col("lang") == "en").cast("double").alias("y"),
     )
-    return feats, labels
+    return _CLF_FEATS_CACHE[key], labels
 
 
 def _clf_trained(spark: SparkSession, sf_dir: str):
@@ -84,7 +100,7 @@ def quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Distributed training run of the hashed-bag-of-words logistic
-    gate: {_CLF_EPOCHS} full-batch epochs over the corpus, weight
+    gate: _CLF_EPOCHS (3) full-batch epochs over the corpus, weight
     vector driver-held between epochs.  Returns the per-epoch loss
     curve (mean log-loss BEFORE each update) — rows-only: double sums
     are aggregation-order dependent, so no cross-engine hash exists

@@ -2349,7 +2349,11 @@ def serve_store_gc(store: str) -> list:
                 shutil.rmtree(path, ignore_errors=True)
                 deleted.append(path)
     for d in os.listdir(store):
-        if re.fullmatch(r"gen_\d+", d) and d != current:
+        # Both generation namings: compaction's gen_<N> and retrain's
+        # gen_retrain_<N> — anything the manifest no longer references
+        # (the r13 review caught gen_retrain dirs leaking one
+        # re-encoded corpus copy per retrain).
+        if re.fullmatch(r"gen_[\w]+", d) and d != current:
             path = os.path.join(store, d)
             shutil.rmtree(path, ignore_errors=True)
             deleted.append(path)
@@ -2675,30 +2679,54 @@ _Q_GEN_SCHEMA = (
 )
 
 
-def _q_visible_members(spark: SparkSession, store: str) -> DataFrame:
+def _q_visible_members(
+    spark: SparkSession, store: str, clusters: list | None = None
+) -> DataFrame:
     """Manifest-visible members of the integer store — generation ∪
     tail, tombstone-folded, version-resolved (last-write-wins), as
-    (vec_id, q, m_batch).  The shared read path of retrain and
-    probes."""
+    (vec_id, q, c_id, m_batch).  THE shared read path: retrain reads
+    it whole, probes pass ``clusters`` to prune both tiers to the
+    probed partition directories (one visibility implementation, so
+    the two paths cannot diverge).  An empty store (born routable,
+    nothing ingested) reads as an empty frame, not a crash."""
     man = read_serve_manifest(store)
     wm, cupto = man["wm"], man.get("compacted_upto", -1)
     tiers = []
     if man.get("compacted_dir") and cupto >= 0:
-        tiers.append(
+        gen = (
             spark.read.schema(_Q_GEN_SCHEMA)
             .parquet(os.path.join(store, man["compacted_dir"]))
-            .select("vec_id", "q", F.col("src_batch").alias("m_batch"))
+        )
+        if clusters is not None:
+            gen = gen.filter(F.col("c_id").isin(clusters))
+        tiers.append(
+            gen.select(
+                "vec_id", "q", "c_id",
+                F.col("src_batch").alias("m_batch"),
+            )
         )
     data = os.path.join(store, "data")
     if os.path.isdir(data):
-        tiers.append(
+        tail = (
             spark.read.schema(_Q_SCHEMA)
             .parquet(data)
             .filter(
                 (F.col("batch_id") > F.lit(cupto))
                 & (F.col("batch_id") <= F.lit(wm))
             )
-            .select("vec_id", "q", F.col("batch_id").alias("m_batch"))
+        )
+        if clusters is not None:
+            tail = tail.filter(F.col("c_id").isin(clusters))
+        tiers.append(
+            tail.select(
+                "vec_id", "q", "c_id",
+                F.col("batch_id").alias("m_batch"),
+            )
+        )
+    if not tiers:
+        return spark.createDataFrame(
+            [], "vec_id long, q array<bigint>, c_id bigint,"
+                " m_batch bigint"
         )
     members = tiers[0]
     for t in tiers[1:]:
@@ -2717,6 +2745,7 @@ def _q_visible_members(spark: SparkSession, store: str) -> DataFrame:
     return members.groupBy("vec_id").agg(
         F.max("m_batch").alias("m_batch"),
         F.max_by("q", "m_batch").alias("q"),
+        F.max_by("c_id", "m_batch").alias("c_id"),
     )
 
 
@@ -2821,56 +2850,10 @@ def probe_q_topk(
         probed = sorted(
             r["c_id"] for r in q_probe.select("c_id").distinct().collect()
         )
-        man = read_serve_manifest(store)
-        wm, cupto = man["wm"], man.get("compacted_upto", -1)
-        tiers = []
-        if man.get("compacted_dir") and cupto >= 0:
-            tiers.append(
-                sess.read.schema(_Q_GEN_SCHEMA)
-                .parquet(os.path.join(store, man["compacted_dir"]))
-                .filter(F.col("c_id").isin(probed))
-                .select(
-                    "vec_id", "q", "c_id",
-                    F.col("src_batch").alias("m_batch"),
-                )
-            )
-        data = os.path.join(store, "data")
-        if os.path.isdir(data):
-            tiers.append(
-                sess.read.schema(_Q_SCHEMA)
-                .parquet(data)
-                .filter(
-                    (F.col("batch_id") > F.lit(cupto))
-                    & (F.col("batch_id") <= F.lit(wm))
-                    & F.col("c_id").isin(probed)
-                )
-                .select(
-                    "vec_id", "q", "c_id",
-                    F.col("batch_id").alias("m_batch"),
-                )
-            )
-        members = tiers[0]
-        for t in tiers[1:]:
-            members = members.unionByName(t)
-        tomb = _visible_tombstones(sess, store, wm)
-        if tomb is not None:
-            tb = F.broadcast(tomb.withColumnRenamed("vec_id", "t_id"))
-            members = members.join(
-                tb,
-                on=[
-                    members["vec_id"] == tb["t_id"],
-                    members["m_batch"] <= tb["tomb_batch"],
-                ],
-                how="left_anti",
-            )
-        members = (
-            members.groupBy("vec_id")
-            .agg(
-                F.max("m_batch").alias("m_batch"),
-                F.max_by("q", "m_batch").alias("nq"),
-                F.max_by("c_id", "m_batch").alias("c_id"),
-            )
-            .select(F.col("vec_id").alias("n_id"), "c_id", "nq")
+        members = _q_visible_members(sess, store, clusters=probed).select(
+            F.col("vec_id").alias("n_id"),
+            "c_id",
+            F.col("q").alias("nq"),
         )
         w_rank = W.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("n_id"))
         return (
@@ -3229,6 +3212,13 @@ def probe_postings_bm25(
                 f" (defer GC) for the time-travel horizon you need"
             )
         wm = as_of
+    if pgen is None and not os.path.isdir(os.path.join(store, "postings")):
+        # Born-empty store: routable contract — empty result, not a
+        # PATH_NOT_FOUND from the unconditional tier reads below.
+        return sess.createDataFrame(
+            [], "probe_round long, q_id long, n_id long,"
+                " score_micro long, rk long"
+        )
     qterms = (
         batch_df.select(
             F.col("doc_id").alias("q_id"),
@@ -3884,6 +3874,7 @@ def compact_postings_txn(
             .parquet(os.path.join(store, man["postings_gen"], "postings"))
             .select("doc_id", "w", "tf", "len", "wb", "src_batch")
         )
+    assert tiers, gen_dir          # compacting an empty store is a bug
     merged = tiers[0]
     for t in tiers[1:]:
         merged = merged.unionByName(t)
@@ -3902,6 +3893,16 @@ def compact_postings_txn(
     folded = merged.withColumn("_mx", newest).filter(
         F.col("src_batch") == F.col("_mx")
     ).drop("_mx")
+    # Replay safety: a re-run after a successful publish unions the
+    # previous generation with the very batch subtrees it was folded
+    # from (they are GC'd lazily), so every surviving row appears
+    # TWICE at the same src_batch and the max-filter keeps both —
+    # doubling postings and therefore df/N/S.  Legitimate postings
+    # are unique per (doc, term, src_batch) by construction (they are
+    # per-batch aggregates), so exact-duplicate elimination restores
+    # idempotent replay (the vector side gets this for free from its
+    # groupBy(vec_id)).
+    folded = folded.dropDuplicates(["doc_id", "w", "src_batch"])
     folded.write.mode("overwrite").partitionBy("wb").parquet(
         os.path.join(store, gen_dir, "postings")
     )

@@ -39,8 +39,14 @@ def test_edited_function_body_is_flagged_first():
     rec[names[0]]["env"] = "0" * 16          # helper-neighborhood edit
     rec[names[1]]["fn"] = "0" * 16           # own-body edit
     stale = _stale_certified(certified, recorded=rec)
-    assert stale == [names[1], names[0]]     # fn change outranks env
-    assert names[2] not in stale
+    # Certified-but-unrecorded names are ALSO flagged (safe-side),
+    # after the hash mismatches; within the recorded trio the
+    # own-body change outranks the env change and the untouched
+    # entry is not flagged.
+    flagged_trio = [n for n in stale if n in names]
+    assert flagged_trio == [names[1], names[0]]
+    unrecorded = [n for n in stale if n not in rec]
+    assert stale == flagged_trio + unrecorded
 
 
 def test_committed_records_match_head_or_are_queued():

@@ -242,3 +242,37 @@ def test_delete_compact_gc_lifecycle_lexical(spark, tmp_path):
         _probe(spark, store, as_of=1)
     man = read_serve_manifest(store)
     assert man["postings_gen"] == "pgen_2" and man["postings_upto"] == 2
+
+
+def test_postings_compaction_replay_is_idempotent(spark, tmp_path):
+    """Replay of a postings compaction after a successful publish
+    (crash between publish and the caller's bookkeeping) must not
+    change the generation: the fold unions the previous generation
+    with the very batch subtrees it came from (GC is lazy), so
+    without exact-duplicate elimination every row — and therefore
+    df/N/S — doubled (r13 review finding, empirically confirmed)."""
+    from kcidb_spark.queries.streaming_exec import compact_postings_txn
+
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1
+    )
+    compact_postings_txn(spark, store, 1)
+    first = _probe(spark, store)
+
+    def gen_rows():
+        return sorted(
+            (r["doc_id"], r["w"], r["tf"], r["src_batch"])
+            for r in spark.read.schema(
+                "doc_id long, w string, tf long, len long,"
+                " wb bigint, src_batch bigint"
+            ).parquet(f"{store}/pgen_1/postings").collect()
+        )
+
+    rows1 = gen_rows()
+    compact_postings_txn(spark, store, 1)     # replay
+    assert gen_rows() == rows1                # no row doubling
+    assert _probe(spark, store) == first      # scores unchanged

@@ -254,3 +254,26 @@ def test_retrain_recovers_recall_on_drifted_corpus(spark, tmp_path):
     assert post >= pre
     assert post > pre, (pre, post)    # this construction must improve
     assert post == 1.0, (pre, post)   # adapted routing finds all
+
+
+def test_gc_reclaims_superseded_retrain_generations(spark, tmp_path):
+    """serve_store_gc must recognize `gen_retrain_<N>` directories:
+    before the r13 review fix its `gen_\\d+` pattern skipped them,
+    leaking one re-encoded corpus copy per retrain."""
+    import os as _os
+
+    from kcidb_spark.queries.streaming_exec import serve_store_gc
+
+    store = str(tmp_path / "store")
+    _build(spark, store)
+    retrain_store_txn(spark, store, 2, 2)          # gen_retrain_1
+    ingest_q_batch_txn(_qvecs(spark, [(6, (20, 80))]), store, 2)
+    retrain_store_txn(spark, store, 2, 2)          # gen_retrain_2
+    before = _probe(spark, store, k=10)
+
+    deleted = serve_store_gc(store)
+    names = {_os.path.basename(p) for p in deleted}
+    assert "gen_retrain_1" in names
+    assert _os.path.isdir(_os.path.join(store, "gen_retrain_2"))
+    assert _probe(spark, store, k=10) == before
+    assert serve_store_gc(store) == []
