@@ -2610,6 +2610,16 @@ def ann_probe_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literals forever and recall decays under corpus drift with no
 # online remedy (FAISS answers this with train() + a new index +
 # pointer swap; Milvus/Vespa call it index rebuild behind an alias).
+#
+# The retrainable store is the INTEGER-L2 one deliberately: exact
+# Lloyd (kmeans_centroids_exact) is what makes the trained routing
+# table oracle-replayable, and squared-L2 on the quantized grid is
+# FAISS IVF's native metric.  A cosine workload retrains here by
+# normalizing then quantizing (cosine argmax ≡ L2 argmin on unit
+# vectors — the monotone equivalence the float t21 store's docstrings
+# already rely on); the float store itself keeps static routing by
+# design, since float Lloyd is aggregation-order dependent and could
+# not be hash-certified.
 # ---------------------------------------------------------------------------
 
 #: Bounded training sample for the retrain: every 3rd id plus the
