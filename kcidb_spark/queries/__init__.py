@@ -40,6 +40,7 @@ _GATE_PRIORITY = (
     "hybrid_serve_as_of",
     "bm25_serve_with_deletes",
     "t24_stream_retrain_while_serving",
+    "t25_stream_hybrid_serve",
     "lm_perplexity_buckets",
     "quality_classifier_train",
     "quality_classifier_score",

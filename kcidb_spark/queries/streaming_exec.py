@@ -4363,3 +4363,341 @@ def t24_stream_retrain_while_serving(
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "d2"
     )
+
+
+def _t25_oracle() -> str:
+    """Batch replay of ONLINE hybrid serving: probe round r fuses a
+    BM25 leg computed over exactly the documents of batches 0..r
+    (statistics included — the _t23_oracle visibility rule) with an
+    IVF nprobe-2 leg over exactly the vectors of batches 0..r (the
+    _t21_oracle rule), by the certified integer-exact RRF."""
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+    from kcidb_spark.queries.pipeline import _NORM_SQL
+    from kcidb_spark.queries.ranking import (
+        _BM25_SCALE,
+        _BM25_TERM_MICRO,
+        _RRF_C,
+    )
+
+    groups_doc = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN "
+        f"({', '.join(repr(c) for c in chars)}) THEN {i}"
+        for i, chars in enumerate(_T21_RANGES[:-1])
+    )
+    groups_vec = " ".join(
+        f"WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN "
+        f"({', '.join(repr(c) for c in chars)}) THEN {i}"
+        for i, chars in enumerate(_T21_RANGES[:-1])
+    )
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    cos_v_cv = cos.format(a="v", b="cv")
+    cos_qv_nv = cos.format(a="p.qv", b="m.v")
+    term_micro = _BM25_TERM_MICRO.format(
+        N="tot.n", df="dft.df", tf="v.tf", S="tot.s", len="dlen.len",
+        scale=_BM25_SCALE,
+    )
+    rrf = (
+        f"CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN"
+        f" CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)"
+        f" / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))"
+        f" WHEN r_lex IS NOT NULL THEN"
+        f" CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)"
+        f" ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem) END"
+    )
+    last = len(_T21_RANGES) - 1
+    return dedent(f"""
+        WITH rounds AS (
+            SELECT unnest(generate_series(0, {last})) AS probe_round
+        ),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        vgrp AS (
+            SELECT vec_id, CASE {groups_vec} ELSE {last} END AS b
+            FROM vecs
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS cv FROM vecs
+            WHERE vec_id < {_IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id, v FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id, v AS qv FROM (
+                SELECT vecs.vec_id, cents.c_id, vecs.v,
+                       row_number() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {cos_v_cv} DESC, cents.c_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cents
+                WHERE vecs.vec_id < {_HYB_QUERIES}
+            ) WHERE rn <= 2
+        ),
+        sem AS (
+            SELECT probe_round, q_id, n_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY probe_round, q_id
+                       ORDER BY sim DESC, n_id
+                   ) AS BIGINT) AS r_sem
+            FROM (
+                SELECT DISTINCT r.probe_round, p.q_id,
+                       m.vec_id AS n_id, {cos_qv_nv} AS sim
+                FROM rounds r
+                CROSS JOIN probes p
+                JOIN assign m ON m.c_id = p.c_id AND m.vec_id <> p.q_id
+                JOIN vgrp g ON g.vec_id = m.vec_id
+                 AND g.b <= r.probe_round
+            ) QUALIFY r_sem <= {_HYB_LEG_K}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+            GROUP BY doc_id
+        ),
+        dgrp AS (
+            SELECT doc_id, CASE {groups_doc} ELSE {last} END AS b
+            FROM documents
+        ),
+        vis AS (
+            SELECT r.probe_round, t.doc_id, t.w, t.tf
+            FROM rounds r
+            JOIN dgrp g ON g.b <= r.probe_round
+            JOIN tf t ON t.doc_id = g.doc_id
+        ),
+        dft AS (
+            SELECT probe_round, w, CAST(count(*) AS BIGINT) AS df
+            FROM vis GROUP BY probe_round, w
+        ),
+        tot AS (
+            SELECT r.probe_round,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d.len) AS BIGINT) AS s
+            FROM rounds r
+            JOIN dgrp g ON g.b <= r.probe_round
+            JOIN dlen d ON d.doc_id = g.doc_id
+            GROUP BY r.probe_round
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS q_id, w FROM toks
+            WHERE doc_id < {_HYB_QUERIES}
+        ),
+        lex AS (
+            SELECT probe_round, q_id, n_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY probe_round, q_id
+                       ORDER BY score_micro DESC, n_id
+                   ) AS BIGINT) AS r_lex
+            FROM (
+                SELECT v.probe_round, q.q_id, v.doc_id AS n_id,
+                       CAST(sum({term_micro}) AS BIGINT) AS score_micro
+                FROM qterms q
+                JOIN vis v ON v.w = q.w AND v.doc_id <> q.q_id
+                JOIN dft ON dft.w = v.w
+                       AND dft.probe_round = v.probe_round
+                JOIN dlen ON dlen.doc_id = v.doc_id
+                JOIN tot ON tot.probe_round = v.probe_round
+                GROUP BY v.probe_round, q.q_id, v.doc_id
+            ) QUALIFY r_lex <= {_HYB_LEG_K}
+        )
+        SELECT probe_round, q_id, n_id, r_lex, r_sem, rrf, rk FROM (
+            SELECT COALESCE(lex.probe_round, sem.probe_round)
+                       AS probe_round,
+                   COALESCE(lex.q_id, sem.q_id) AS q_id,
+                   COALESCE(lex.n_id, sem.n_id) AS n_id,
+                   lex.r_lex, sem.r_sem,
+                   {rrf} AS rrf,
+                   CAST(row_number() OVER (
+                       PARTITION BY COALESCE(lex.probe_round,
+                                             sem.probe_round),
+                                    COALESCE(lex.q_id, sem.q_id)
+                       ORDER BY {rrf} DESC,
+                                COALESCE(lex.n_id, sem.n_id)
+                   ) AS BIGINT) AS rk
+            FROM lex FULL JOIN sem
+              ON lex.probe_round = sem.probe_round
+             AND lex.q_id = sem.q_id AND lex.n_id = sem.n_id
+        ) WHERE rk <= {_HYB_FINAL_K}
+    """)
+
+
+@register(
+    "t25_stream_hybrid_serve",
+    oracle=_t25_oracle(),
+    tags=("T2", "T3", "streaming", "similarity", "ivf", "ranking",
+          "pipeline", "index"),
+)
+def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval served fully ONLINE — the capstone interleave:
+    each ingest epoch commits one batch's documents into the postings
+    index AND its vectors into the inverted file under ONE manifest
+    publish (text and vectors become visible together, never torn);
+    each probe epoch runs the BM25 leg over manifest-visible postings
+    (round-r statistics), the IVF leg over manifest-visible vectors,
+    and fuses with the certified integer RRF.  The drained outputs
+    must equal the per-round batch hybrid recompute — both legs'
+    visibility AND the lexical statistics moving with the watermark.
+
+    Scale shape: strictly the union of its certified parts (t23's
+    postings probe, t21's vector probe, the control-plane fusion);
+    the manifest cost is unchanged — ONE rename per ingest epoch now
+    covers two subtree families."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import Window as W  # noqa: F811 — batch scope
+
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+    from kcidb_spark.queries.ranking import _RRF_C
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    both = docs.join(
+        vecs.withColumnRenamed("vec_id", "doc_id"), on="doc_id"
+    )
+
+    watch = tempfile.mkdtemp(prefix="t25_in_")
+    stage = tempfile.mkdtemp(prefix="t25_stage_")
+    now = time.time()
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+        pfx.isin(*list(_T21_RANGES[1])), 1
+    ).otherwise(2)
+    both.withColumn("_g", grp).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+    both.filter(F.col("doc_id") < _HYB_QUERIES).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "probe"))
+    probe_part = glob.glob(
+        os.path.join(stage, "probe", "part-*.parquet")
+    )[0]
+
+    def _arrive(src: str, name: str, order: int) -> None:
+        dst = os.path.join(watch, f"{order:02d}_{name}.parquet")
+        shutil.copyfile(src, dst)
+        ts = now - 600 + 10 * order
+        os.utime(dst, (ts, ts))
+
+    for i in range(len(_T21_RANGES)):
+        _arrive(
+            _staged_file(os.path.join(stage, "ingest"), f"_g={i}", both),
+            f"i{i}", 2 * i,
+        )
+        _arrive(probe_part, f"p{i}", 2 * i + 1)
+
+    store = tempfile.mkdtemp(prefix="t25_store_")
+    out_dir = tempfile.mkdtemp(prefix="t25_out_")
+    shutil.rmtree(out_dir)
+    rrf = (
+        f"CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL THEN"
+        f" CAST(({2 * _RRF_C} + r_lex + r_sem) AS DOUBLE)"
+        f" / (({_RRF_C} + r_lex) * ({_RRF_C} + r_sem))"
+        f" WHEN r_lex IS NOT NULL THEN"
+        f" CAST(1 AS DOUBLE) / ({_RRF_C} + r_lex)"
+        f" ELSE CAST(1 AS DOUBLE) / ({_RRF_C} + r_sem) END"
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id % 2 == 0:                      # ingest epoch
+            bid = epoch_id // 2
+            ingest_postings_batch_txn(
+                batch_df.select("doc_id", "text"), store, bid,
+                fail_before_manifest=True,
+            )
+            ingest_vec_batch_txn(
+                batch_df.select(
+                    F.col("doc_id").alias("vec_id"), "v"
+                ),
+                store, bid, cents,
+            )
+        else:                                      # probe epoch
+            lex = probe_postings_bm25(
+                batch_df.select("doc_id", "text"), store, _HYB_LEG_K
+            ).select("q_id", "n_id", F.col("rk").alias("r_lex"))
+            w_sem = W.partitionBy("q_id").orderBy(
+                F.desc("sim"), F.asc("n_id")
+            )
+            sem = (
+                probe_visible_topk(
+                    batch_df.select(
+                        F.col("doc_id").alias("vec_id"), "v"
+                    ),
+                    store, cents, _HYB_LEG_K,
+                )
+                .select("q_id", "n_id", "sim")
+                .withColumn(
+                    "r_sem", F.row_number().over(w_sem).cast("long")
+                )
+                .select("q_id", "n_id", "r_sem")
+            )
+            w_rrf = W.partitionBy("q_id").orderBy(
+                F.desc("rrf"), F.asc("n_id")
+            )
+            (
+                lex.join(sem, on=["q_id", "n_id"], how="full_outer")
+                .withColumn("rrf", F.expr(rrf))
+                .withColumn(
+                    "rk", F.row_number().over(w_rrf).cast("long")
+                )
+                .filter(F.col("rk") <= _HYB_FINAL_K)
+                .select(
+                    F.lit(epoch_id // 2).cast("long").alias(
+                        "probe_round"
+                    ),
+                    "q_id", "n_id", "r_lex", "r_sem", "rrf", "rk",
+                )
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="t25_ckpt_")
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, v array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("t25_stream_hybrid_serve", q)
+    for d in (ckpt, watch, stage, store):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "probe_round", "q_id", "n_id", "r_lex", "r_sem", "rrf", "rk"
+    )
