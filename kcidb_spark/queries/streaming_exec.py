@@ -3134,6 +3134,7 @@ def ingest_postings_batch_txn(
     crash/replay contract as ingest_vec_batch_txn, so a vector store
     and a postings store can share one manifest (hybrid_serve_as_of
     does exactly that)."""
+    _check_store_pb(store)
     tf = _tok_tf_len(batch_df).withColumn(
         "wb", F.expr(f"pmod(xxhash64(w), {_PB})")
     )
@@ -3155,7 +3156,26 @@ def ingest_postings_batch_txn(
     )
     if fail_before_manifest:
         return
-    publish_visibility(store, wm=batch_id)
+    publish_visibility(store, wm=batch_id, pb=_PB)
+
+
+def _check_store_pb(store: str) -> None:
+    """The term-bucket count is part of a postings store's PHYSICAL
+    layout: probes prune `wb IN pmod(xxhash64(term), pb)`, so a
+    reader or writer compiled with a DIFFERENT bucket count would
+    silently hash query terms into partitions the store never wrote —
+    missed candidates, no error.  The manifest records the store's pb
+    at first ingest; any participant whose compiled _PB disagrees
+    fails LOUDLY here with the remedy (rebucket via a compaction that
+    rewrites the generation under the new count)."""
+    pb = read_serve_manifest(store).get("pb")
+    if pb is not None and int(pb) != _PB:
+        raise ValueError(
+            f"postings store at {store} was built with pb={pb} term"
+            f" buckets but this engine is compiled with _PB={_PB}:"
+            f" probing would silently miss partitions — rebucket the"
+            f" store (compact with the new count) or match the dial"
+        )
 
 
 _POSTINGS_SCHEMA = (
@@ -3204,6 +3224,7 @@ def probe_postings_bm25(
     from kcidb_spark.queries.ranking import _BM25_SCALE, _BM25_TERM_MICRO
 
     sess = batch_df.sparkSession
+    _check_store_pb(store)
     man = read_serve_manifest(store)
     wm = man["wm"]
     pupto = man.get("postings_upto", -1)

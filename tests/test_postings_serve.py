@@ -276,3 +276,26 @@ def test_postings_compaction_replay_is_idempotent(spark, tmp_path):
     compact_postings_txn(spark, store, 1)     # replay
     assert gen_rows() == rows1                # no row doubling
     assert _probe(spark, store) == first      # scores unchanged
+
+
+def test_bucket_count_mismatch_fails_loudly(spark, tmp_path, monkeypatch):
+    """The term-bucket count is physical layout: a probe or ingest
+    compiled with a different _PB would silently hash query terms
+    into partitions the store never wrote (missed candidates, no
+    error).  The manifest records pb at first ingest; a mismatched
+    participant must raise with the rebucket remedy."""
+    import pytest as _pytest
+
+    from kcidb_spark.queries import streaming_exec as se
+
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(_docs(spark, [(1, "apple pie")]), store, 0)
+    assert _probe(spark, store)          # same-dial probe works
+
+    monkeypatch.setattr(se, "_PB", 16)
+    with _pytest.raises(ValueError, match="pb=8"):
+        probe_postings_bm25(_docs(spark, Q), store, 5).collect()
+    with _pytest.raises(ValueError, match="pb=8"):
+        ingest_postings_batch_txn(
+            _docs(spark, [(2, "banana")]), store, 1
+        )
