@@ -41,8 +41,19 @@ def _module_source(mod_name: str) -> str:
     if mod_name not in _MOD_SRC_CACHE:
         mod = sys.modules.get(mod_name)
         if mod is None:
-            __import__(mod_name)
-            mod = sys.modules[mod_name]
+            # The textual _IMPORT_RE scan can surface a module name
+            # from a commented-out or since-deleted import line; an
+            # unimportable name must stay SAFE-SIDE (hash over an
+            # empty source only over-flags staleness), not crash the
+            # gate ordering (ADVICE r13).
+            try:
+                __import__(mod_name)
+                mod = sys.modules.get(mod_name)
+            except ImportError:
+                mod = None
+        if mod is None:
+            _MOD_SRC_CACHE[mod_name] = ""
+            return ""
         try:
             _MOD_SRC_CACHE[mod_name] = inspect.getsource(mod)
         except (OSError, TypeError):

@@ -299,3 +299,120 @@ def test_bucket_count_mismatch_fails_loudly(spark, tmp_path, monkeypatch):
         ingest_postings_batch_txn(
             _docs(spark, [(2, "banana")]), store, 1
         )
+
+
+def test_reingest_without_tombstone_serves_newest_copy(spark, tmp_path):
+    """ADVICE r13: a doc_id re-ingested across batches with no
+    intervening tombstone must serve ONLY its newest copy — before
+    the per-doc last-write-wins resolution both copies' posting rows
+    were candidates and tf double-counted in the BM25 sum."""
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple apple pie"), (2, "banana split")]),
+        store, 0,
+    )
+    # Re-crawl of doc 1: apple dropped to one mention, banana added.
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple banana pie")]), store, 1
+    )
+    rows = probe_postings_bm25(_docs(spark, Q), store, 10).collect()
+    by_doc = {}
+    for r in rows:
+        assert r["n_id"] not in by_doc, "one candidate slot per doc"
+        by_doc[r["n_id"]] = r["score_micro"]
+    assert set(by_doc) == {1, 2}
+
+    # The served copy is the NEW one: rebuild a fresh store holding
+    # only the new text (and batch-0's doc 2) — candidate tf must
+    # match it, not the superseded copy.  Statistics intentionally
+    # differ (partials still count the old copy until a compaction
+    # folds — the documented Lucene stats-staleness trade), so
+    # compare through tf via a fixed-stats probe: equal scores for
+    # doc 1 require equal tf when df/N/S are pinned equal, which
+    # a compaction of THIS store provides.
+    from kcidb_spark.queries.streaming_exec import (
+        compact_postings_txn,
+        read_serve_manifest,
+    )
+
+    compact_postings_txn(spark, store, read_serve_manifest(store)["wm"])
+    folded = {
+        r["n_id"]: r["score_micro"]
+        for r in probe_postings_bm25(_docs(spark, Q), store, 10).collect()
+    }
+    fresh = str(tmp_path / "fresh")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple banana pie"), (2, "banana split")]),
+        fresh, 0,
+    )
+    want = {
+        r["n_id"]: r["score_micro"]
+        for r in probe_postings_bm25(_docs(spark, Q), fresh, 10).collect()
+    }
+    assert folded == want
+
+
+def test_hybrid_publish_records_pb(spark, tmp_path, monkeypatch):
+    """ADVICE r13 medium: the hybrid ingest path's combined publish
+    must record the term-bucket count, so _check_store_pb protects
+    dual-modality stores too (a wm-only vector publish left pb unset
+    and the guard vacuous)."""
+    from kcidb_spark.queries import streaming_exec as se
+
+    store = str(tmp_path / "store")
+    vecs = spark.createDataFrame(
+        [Row(vec_id=1, v=[1.0, 0.0]), Row(vec_id=2, v=[0.0, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    cents = [(0, [1.0, 0.0], 1.0), (1, [0.0, 1.0], 1.0)]
+    # The hybrid idiom: both txns defer, one publish covers both.
+    se.ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie")]), store, 0,
+        fail_before_manifest=True,
+    )
+    se.ingest_vec_batch_txn(
+        vecs, store, 0, cents, fail_before_manifest=True
+    )
+    se.publish_visibility(store, wm=0, pb=se._PB)
+    assert se.read_serve_manifest(store)["pb"] == se._PB
+    monkeypatch.setattr(se, "_PB", se._PB * 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="term"):
+        se._check_store_pb(store)
+
+
+def test_publish_visibility_skips_torn_older_replay(tmp_path):
+    """ADVICE r13: replaying an OLDER retrain/compaction publish after
+    a newer one must be skipped wholesale — per-key merging would pair
+    the retained newer fold point with the old generation/centroids."""
+    from kcidb_spark.queries.streaming_exec import (
+        publish_visibility,
+        read_serve_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store)
+    publish_visibility(
+        store, wm=5, compacted_upto=5, compacted_dir="gen_retrain_5",
+        centroids=[[0, [1, 2]]], centroid_gen=2,
+    )
+    # Replay of the round-3 retrain (older in every field):
+    publish_visibility(
+        store, wm=3, compacted_upto=3, compacted_dir="gen_retrain_3",
+        centroids=[[0, [9, 9]]], centroid_gen=1,
+    )
+    man = read_serve_manifest(store)
+    assert man["compacted_dir"] == "gen_retrain_5"
+    assert man["centroid_gen"] == 2
+    assert man["centroids"] == [[0, [1, 2]]]
+    assert man["compacted_upto"] == 5
+
+    # Idempotent replay of the SAME transaction still re-publishes.
+    publish_visibility(
+        store, wm=5, compacted_upto=5, compacted_dir="gen_retrain_5",
+        centroids=[[0, [1, 2]]], centroid_gen=2,
+    )
+    assert read_serve_manifest(store)["centroid_gen"] == 2
