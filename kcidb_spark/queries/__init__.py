@@ -32,18 +32,12 @@ from kcidb_spark.queries import quality_clf  # noqa: F401,E402
 #: 50-row gate window rotates across rounds until every query has a
 #: driver-certified row.
 _GATE_PRIORITY = (
-    # Round-13 additions — never yet certified by the driver gate.
-    # (r12's twelve priority entries all certified in the r12 window;
+    # Round-14 additions — never yet certified by the driver gate.
+    # (r13's nine priority entries all certified in the r13 window;
     # the satisfied head is pruned each round — VERDICT r11 #8.)
-    "ivf_store_retrain",
-    "t23_stream_postings_serve",
-    "hybrid_serve_as_of",
-    "bm25_serve_with_deletes",
-    "t24_stream_retrain_while_serving",
-    "t25_stream_hybrid_serve",
-    "lm_perplexity_buckets",
-    "quality_classifier_train",
-    "quality_classifier_score",
+    "ivfpq_store_serve",
+    "ivfpq_store_retrain",
+    "t26_stream_pq_serve",
 )
 
 
@@ -55,24 +49,22 @@ _GATE_PRIORITY = (
 #: the manual tuple remains as an escape hatch for semantic staleness
 #: no source hash can see (e.g. an input-data contract change).
 _GATE_RECHECK = (
-    # Round 13, block 1 — the changed-impl slice that SLIPPED the r12
-    # window (VERDICT r12 "Next round" #2), at the very head: no entry
-    # whose implementation changed in round N may keep a round-<N
-    # gate-of-record row past the next window.
-    "t19_stream_ann_probe",
-    "t20_stream_ivf_ingest",
-    "pipeline_assemble_corpus",
-    # Block 2 — implementations CHANGED this round (r13): the serving
-    # tier's probes now resolve one version per vec_id (last-write-
-    # wins, ADVICE r12 medium), compaction keeps max src_batch to
-    # match, and every transaction publishes visibility through the
-    # unified json manifest (VERDICT r12 #3).
-    "t21_stream_serve_during_ingest",
-    "t22_stream_compact_while_serving",
-    "ivf_store_compact",
-    "ann_serve_with_deletes",
-    "ann_probe_as_of",
-    "t19_store_build",
+    # Round 14: the oldest gate-of-record slice — r8/r9-certified
+    # entries with no driver re-cert since r9 (VERDICT r13 "Next
+    # round" #5: keep the rotation honest; the hash-stale
+    # auto-detector cannot see regressions that arrive through
+    # shared input fixtures rather than code, so the oldest slice
+    # gets an explicit turn).  r13's two blocks all re-certified in
+    # the r13 window (judge-verified) and are pruned.
+    "s2_scan_ts_window",
+    "p4_idset_semijoin",
+    "p6_status_case_map",
+    "j1_exists_semi",
+    "a3_dedup_latest",
+    "a4_first_last_modified",
+    "a8_status_histogram",
+    "u1_union_distinct",
+    "u2_intersect",
 )
 
 
