@@ -38,6 +38,8 @@ _GATE_PRIORITY = (
     "ivfpq_store_serve",
     "ivfpq_store_retrain",
     "t26_stream_pq_serve",
+    "postings_rebucket_serve",
+    "hybrid_serve_with_deletes",
 )
 
 

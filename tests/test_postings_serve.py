@@ -278,27 +278,74 @@ def test_postings_compaction_replay_is_idempotent(spark, tmp_path):
     assert _probe(spark, store) == first      # scores unchanged
 
 
-def test_bucket_count_mismatch_fails_loudly(spark, tmp_path, monkeypatch):
-    """The term-bucket count is physical layout: a probe or ingest
-    compiled with a different _PB would silently hash query terms
-    into partitions the store never wrote (missed candidates, no
-    error).  The manifest records pb at first ingest; a mismatched
-    participant must raise with the rebucket remedy."""
-    import pytest as _pytest
-
+def test_bucket_count_adapts_to_store_layout(spark, tmp_path, monkeypatch):
+    """The term-bucket count is physical layout: the manifest records
+    pb at first ingest and every participant ADAPTS to it, so a probe
+    or ingest compiled with a DIFFERENT _PB default still routes by
+    the store's actual layout (r13 failed loudly here; r14 reads the
+    dial from the manifest — strictly stronger)."""
     from kcidb_spark.queries import streaming_exec as se
 
     store = str(tmp_path / "store")
     ingest_postings_batch_txn(_docs(spark, [(1, "apple pie")]), store, 0)
-    assert _probe(spark, store)          # same-dial probe works
+    before = _probe(spark, store)
+    assert before                        # same-dial probe works
 
     monkeypatch.setattr(se, "_PB", 16)
-    with _pytest.raises(ValueError, match="pb=8"):
-        probe_postings_bm25(_docs(spark, Q), store, 5).collect()
-    with _pytest.raises(ValueError, match="pb=8"):
-        ingest_postings_batch_txn(
-            _docs(spark, [(2, "banana")]), store, 1
-        )
+    assert _probe(spark, store) == before   # reader adapts to pb=8
+    ingest_postings_batch_txn(
+        _docs(spark, [(2, "banana split")]), store, 1
+    )                                       # writer adapts too
+    assert se.read_serve_manifest(store)["pb"] == 8
+    assert {r[2] for r in _probe(spark, store)} == {1, 2}
+
+
+def test_rebucket_migration_is_probe_invariant(spark, tmp_path):
+    """VERDICT r13 #2: a store built at pb=8 rebuckets to pb=16 —
+    probe results byte-identical across the migration, the manifest's
+    pb flips with the generation in one publish, later ingests write
+    the new count, and the probe scan prunes to the query's buckets
+    under the new layout."""
+    from kcidb_spark.queries.streaming_exec import (
+        postings_store_gc,
+        read_serve_manifest,
+        rebucket_postings_txn,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1
+    )
+    before = _probe(spark, store)
+
+    # Crash before the publish: old count, old layout, identical.
+    rebucket_postings_txn(spark, store, 16, fail_before_manifest=True)
+    assert read_serve_manifest(store)["pb"] == 8
+    assert _probe(spark, store) == before
+
+    rebucket_postings_txn(spark, store, 16)
+    man = read_serve_manifest(store)
+    assert man["pb"] == 16
+    assert man["postings_gen"] == "pgen_1"
+    assert _probe(spark, store) == before
+
+    # New batches land under the new count and are served alongside
+    # the rebucketed generation.
+    ingest_postings_batch_txn(
+        _docs(spark, [(4, "apple turnover")]), store, 2
+    )
+    assert {r[2] for r in _probe(spark, store)} == {1, 2, 3, 4}
+    # GC reclaims the pre-migration layout; probes unchanged.
+    postings_store_gc(store)
+    import os
+
+    assert not os.path.isdir(
+        os.path.join(store, "postings", "batch_id=0")
+    )
+    assert {r[2] for r in _probe(spark, store)} == {1, 2, 3, 4}
 
 
 def test_reingest_without_tombstone_serves_newest_copy(spark, tmp_path):
@@ -354,9 +401,10 @@ def test_reingest_without_tombstone_serves_newest_copy(spark, tmp_path):
 
 def test_hybrid_publish_records_pb(spark, tmp_path, monkeypatch):
     """ADVICE r13 medium: the hybrid ingest path's combined publish
-    must record the term-bucket count, so _check_store_pb protects
-    dual-modality stores too (a wm-only vector publish left pb unset
-    and the guard vacuous)."""
+    must record the term-bucket count, so readers of dual-modality
+    stores adapt to the store's layout too (a wm-only vector publish
+    left pb unset, and a differently-compiled reader would have
+    routed query terms into buckets the store never wrote)."""
     from kcidb_spark.queries import streaming_exec as se
 
     store = str(tmp_path / "store")
@@ -373,13 +421,13 @@ def test_hybrid_publish_records_pb(spark, tmp_path, monkeypatch):
     se.ingest_vec_batch_txn(
         vecs, store, 0, cents, fail_before_manifest=True
     )
-    se.publish_visibility(store, wm=0, pb=se._PB)
+    se.publish_visibility(store, wm=0, pb=se._store_pb(store))
     assert se.read_serve_manifest(store)["pb"] == se._PB
+    before = _probe(spark, store)
     monkeypatch.setattr(se, "_PB", se._PB * 2)
-    import pytest
-
-    with pytest.raises(ValueError, match="term"):
-        se._check_store_pb(store)
+    # A reader compiled with a different default still routes by the
+    # RECORDED layout — results identical, not silently empty.
+    assert _probe(spark, store) == before
 
 
 def test_publish_visibility_skips_torn_older_replay(tmp_path):
@@ -416,3 +464,59 @@ def test_publish_visibility_skips_torn_older_replay(tmp_path):
         centroids=[[0, [1, 2]]], centroid_gen=2,
     )
     assert read_serve_manifest(store)["centroid_gen"] == 2
+
+
+def test_hybrid_delete_is_atomic_across_legs(spark, tmp_path):
+    """VERDICT r13 #3: ONE delete transaction hides a document from
+    BOTH retrieval legs at the same watermark; a crash before the
+    publish leaves it visible in BOTH — never hidden in one and
+    served by the other (the torn deletion the shared manifest
+    exists to prevent)."""
+    from kcidb_spark.queries import streaming_exec as se
+
+    store = str(tmp_path / "store")
+    docs = _docs(spark, [(1, "apple pie"), (2, "banana split")])
+    vecs = spark.createDataFrame(
+        [Row(vec_id=1, v=[1.0, 0.1]), Row(vec_id=2, v=[0.1, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    cents = [(0, [1.0, 0.0], 1.0), (1, [0.0, 1.0], 1.0)]
+    se.ingest_postings_batch_txn(docs, store, 0,
+                                 fail_before_manifest=True)
+    se.ingest_vec_batch_txn(vecs, store, 0, cents,
+                            fail_before_manifest=True)
+    se.publish_visibility(store, wm=0, pb=se._store_pb(store))
+
+    def leg_ids():
+        lex = {
+            r["n_id"]
+            for r in se.probe_postings_bm25(
+                _docs(spark, Q), store, 10
+            ).collect()
+        }
+        qv = spark.createDataFrame(
+            [Row(vec_id=100, v=[1.0, 0.2])],
+            "vec_id long, v array<double>",
+        )
+        sem = {
+            r["n_id"]
+            for r in se.probe_visible_topk(qv, store, cents, 10).collect()
+        }
+        return lex, sem
+
+    lex, sem = leg_ids()
+    assert 1 in lex and 1 in sem
+
+    # Crash before the publish: tombstones written, doc VISIBLE in
+    # both legs (old watermark).
+    ids = spark.createDataFrame([Row(doc_id=1)], "doc_id long")
+    se.delete_hybrid_batch_txn(spark, ids, store, 1,
+                               fail_before_manifest=True)
+    lex, sem = leg_ids()
+    assert 1 in lex and 1 in sem
+
+    # Replay completes: absent from BOTH at the same watermark.
+    se.delete_hybrid_batch_txn(spark, ids, store, 1)
+    lex, sem = leg_ids()
+    assert 1 not in lex and 1 not in sem
+    assert 2 in lex and 2 in sem
