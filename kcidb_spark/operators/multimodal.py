@@ -208,3 +208,127 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     videos = media.filter(F.col("meta.modality") == "video")
     ensure_package_shipped(videos.sparkSession)
     return videos.mapInPandas(do_sample, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash / dHash).
+#
+# Mirrors the classic average-hash / difference-hash pipeline (pHash
+# family): decode → grayscale downsample → threshold into a compact
+# bit fingerprint → Hamming-distance blocking.  The DECODE step is the
+# injected seam shared with `decode_stub` above (a real implementation
+# swaps PIL's convert("L")+resize into `decode_gray_stub` with no plan
+# change); everything downstream — the bit math, the banded Hamming
+# join — is exact integer arithmetic on the JVM, reusing the certified
+# simhash band machinery (see operators/dedup.simhash_hamming_pairs).
+#
+# 60 bits, not the classic 64: one 60-bit BIGINT never touches the
+# sign bit, so the shift/OR arithmetic is replayable verbatim in the
+# DuckDB oracle (same width rule as simhash_bits — DuckDB raises on
+# 1::BIGINT << 63) and the fingerprint drops straight into the 15-bit
+# 4-band pigeonhole blocking already proven for simhash.
+# ---------------------------------------------------------------------------
+
+_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("px", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_gray_stub(payload: bytes, n_px: int) -> list[int]:
+    """Injected decode seam for perceptual hashing: payload bytes →
+    ``n_px`` point-sampled "luma" values (pixel i = byte at position
+    ``(i * len) // n_px``, the nearest-neighbor downsample a real
+    grayscale resize approximates).  Deterministic, so the synthetic
+    pure-ASCII payloads make the whole hash oracle-replayable
+    char-by-char.  A PIL-backed ``convert("L") + resize`` drops in
+    here with no plan change."""
+    if not payload:
+        return [0] * n_px
+    n = len(payload)
+    return [payload[(i * n) // n_px] for i in range(n_px)]
+
+
+def sample_gray_pixels(media: DataFrame, n_px: int = 61) -> DataFrame:
+    """Arrow-batched grayscale sampling over IMAGE rows: the modality
+    filter runs JVM-side before the Python boundary (only image bytes
+    cross into Arrow), then one mapInPandas emits ``(media_id,
+    px array<int>)`` with ``n_px`` deterministic luma samples per row.
+    61 samples feed both hashes: aHash thresholds the first 60 against
+    their mean, dHash compares the 60 adjacent sample pairs."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "px": [
+                        decode_gray_stub(p or b"", n_px)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    images = media.filter(F.col("meta.modality") == "image")
+    ensure_package_shipped(images.sparkSession)
+    return images.mapInPandas(sample, schema=_PIXEL_SCHEMA)
+
+
+def phash_signatures(pixels: DataFrame, n_bits: int = 60) -> DataFrame:
+    """``(media_id, ahash, dhash)`` from sampled pixels — both hashes
+    as one whole-stage-codegen'd projection (no shuffle):
+
+    - aHash bit k: pixel k strictly above the mean of the first
+      ``n_bits`` pixels, compared multiplicatively (``px[k] * n > Σpx``)
+      so the threshold is exact integer arithmetic — no float mean to
+      diverge between engines; ties fall to 0 in both.
+    - dHash bit k: ``px[k+1] > px[k]`` (the gradient-sign hash,
+      robust to global brightness shifts a real decoder introduces).
+
+    Unrolled CASE sums, not array-HOF folds: higher-order-function
+    lambdas evaluate interpreted per element (the measured simhash
+    cliff, operators/dedup.simhash_bits_multi), while 60 unrolled
+    CASEs stay inside codegen."""
+    assert n_bits <= 60
+    total = " + ".join(f"px[{k}]" for k in range(n_bits))
+    ahash = " + ".join(
+        f"CASE WHEN px[{k}] * {n_bits} > __s THEN {1 << k} ELSE 0 END"
+        for k in range(n_bits)
+    )
+    dhash = " + ".join(
+        f"CASE WHEN px[{k + 1}] > px[{k}] THEN {1 << k} ELSE 0 END"
+        for k in range(n_bits)
+    )
+    return pixels.select(
+        "media_id", "px", F.expr(f"({total})").alias("__s")
+    ).select(
+        "media_id",
+        F.expr(f"CAST({ahash} AS BIGINT)").alias("ahash"),
+        F.expr(f"CAST({dhash} AS BIGINT)").alias("dhash"),
+    )
+
+
+def phash_hamming_pairs(
+    signatures: DataFrame,
+    hash_col: str = "dhash",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs at Hamming ≤ ``max_hamming`` over a
+    perceptual hash, via the certified simhash banded pigeonhole
+    blocking (``max_hamming < n_bands`` ⇒ provably the exact all-pairs
+    result, shuffle proportional to band buckets, never n²) — the
+    image-dedup leg of the multimodal surface, sharing the machinery
+    rather than reimplementing it."""
+    from kcidb_spark.operators.dedup import simhash_hamming_pairs
+
+    sig = signatures.select(
+        F.col("media_id"), F.col(hash_col).alias("simhash")
+    )
+    return simhash_hamming_pairs(
+        sig, id_col="media_id", n_bits=60, n_bands=n_bands,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )

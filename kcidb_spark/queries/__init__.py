@@ -40,6 +40,8 @@ _GATE_PRIORITY = (
     "t26_stream_pq_serve",
     "postings_rebucket_serve",
     "hybrid_serve_with_deletes",
+    "phash_image_signatures",
+    "phash_dedup_pairs",
 )
 
 

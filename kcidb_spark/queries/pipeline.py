@@ -903,6 +903,150 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_cte(n_px: int = 61, n_bits: int = 60, perturb: bool = False) -> str:
+    """Shared pixel→aHash/dHash CTE chain replaying
+    operators/multimodal.decode_gray_stub + phash_signatures exactly:
+    image rows are doc_id % 3 = 0 (to_media_table's round-robin), the
+    pure-ASCII guard makes byte k == codepoint of char k+1, pixel i is
+    the point sample at byte ``(i * len) // n_px``, and both hashes
+    are the same strict integer comparisons the Spark side unrolls.
+    ``perturb`` adds the dedup entry's planted near-dup twin per image
+    (global +7 brightness, pixel 30 spiked +50) before hashing."""
+    src = "px"
+    twin = ""
+    if perturb:
+        src = "px2"
+        twin = f"""px2 AS (
+            SELECT doc_id, i, p FROM px
+            UNION ALL
+            SELECT doc_id + 1000000000, i,
+                   p + 7 + CASE WHEN i = 30 THEN 50 ELSE 0 END
+            FROM px
+        ),
+        """
+    return dedent(f"""
+        px AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS i,
+                   unicode(substr(text,
+                       CAST((i * strlen(text)) // {n_px} AS INTEGER) + 1,
+                       1)) AS p
+            FROM documents, range({n_px}) t(i)
+            WHERE doc_id % 3 = 0
+              AND strlen(text) = length(text) AND strlen(text) > 0
+        ),
+        {twin}psum AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN i < {n_bits} THEN p ELSE 0 END) AS tot
+            FROM {src} GROUP BY doc_id
+        ),
+        ah AS (
+            SELECT {src}.doc_id,
+                   CAST(SUM(CASE WHEN i < {n_bits} AND p * {n_bits} > tot
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                        AS BIGINT) AS ahash
+            FROM {src} JOIN psum ON {src}.doc_id = psum.doc_id
+            GROUP BY {src}.doc_id
+        ),
+        dh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN nxt > p
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                        AS BIGINT) AS dhash
+            FROM (
+                SELECT doc_id, i, p,
+                       lead(p) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+                FROM {src}
+            ) g
+            WHERE i < {n_bits}
+            GROUP BY doc_id
+        )
+    """).strip()
+
+
+@register(
+    "phash_image_signatures",
+    oracle=f"""WITH {_phash_cte()}
+        SELECT ah.doc_id AS media_id, ahash, dhash
+        FROM ah JOIN dh ON ah.doc_id = dh.doc_id
+    """,
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def phash_image_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash signatures (aHash + dHash, 60-bit BIGINTs) for
+    every IMAGE row: JVM modality filter → Arrow-batched grayscale
+    point-sampling through the injected decode seam → one codegen'd
+    integer-threshold projection.  The deterministic stub decode over
+    pure-ASCII payloads makes the full hash oracle-replayable; a real
+    PIL decode swaps into ``decode_gray_stub`` with no plan change
+    (operators/multimodal.py)."""
+    from kcidb_spark.operators.multimodal import (
+        phash_signatures,
+        sample_gray_pixels,
+        to_media_table,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        (F.octet_length("text") == F.length("text"))
+        & (F.length("text") > 0)
+    )
+    return phash_signatures(sample_gray_pixels(to_media_table(docs)))
+
+
+@register(
+    "phash_dedup_pairs",
+    oracle=f"""WITH {_phash_cte(perturb=True)}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    tags=("multimodal", "dedup"),
+)
+def phash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs at dHash Hamming ≤ 3 via the
+    certified 4-band pigeonhole blocking (≤3 differing bits ⇒ some
+    15-bit band agrees, so the banded join provably equals the
+    brute-force all-pairs oracle — same guarantee, same machinery as
+    simhash_hamming_pairs).
+
+    The corpus is each image PLUS a planted near-dup twin
+    (media_id + 10⁹): a global +7 brightness shift with one pixel
+    spiked +50 — the perturbation class perceptual hashing exists to
+    survive.  Both hashes are provably invariant to the uniform shift
+    (dHash compares adjacent samples; aHash's multiplicative mean
+    test ``px·n > Σ`` cancels a constant added to every sample), so
+    each twin lands at Hamming ≤ 2 of its original — ≤ 2, not 0,
+    because the spiked pixel flips up to two adjacent dHash
+    comparisons, exercising the distance threshold rather than
+    degenerating to exact-hash equality.  Twin pixels are
+    deliberately NOT byte-clamped: saturation at 255 would break the
+    shift-invariance algebra and the exact oracle replay; a real
+    decoder clamps, a hash oracle must not."""
+    from kcidb_spark.operators.multimodal import (
+        phash_hamming_pairs,
+        phash_signatures,
+        sample_gray_pixels,
+        to_media_table,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        (F.octet_length("text") == F.length("text"))
+        & (F.length("text") > 0)
+    )
+    px = sample_gray_pixels(to_media_table(docs))
+    twin = px.select(
+        (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> x + 7 + IF(i = 30, 50, 0))"
+        ).alias("px"),
+    )
+    # Both sides of the banded join read the signatures, and the
+    # pixel decode is a Python (Arrow) stage — persist so it runs
+    # once, not per side.
+    sig = scoped_persist(phash_signatures(px.unionByName(twin)))
+    return phash_hamming_pairs(sig, hash_col="dhash", n_bands=4, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Composed corpus-cleaning pipeline: filter → quality → exact dedup
 # ---------------------------------------------------------------------------

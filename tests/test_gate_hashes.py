@@ -58,14 +58,28 @@ def test_committed_records_match_head_or_are_queued():
     recorded = json.loads((REPO / "GATE_HASHES.json").read_text())
     stale = set(_stale_certified(certified))
     order = _gate_order()
-    # The driver gate window is 50 rows; everything stale must sit
-    # inside it (new entries ahead of it are few by construction).
-    window = set(order[:50])
+    # The driver gate window is 50 rows.  Every stale entry sits
+    # inside it, UNLESS the stale set itself overflows the window —
+    # then the weaker (and only satisfiable) safety property holds:
+    # no window slot is wasted on an entry that doesn't need
+    # (re)certification while a stale one waits outside.  Overflow
+    # self-heals across rounds: entries not re-certified this round
+    # keep their old GATE_HASHES record, stay stale, and sort to the
+    # head of the NEXT round's window.
+    window = order[:50]
+    needs_cert = {
+        n for n in window if n in stale or n not in certified
+    }
+    overflow = [n for n in stale if n not in set(window)]
+    if overflow:
+        assert len(needs_cert) == len(window), (
+            f"{len(overflow)} stale entries outside the window while "
+            f"certified-and-current entries occupy slots: "
+            f"{sorted(set(window) - needs_cert)[:5]}"
+        )
     for name in certified & set(REGISTRY):
         if name not in recorded:
             continue
         fn_h, env_h = impl_hashes(REGISTRY[name].spark)
         current = recorded[name] == {"fn": fn_h, "env": env_h}
         assert current or name in stale
-        if name in stale:
-            assert name in window, f"{name} stale but outside window"
