@@ -144,6 +144,33 @@ def _stale_certified(
     return fn_changed + env_changed + unrecorded
 
 
+def _stale_strong(certified: set[str]) -> list[str]:
+    """Only the OWN-FUNCTION-BODY hash mismatches — the high-signal
+    stale class (the query's own code changed).  Module-neighborhood
+    (env) mismatches over-flag entire modules on any edit; when a
+    round edits a 40-entry module, ranking all of them ahead of the
+    curated recheck slice starves the explicitly-wanted rows out of
+    the 50-row window (round 14's lesson: 93 env-stale entries)."""
+    import json
+    from pathlib import Path
+
+    from kcidb_spark.queries.impl_hash import impl_hashes
+
+    rec_path = Path(__file__).resolve().parents[2] / "GATE_HASHES.json"
+    try:
+        recorded = json.loads(rec_path.read_text())
+    except (OSError, ValueError):
+        return []
+    out = []
+    for name in REGISTRY:
+        if name not in certified or name not in recorded:
+            continue
+        fn_h, _ = impl_hashes(REGISTRY[name].spark)
+        if recorded[name].get("fn") != fn_h:
+            out.append(name)
+    return out
+
+
 def _gate_order() -> list[str]:
     """Registry names: uncertified first (priority set leading), then
     hash-detected stale certified queries, then the manual re-check
@@ -157,9 +184,15 @@ def _gate_order() -> list[str]:
     prio = [n for n in _GATE_PRIORITY if n in REGISTRY and n not in certified]
     seen = set(prio)
     recheck = []
-    for n in _stale_certified(certified) + [
+    # Own-body hash changes (high signal: the query's own code moved)
+    # outrank the curated _GATE_RECHECK slice, which outranks the
+    # env-hash class (module-neighborhood edits over-flag entire
+    # modules; they re-certify across rounds via this ordering plus
+    # the rotation instead of starving the window in one round).
+    strong = _stale_strong(certified)
+    for n in strong + [
         n for n in _GATE_RECHECK if n in REGISTRY and n in certified
-    ]:
+    ] + _stale_certified(certified):
         if n not in seen:
             recheck.append(n)
             seen.add(n)

@@ -66,9 +66,13 @@ def test_committed_records_match_head_or_are_queued():
     # self-heals across rounds: entries not re-certified this round
     # keep their old GATE_HASHES record, stay stale, and sort to the
     # head of the NEXT round's window.
+    from kcidb_spark.queries import _GATE_RECHECK
+
     window = order[:50]
     needs_cert = {
-        n for n in window if n in stale or n not in certified
+        n
+        for n in window
+        if n in stale or n not in certified or n in _GATE_RECHECK
     }
     overflow = [n for n in stale if n not in set(window)]
     if overflow:

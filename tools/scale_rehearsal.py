@@ -835,6 +835,191 @@ def run_postings_probe(spark, k: int, scaled_dir: str) -> dict:
     return out
 
 
+def run_hybrid_split(sf_dir: str, label: str, spark,
+                     n_batches: int = 6, n_probe_epochs: int = 8) -> dict:
+    """SPLIT-STREAM hybrid rehearsal (VERDICT r13 "Next round" #10):
+    the production shape SCALE.md r13 claimed but never measured —
+    the INGEST stream and the PROBE stream run as two CONCURRENT
+    Structured Streaming queries against ONE hybrid store.  The
+    ingest stream moves the corpus (linear volume: postings + vector
+    subtrees + one manifest publish per epoch); the probe stream runs
+    a FIXED-SIZE hybrid probe (BM25 leg + IVF leg) on its own trigger
+    cadence, reading whatever manifest snapshot is current.  The
+    claim under test: probe-epoch walls stay FLAT while the ingest
+    stream's per-epoch volume scales with the corpus — the probe's
+    cost is bounded by partition pruning + broadcast statistics, not
+    by store size."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from kcidb_spark.operators.similarity import dot_expr
+    from kcidb_spark.queries.advanced import _IVF_CENTROIDS
+    from kcidb_spark.queries.streaming_exec import (
+        _store_pb,
+        ingest_postings_batch_txn,
+        ingest_vec_batch_txn,
+        probe_postings_bm25,
+        probe_visible_topk,
+        publish_visibility,
+        read_serve_manifest,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    vecs = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"]))
+        for r in vecs.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        .collect()
+    ]
+    both = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), on="doc_id")
+
+    root = tempfile.mkdtemp(prefix=f"hybsplit_{label}_")
+    ingest_watch = os.path.join(root, "ingest_in")
+    probe_watch = os.path.join(root, "probe_in")
+    store = os.path.join(root, "store")
+    os.makedirs(ingest_watch)
+    os.makedirs(probe_watch)
+
+    # Stage the corpus as n_batches single-part files and a fixed
+    # 8-query probe workload (base doc ids — identical at every K
+    # because replication keeps rep-0 rows).
+    stage = os.path.join(root, "stage")
+    both.withColumn(
+        "_g", (F.col("doc_id") % n_batches).cast("int")
+    ).coalesce(1).write.partitionBy("_g").parquet(
+        os.path.join(stage, "ingest")
+    )
+    both.filter(F.col("doc_id") < 8).coalesce(1).write.parquet(
+        os.path.join(stage, "probe")
+    )
+    import glob as _glob
+
+    probe_part = _glob.glob(
+        os.path.join(stage, "probe", "part-*.parquet")
+    )[0]
+    for i in range(n_batches):
+        part = _glob.glob(
+            os.path.join(stage, "ingest", f"_g={i}", "part-*.parquet")
+        )[0]
+        shutil.copyfile(
+            part, os.path.join(ingest_watch, f"{i:02d}.parquet")
+        )
+    for j in range(n_probe_epochs):
+        shutil.copyfile(
+            probe_part, os.path.join(probe_watch, f"{j:02d}.parquet")
+        )
+
+    ingest_walls, probe_epochs = [], []
+
+    def handle_ingest(batch_df, epoch_id):
+        t0 = time.perf_counter()
+        n = batch_df.count()
+        ingest_postings_batch_txn(
+            batch_df.select("doc_id", "text"), store, int(epoch_id),
+            fail_before_manifest=True,
+        )
+        ingest_vec_batch_txn(
+            batch_df.select(F.col("doc_id").alias("vec_id"), "v"),
+            store, int(epoch_id), cents, fail_before_manifest=True,
+        )
+        publish_visibility(store, wm=int(epoch_id), pb=_store_pb(store))
+        ingest_walls.append(
+            {"epoch": int(epoch_id), "rows": n,
+             "wall_s": round(time.perf_counter() - t0, 3)}
+        )
+
+    def handle_probe(batch_df, epoch_id):
+        man = read_serve_manifest(store)
+        if man.get("wm", -1) < 0:
+            return  # store not yet routable — skip this tick
+        t0 = time.perf_counter()
+        lex = probe_postings_bm25(
+            batch_df.select("doc_id", "text"), store, 10, df_cap=200
+        )
+        sem = probe_visible_topk(
+            batch_df.select(F.col("doc_id").alias("vec_id"), "v"),
+            store, cents, 10,
+        )
+        n = lex.count() + sem.count()
+        probe_epochs.append(
+            {"epoch": int(epoch_id), "wm": int(man["wm"]), "rows": n,
+             "wall_s": round(time.perf_counter() - t0, 3)}
+        )
+
+    schema = "doc_id long, text string, v array<double>"
+    q_ingest = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingest_watch)
+        .writeStream.foreachBatch(handle_ingest)
+        .option(
+            "checkpointLocation", os.path.join(root, "ckpt_ingest")
+        )
+        .trigger(processingTime="500 milliseconds")
+        .queryName(f"hybsplit_ingest_{_uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    q_probe = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(probe_watch)
+        .writeStream.foreachBatch(handle_probe)
+        .option(
+            "checkpointLocation", os.path.join(root, "ckpt_probe")
+        )
+        .trigger(processingTime="500 milliseconds")
+        .queryName(f"hybsplit_probe_{_uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    try:
+        deadline = time.time() + 1800
+        while time.time() < deadline:
+            if (
+                len(ingest_walls) >= n_batches
+                and len(probe_epochs) + 1 >= n_probe_epochs
+            ):
+                break
+            time.sleep(1)
+    finally:
+        q_ingest.stop()
+        q_probe.stop()
+        q_ingest.awaitTermination(60)
+        q_probe.awaitTermination(60)
+
+    pw = sorted(p["wall_s"] for p in probe_epochs) or [0.0]
+    iw = sorted(i["wall_s"] for i in ingest_walls) or [0.0]
+    out = {
+        "ingest_epochs": ingest_walls,
+        "probe_epochs": probe_epochs,
+        "ingest_rows_total": sum(i["rows"] for i in ingest_walls),
+        "ingest_wall_med": iw[len(iw) // 2],
+        "ingest_wall_max": iw[-1],
+        "probe_wall_med": pw[len(pw) // 2],
+        "probe_wall_max": pw[-1],
+        "probes_concurrent_with_ingest": sum(
+            1 for p in probe_epochs
+            if p["wm"] < max((i["epoch"] for i in ingest_walls), default=0)
+        ),
+    }
+    print(label, "hybridsplit", {
+        k: v for k, v in out.items()
+        if k not in ("ingest_epochs", "probe_epochs")
+    }, flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def synthesize_rich_corpus(spark, out_dir: str, n_words: int = 100_000,
                            freq_top: int = 2_000,
                            langs: tuple = ("xx",)) -> None:
@@ -892,7 +1077,7 @@ def main() -> None:
     if args and args[0] in ("dedup", "streaming", "closure", "similarity",
                             "bpe", "tokenizer", "sketch", "lm", "vocab",
                             "skew", "hotkey", "recovery", "serve",
-                            "lexical"):
+                            "lexical", "hybridsplit"):
         suite = args.pop(0)
     k = int(args[0]) if args else 10
     out_path = args[1] if len(args) > 1 else f"/tmp/scale_rehearsal_{suite}.json"
@@ -1035,6 +1220,30 @@ def main() -> None:
         result["ratios"] = _ratios(
             base, scaled, names_stream + names_batch
         )
+    elif suite == "hybridsplit":
+        # SPLIT-STREAM hybrid rehearsal (VERDICT r13 "Next round"
+        # #10): ingest and probe as two concurrent streams against
+        # one store — probe walls must stay flat while ingest volume
+        # scales K×.
+        scaled_dir = f"/tmp/kcidb_scale/sf{k}x"
+        synthesize(spark, k, scaled_dir)
+        result = {
+            "k": k,
+            "base": run_hybrid_split(BASE_SF, "sf0.1", spark),
+            "scaled": run_hybrid_split(scaled_dir, f"{k}x", spark),
+        }
+        b, s = result["base"], result["scaled"]
+        result["ratios"] = {
+            "probe_wall_med": round(
+                s["probe_wall_med"] / max(b["probe_wall_med"], 1e-9), 2
+            ),
+            "ingest_wall_med": round(
+                s["ingest_wall_med"] / max(b["ingest_wall_med"], 1e-9), 2
+            ),
+            "ingest_rows": round(
+                s["ingest_rows_total"] / max(b["ingest_rows_total"], 1), 2
+            ),
+        }
     elif suite == "skew":
         # SKEW rehearsal (VERDICT r9 "Next round" #1 done-criterion):
         # one stratum holds 90% of a Kx corpus; the six selection
