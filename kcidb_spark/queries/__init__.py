@@ -42,6 +42,8 @@ _GATE_PRIORITY = (
     "hybrid_serve_with_deletes",
     "phash_image_signatures",
     "phash_dedup_pairs",
+    "ivfpq_store_rotated_serve",
+    "ann_probe_as_of_retained",
 )
 
 

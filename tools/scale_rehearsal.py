@@ -915,12 +915,9 @@ def run_hybrid_split(sf_dir: str, label: str, spark,
         shutil.copyfile(
             part, os.path.join(ingest_watch, f"{i:02d}.parquet")
         )
-    for j in range(n_probe_epochs):
-        shutil.copyfile(
-            probe_part, os.path.join(probe_watch, f"{j:02d}.parquet")
-        )
 
     ingest_walls, probe_epochs = [], []
+    probe_ticks = {"n": 0}
 
     def handle_ingest(batch_df, epoch_id):
         t0 = time.perf_counter()
@@ -940,6 +937,7 @@ def run_hybrid_split(sf_dir: str, label: str, spark,
         )
 
     def handle_probe(batch_df, epoch_id):
+        probe_ticks["n"] += 1
         man = read_serve_manifest(store)
         if man.get("wm", -1) < 0:
             return  # store not yet routable — skip this tick
@@ -983,17 +981,46 @@ def run_hybrid_split(sf_dir: str, label: str, spark,
         .start()
     )
     try:
+        # Pace the probe workload from the driver: one probe file per
+        # tick, so probe epochs SPREAD across the ingest timeline
+        # instead of draining before the first commit.
         deadline = time.time() + 1800
+        dropped = 0
         while time.time() < deadline:
+            # Drop the next probe file only once the store is
+            # routable (first ingest committed) — otherwise the probe
+            # stream drains every file as a skip before wm=0 exists.
+            if (
+                dropped < n_probe_epochs
+                and read_serve_manifest(store).get("wm", -1) >= 0
+            ):
+                shutil.copyfile(
+                    probe_part,
+                    os.path.join(probe_watch, f"{dropped:02d}.parquet"),
+                )
+                dropped += 1
             if (
                 len(ingest_walls) >= n_batches
-                and len(probe_epochs) + 1 >= n_probe_epochs
+                and dropped >= n_probe_epochs
+                and probe_ticks["n"] >= dropped
             ):
                 break
-            time.sleep(1)
+            # A dead stream can never satisfy its count — exit with
+            # what was recorded (its exception is reported below).
+            if not q_probe.isActive and len(ingest_walls) >= n_batches:
+                break
+            if not q_ingest.isActive and not q_probe.isActive:
+                break
+            time.sleep(1.5)
     finally:
-        q_ingest.stop()
-        q_probe.stop()
+        stream_errors = []
+        for q in (q_ingest, q_probe):
+            try:
+                if q.exception() is not None:
+                    stream_errors.append(str(q.exception())[:300])
+            except Exception:
+                pass
+            q.stop()
         q_ingest.awaitTermination(60)
         q_probe.awaitTermination(60)
 
@@ -1011,6 +1038,7 @@ def run_hybrid_split(sf_dir: str, label: str, spark,
             1 for p in probe_epochs
             if p["wm"] < max((i["epoch"] for i in ingest_walls), default=0)
         ),
+        "stream_errors": stream_errors,
     }
     print(label, "hybridsplit", {
         k: v for k, v in out.items()
@@ -1086,7 +1114,14 @@ def main() -> None:
 
     spark = get_spark(
         app_name="scale_rehearsal",
-        extra_conf={"spark.ui.enabled": "true"},
+        # -Xss: the hybridsplit probe stream's microbatch planner hit
+        # a deep regex-backtracking stack on default 1m thread stacks
+        # (JDK Pattern.match recursion inside the stream execution
+        # thread); 32m heads it off for every suite.
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.driver.extraJavaOptions": "-Xss32m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
