@@ -5451,12 +5451,17 @@ def retrain_pq_store_txn(
         n_codes, rounds,
     )
     if not cents or not books:
+        if raw.isEmpty():
+            # Retraining a store with NOTHING visible is a no-op, not
+            # an error: there is nothing to re-encode and the old
+            # model keeps serving (the born-empty probes contract).
+            return
         # The certified integer trainers initialize from ids < k (the
         # oracle-replayable init rule; _RETRAIN_SAMPLE_SQL guarantees
-        # those ids are sampled WHEN THEY EXIST).  A corpus without
-        # them yields an empty model — publishing it would brick the
-        # store silently (probes route against zero centroids), the
-        # one failure worse than refusing the retrain.
+        # those ids are sampled WHEN THEY EXIST).  A non-empty corpus
+        # without them yields an empty model — publishing it would
+        # brick the store silently (probes route against zero
+        # centroids), the one failure worse than refusing the retrain.
         raise ValueError(
             f"retrain sample is degenerate (cents={len(cents)},"
             f" books={len(books)}): the integer trainers initialize"

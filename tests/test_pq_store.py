@@ -188,3 +188,34 @@ def test_pq_reingest_serves_newest_copy(spark, tmp_path):
     # distance — equal to the other y-members' (1, 3), not the old
     # x-copy's.
     assert d[0] == d[1] == d[3]
+
+
+def test_retrain_empty_store_is_noop_and_degenerate_raises(spark, tmp_path):
+    """An empty store retrains as a NO-OP (nothing visible to
+    re-encode; the old model keeps serving — born-empty contract); a
+    NON-empty corpus whose sample can't seed the trainers (no ids
+    < k — the oracle-replayable init rule) must raise rather than
+    publish an empty model that bricks every probe."""
+    from pyspark.sql import Row
+
+    def _qvecs(rows):
+        return spark.createDataFrame(
+            [Row(vec_id=i, q=list(map(int, p))) for i, p in rows],
+            "vec_id long, q array<bigint>",
+        )
+
+    store = str(tmp_path / "empty")
+    init_pq_store(store, INIT_CENTS, INIT_BOOKS, SUBS, SUBDIM)
+    before = read_serve_manifest(store)
+    retrain_pq_store_txn(spark, store, 2, 2, 2)  # no-op, no raise
+    after = read_serve_manifest(store)
+    assert after["centroids"] == before["centroids"]
+    assert after.get("centroid_gen", 0) == before.get("centroid_gen", 0)
+
+    deg = str(tmp_path / "degenerate")
+    init_pq_store(deg, INIT_CENTS, INIT_BOOKS, SUBS, SUBDIM)
+    ingest_pq_batch_txn(_qvecs([(10, (90, 10)), (11, (10, 90))]), deg, 0)
+    with pytest.raises(ValueError, match="degenerate"):
+        retrain_pq_store_txn(spark, deg, 2, 2, 2)
+    # The store still serves under the OLD model after the refusal.
+    assert "centroids" in read_serve_manifest(deg)
