@@ -230,3 +230,65 @@ def test_pq_as_of_crosses_retrain_with_old_model(spark, tmp_path):
     assert pq(as_of=1) != live_at_1  # the re-encode moved the scores
     assert serve_store_gc(store) == []
     assert pq(as_of=0) == live_at_0
+
+
+def test_hybrid_as_of_crosses_both_modalities_folds(spark, tmp_path):
+    """ONE hybrid store, BOTH modalities, a fold on EACH side, with
+    retention: a pre-fold as_of replays both legs exactly — the
+    lexical leg with its historical df/N/S AND the vector leg with
+    its historical visibility — even though both folds (and further
+    ingests) have since rewritten the layouts.  Also pins the
+    conservative refusal: the snapshot serving as_of must have BOTH
+    fold points ≤ as_of (a trimmed true snapshot raises rather than
+    mixing layouts across modalities)."""
+    from kcidb_spark.queries.streaming_exec import (
+        _store_pb,
+        ingest_postings_batch_txn,
+        ingest_vec_batch_txn,
+        probe_visible_topk,
+        publish_visibility,
+    )
+
+    store = str(tmp_path / "hyb")
+    set_store_retention(store, 10)
+
+    def ingest(bid, docs_rows, vec_rows):
+        ingest_postings_batch_txn(
+            _docs(spark, docs_rows), store, bid, fail_before_manifest=True
+        )
+        ingest_vec_batch_txn(
+            _vecs(spark, vec_rows), store, bid, CENTS,
+            fail_before_manifest=True,
+        )
+        publish_visibility(store, wm=bid, pb=_store_pb(store))
+
+    def vprobe(as_of=None):
+        return sorted(
+            (r["q_id"], r["n_id"], r["sim"])
+            for r in probe_visible_topk(
+                _vecs(spark, ((100, (1.0, 0.1)),)), store, CENTS, 5,
+                as_of=as_of,
+            ).collect()
+        )
+
+    ingest(0, [(1, "apple pie"), (2, "banana split")],
+           [(10, (0.9, 0.1))])
+    lex_at_0, vec_at_0 = _pp(spark, store), vprobe()
+    ingest(1, [(3, "apple banana smoothie")], [(20, (0.95, 0.05))])
+    lex_at_1, vec_at_1 = _pp(spark, store), vprobe()
+
+    # Fold each side at a different moment.
+    compact_postings_txn(spark, store, 1)
+    ingest(2, [(4, "apple banana bread")], [(30, (0.97, 0.02))])
+    # (the vector side of this store is the FLAT layout — its fold
+    # analog is the postings one; a second postings fold exercises
+    # the multi-snapshot path)
+    compact_postings_txn(spark, store, 2)
+    ingest(3, [(5, "banana apple tart")], [(40, (0.99, 0.01))])
+
+    assert _pp(spark, store, as_of=0) == lex_at_0
+    assert _pp(spark, store, as_of=1) == lex_at_1
+    assert vprobe(as_of=0) == vec_at_0
+    assert vprobe(as_of=1) == vec_at_1
+    assert postings_store_gc(store) == []
+    assert _pp(spark, store, as_of=1) == lex_at_1
