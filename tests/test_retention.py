@@ -292,3 +292,38 @@ def test_hybrid_as_of_crosses_both_modalities_folds(spark, tmp_path):
     assert vprobe(as_of=1) == vec_at_1
     assert postings_store_gc(store) == []
     assert _pp(spark, store, as_of=1) == lex_at_1
+
+
+def test_history_as_of_probe_stays_partition_pruned(spark, tmp_path):
+    """The retention rebind changes WHICH directories the probe
+    reads, never HOW: the pre-fold as_of plan still carries the
+    partition predicates (batch_id window over the raw tail, c_id IN
+    (probed) on both tiers) — no extra scan, no unpruned directory
+    listing (the design claim in SCALE.md's retention note)."""
+    import re
+
+    from kcidb_spark.queries.streaming_exec import probe_tiered_topk
+
+    store = str(tmp_path / "store")
+    set_store_retention(store, 10)
+    ingest_vec_batch_tiered(_vecs(spark, [(10, (0.9, 0.1))]), store, 0, CENTS)
+    ingest_vec_batch_tiered(_vecs(spark, [(20, (0.95, 0.05))]), store, 1, CENTS)
+    compact_store_txn(spark, store, 1)
+    ingest_vec_batch_tiered(_vecs(spark, [(30, (0.97, 0.02))]), store, 2, CENTS)
+
+    plan = (
+        probe_tiered_topk(
+            _vecs(spark, ((100, (1.0, 0.1)),)), store, CENTS, 5, as_of=0
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pruned = [
+        m.group(0)
+        for m in re.finditer(r"PartitionFilters: \[[^\]]*\]", plan)
+    ]
+    # Raw-tail scan: batch window bounded at the as_of watermark.
+    assert any("batch_id" in p and "<= 0" in p for p in pruned), pruned
+    # Every member scan prunes to the probed clusters.
+    assert any("c_id" in p and " IN " in p for p in pruned), pruned
