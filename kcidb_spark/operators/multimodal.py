@@ -332,3 +332,57 @@ def phash_hamming_pairs(
         sig, id_col="media_id", n_bits=60, n_bands=n_bands,
         max_hamming=max_hamming, max_bucket=max_bucket,
     )
+
+
+def phash_incremental_accepts(
+    day: DataFrame,
+    corpus: DataFrame,
+    hash_col: str = "dhash",
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The image edition of the incremental ingest gate
+    (dedup_incremental_neardup's shape): ACCEPT a day-batch image iff
+    no corpus image sits within ``max_hamming`` of its perceptual
+    hash.  Day and corpus band keys equi-join (pigeonhole: with
+    ``max_hamming < n_bands`` the banded candidate set provably
+    contains every qualifying pair, so banded-then-verify EQUALS the
+    NOT-EXISTS brute force the oracle runs); the verify is pure
+    in-row bit math — unlike the text gate no second data fetch is
+    needed, the hash IS the evidence.  Returns the accepted day rows
+    (``media_id``).
+
+    Scale shape: one exchange for the band join (bucket-sized — the
+    day side is a fraction of a bucket), one broadcast anti-join on
+    the matched-id set; at production scale the corpus bands live in
+    a persisted band||key-bucketed index (fpindex_build's layout) and
+    the day side probes it."""
+    assert max_hamming < n_bands and n_bits % n_bands == 0
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, id_alias: str, hash_alias: str) -> DataFrame:
+        return df.select(
+            F.col("media_id").alias(id_alias),
+            F.col(hash_col).alias(hash_alias),
+            F.explode(
+                F.array(*[
+                    F.expr(
+                        f"named_struct('band', {j}, 'key',"
+                        f" shiftright({hash_col}, {j * band_bits}) & {mask})"
+                    )
+                    for j in range(n_bands)
+                ])
+            ).alias("__bnd"),
+        ).select(id_alias, hash_alias, "__bnd.band", "__bnd.key")
+
+    day_b = banded(day, "a", "ha")
+    cor_b = banded(corpus, "b", "hb")
+    matched = (
+        day_b.join(cor_b, on=["band", "key"])
+        .filter(F.expr("bit_count(ha ^ hb)") <= max_hamming)
+        .select(F.col("a").alias("media_id"))
+        .distinct()
+    )
+    return day.join(F.broadcast(matched), on="media_id", how="left_anti")

@@ -44,6 +44,7 @@ _GATE_PRIORITY = (
     "phash_dedup_pairs",
     "ivfpq_store_rotated_serve",
     "ann_probe_as_of_retained",
+    "phash_dedup_incremental",
 )
 
 

@@ -903,15 +903,18 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_cte(n_px: int = 61, n_bits: int = 60, perturb: bool = False) -> str:
+def _phash_cte(n_px: int = 61, n_bits: int = 60, perturb: bool = False,
+               twin_where: str = "TRUE") -> str:
     """Shared pixel→aHash/dHash CTE chain replaying
     operators/multimodal.decode_gray_stub + phash_signatures exactly:
     image rows are doc_id % 3 = 0 (to_media_table's round-robin), the
     pure-ASCII guard makes byte k == codepoint of char k+1, pixel i is
     the point sample at byte ``(i * len) // n_px``, and both hashes
     are the same strict integer comparisons the Spark side unrolls.
-    ``perturb`` adds the dedup entry's planted near-dup twin per image
-    (global +7 brightness, pixel 30 spiked +50) before hashing."""
+    ``perturb`` adds the dedup entries' planted near-dup twin per
+    image (global +7 brightness, pixel 30 spiked +50) before hashing;
+    ``twin_where`` restricts which images get a twin (the incremental
+    entry plants twins for a deterministic half of the day batch)."""
     src = "px"
     twin = ""
     if perturb:
@@ -922,6 +925,7 @@ def _phash_cte(n_px: int = 61, n_bits: int = 60, perturb: bool = False) -> str:
             SELECT doc_id + 1000000000, i,
                    p + 7 + CASE WHEN i = 30 THEN 50 ELSE 0 END
             FROM px
+            WHERE {twin_where}
         ),
         """
     return dedent(f"""
@@ -1045,6 +1049,77 @@ def phash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, not per side.
     sig = scoped_persist(phash_signatures(px.unionByName(twin)))
     return phash_hamming_pairs(sig, hash_col="dhash", n_bands=4, max_hamming=3)
+
+
+_PHASH_DAY_GATE = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'"
+
+
+@register(
+    "phash_dedup_incremental",
+    oracle=f"""WITH {_phash_cte(perturb=True,
+                                twin_where=_PHASH_DAY_GATE
+                                + " AND doc_id % 2 = 0")},
+        g AS (
+            SELECT doc_id, dhash,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS gate
+            FROM dh
+        )
+        SELECT d.doc_id AS media_id, d.dhash AS dhash FROM g d
+        WHERE d.doc_id < 1000000000 AND d.gate < '4'
+          AND NOT EXISTS (
+              SELECT 1 FROM g c
+              WHERE (c.doc_id >= 1000000000 OR c.gate >= '4')
+                AND bit_count(xor(d.dhash, c.dhash)) <= 3
+          )
+    """,
+    tags=("multimodal", "dedup"),
+)
+def phash_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image edition of the INCREMENTAL ingest gate
+    (dedup_incremental_neardup's cycle, perceptual-hash edition): a
+    day batch of images (md5-gate < '4') is accepted iff no CORPUS
+    image sits within dHash Hamming ≤ 3 — the re-encoded/re-posted
+    image case the exact byte fingerprint misses.  Banded pigeonhole
+    blocking day-vs-corpus then in-row bit-count verify, provably
+    equal to the oracle's NOT-EXISTS brute force (max_hamming <
+    n_bands).  The corpus side carries a planted brightness twin for
+    the EVEN half of the day batch, so the gate demonstrably rejects
+    exactly the re-posts and passes the rest — accept/reject both
+    non-trivially exercised at every SF.  At scale the corpus bands
+    live in a persisted band||key index (fpindex_build's layout);
+    this entry certifies the join semantics those probes reproduce
+    (operators/multimodal.phash_incremental_accepts)."""
+    from kcidb_spark.operators.multimodal import (
+        phash_incremental_accepts,
+        phash_signatures,
+        sample_gray_pixels,
+        to_media_table,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        (F.octet_length("text") == F.length("text"))
+        & (F.length("text") > 0)
+    )
+    # The decode (Arrow stage) feeds the signature pass AND the twin
+    # construction — persist the pixels, recompute the cheap
+    # codegen'd hash projections.
+    px = scoped_persist(sample_gray_pixels(to_media_table(docs)))
+    sig = phash_signatures(px).select("media_id", "dhash")
+    gate = F.substring(F.md5(F.col("media_id").cast("string")), 1, 1)
+    day = sig.filter(gate < "4")
+    twin_px = px.filter(
+        (F.substring(F.md5(F.col("media_id").cast("string")), 1, 1) < "4")
+        & (F.col("media_id") % 2 == 0)
+    ).select(
+        (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> x + 7 + IF(i = 30, 50, 0))"
+        ).alias("px"),
+    )
+    corpus = sig.filter(gate >= "4").unionByName(
+        phash_signatures(twin_px).select("media_id", "dhash")
+    )
+    return phash_incremental_accepts(day, corpus)
 
 
 # ---------------------------------------------------------------------------

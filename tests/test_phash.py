@@ -155,3 +155,45 @@ def test_media_adapter_roundtrip(spark):
     px = sample_gray_pixels(media)  # images: doc_id % 3 == 0
     got = {r["media_id"] for r in px.collect()}
     assert got == {0, 3}
+
+
+def test_incremental_accepts_equal_brute_force(spark, media):
+    """Banded day-vs-corpus blocking ≡ NOT-EXISTS brute force at
+    Hamming ≤ 3 (pigeonhole), on a split where both accept and reject
+    are exercised."""
+    from kcidb_spark.operators.multimodal import phash_incremental_accepts
+
+    sig = phash_signatures(sample_gray_pixels(media)).select(
+        "media_id", "dhash"
+    ).cache()
+    day = sig.filter(F.col("media_id") < 3)      # 0,1,2: near-dup trio
+    corpus = sig.filter(F.col("media_id") >= 3)  # 3,4,5: unrelated
+    got = {
+        r["media_id"]
+        for r in phash_incremental_accepts(day, corpus).collect()
+    }
+    rows = {r["media_id"]: r["dhash"] for r in sig.collect()}
+    brute = {
+        a
+        for a in (0, 1, 2)
+        if not any(
+            bin(rows[a] ^ rows[b]).count("1") <= 3 for b in (3, 4, 5)
+        )
+    }
+    assert got == brute
+    # And with the twin of image 0 planted in the corpus, 0 and its
+    # Hamming-≤3 neighbors get rejected.
+    twin = sig.filter(F.col("media_id") == 0).select(
+        (F.col("media_id") + 100).alias("media_id"), "dhash"
+    )
+    got2 = {
+        r["media_id"]
+        for r in phash_incremental_accepts(
+            day, corpus.unionByName(twin)
+        ).collect()
+    }
+    assert 0 not in got2
+    assert got2 == {
+        a for a in brute if bin(rows[a] ^ rows[0]).count("1") > 3
+    }
+    sig.unpersist()
