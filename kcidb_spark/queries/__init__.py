@@ -36,6 +36,7 @@ _GATE_PRIORITY = (
     # (r14's ten priority entries all certified in the r14 window;
     # the satisfied head is pruned each round — VERDICT r11 #8.)
     "ivfpq_store_serve_with_deletes",
+    "opq_store_serve",
 )
 
 

@@ -1775,6 +1775,24 @@ def _mark_store_built(spark: SparkSession, path: str) -> None:
     _SERVE_STORES_BUILT.add((spark.sparkContext.applicationId, path))
 
 
+def _session_stage(spark: SparkSession, sf_dir: str, tag: str, writer) -> str:
+    """Session-keyed STAGED FIXTURE files for the streaming serve
+    entries (VERDICT r14 "Next round" #4): the coalesce(1) staging
+    writes that fabricate the arrival files are identical for every
+    invocation in a session, yet they ran inside each entry's benched
+    wall — so every round's drift check re-litigated fixture I/O, not
+    the serve loop.  ``writer(stage)`` (the entry's staging Spark
+    jobs) runs ONCE per (session, sf_dir, tag) — the
+    _session_store_dir/score-cache precedent; per-invocation cost
+    drops to hard file copies into the fresh watch dir.  Harness-only:
+    at 100 TB arrivals come from the real bus, there is no staging."""
+    stage, built = _session_store_dir(spark, sf_dir, "stage_" + tag)
+    if not built:
+        writer(stage)
+        _mark_store_built(spark, stage)
+    return stage
+
+
 def _t21_session_store(
     spark: SparkSession, sf_dir: str, vecs: DataFrame, cents: list
 ) -> str:
@@ -1935,24 +1953,29 @@ def t21_stream_serve_during_ingest(
     ]
 
     # Stage the interleaved arrivals: ingest batch i then a probe of
-    # the full query workload, alternating, mtime-ordered.  TWO Spark
-    # jobs total: all ingest groups land in one partitioned write
-    # (coalesce(1) → one file per _g dir; staging volume is one
-    # corpus pass either way) and the probe workload — identical
-    # every round — is written once and hard-copied per round.
+    # the full query workload, alternating, mtime-ordered.  The TWO
+    # staging Spark jobs (all ingest groups in one partitioned
+    # coalesce(1) write; the probe workload written once) run once
+    # per session (_session_stage); this wall measures the serve
+    # loop plus cheap file copies.
     watch = _scratch_dir("t21_in")
-    stage = _scratch_dir("t21_stage")
     now = time.time()
-    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
-        pfx.isin(*list(_T21_RANGES[1])), 1
-    ).otherwise(2)
-    vecs.withColumn("_g", grp).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
-    vecs.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(stage, "probe"))
+
+    def _write_stage(stage: str) -> None:
+        pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+            pfx.isin(*list(_T21_RANGES[1])), 1
+        ).otherwise(2)
+        vecs.withColumn("_g", grp).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+        vecs.filter(
+            F.col("vec_id") < _IVF_QUERIES
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "probe")
+        )
+
+    stage = _session_stage(spark, sf_dir, "t21", _write_stage)
     probe_part = glob.glob(
         os.path.join(stage, "probe", "part-*.parquet")
     )[0]
@@ -1998,7 +2021,7 @@ def t21_stream_serve_during_ingest(
     )
     q.awaitTermination()
     _record_progress("t21_stream_serve_during_ingest", q)
-    for d in (ckpt, watch, stage, store):
+    for d in (ckpt, watch, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "sim"
@@ -2413,18 +2436,25 @@ def t22_stream_compact_while_serving(
         .collect()
     ]
     watch = _scratch_dir("t22_in")
-    stage = _scratch_dir("t22_stage")
     now = time.time()
-    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
-        pfx.isin(*list(_T21_RANGES[1])), 1
-    ).otherwise(2)
-    vecs.withColumn("_g", grp).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
-    vecs.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(stage, "probe"))
+
+    # Staged arrivals are byte-identical to t21's — share its
+    # session-keyed stage (one staging pass serves both entries).
+    def _write_stage(stage: str) -> None:
+        pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+            pfx.isin(*list(_T21_RANGES[1])), 1
+        ).otherwise(2)
+        vecs.withColumn("_g", grp).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+        vecs.filter(
+            F.col("vec_id") < _IVF_QUERIES
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "probe")
+        )
+
+    stage = _session_stage(spark, sf_dir, "t21", _write_stage)
     probe_part = glob.glob(
         os.path.join(stage, "probe", "part-*.parquet")
     )[0]
@@ -2473,7 +2503,7 @@ def t22_stream_compact_while_serving(
     )
     q.awaitTermination()
     _record_progress("t22_stream_compact_while_serving", q)
-    for d in (ckpt, watch, stage, store):
+    for d in (ckpt, watch, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "sim"
@@ -2513,9 +2543,10 @@ def serve_store_gc(store: str) -> list:
         man, "compacted_upto", "compacted_dir"
     )
     deleted = []
-    # "raw" is the PQ store's cold tier — folded into the generation's
-    # raw/ subtree at retrain, so the same batch rule applies.
-    for sub in ("data", "raw"):
+    # "raw" is the PQ store's cold tier and "rawx" the OPQ store's
+    # (unrotated floats) — both folded into the generation's subtree
+    # at retrain/compaction, so the same batch rule applies.
+    for sub in ("data", "raw", "rawx"):
         base = os.path.join(store, sub)
         if not os.path.isdir(base) or cupto < 0:
             continue
@@ -3782,18 +3813,23 @@ def t23_stream_postings_serve(
         "doc_id", "text"
     )
     watch = _scratch_dir("t23_in")
-    stage = _scratch_dir("t23_stage")
     now = time.time()
-    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
-        pfx.isin(*list(_T21_RANGES[1])), 1
-    ).otherwise(2)
-    docs.withColumn("_g", grp).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
-    docs.filter(F.col("doc_id") < _BM25_QUERIES).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(stage, "probe"))
+
+    def _write_stage(stage: str) -> None:
+        pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+            pfx.isin(*list(_T21_RANGES[1])), 1
+        ).otherwise(2)
+        docs.withColumn("_g", grp).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+        docs.filter(
+            F.col("doc_id") < _BM25_QUERIES
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "probe")
+        )
+
+    stage = _session_stage(spark, sf_dir, "t23", _write_stage)
     probe_part = glob.glob(
         os.path.join(stage, "probe", "part-*.parquet")
     )[0]
@@ -3837,7 +3873,7 @@ def t23_stream_postings_serve(
     )
     q.awaitTermination()
     _record_progress("t23_stream_postings_serve", q)
-    for d in (ckpt, watch, stage, store):
+    for d in (ckpt, watch, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "score_micro", "rk"
@@ -4629,18 +4665,25 @@ def t24_stream_retrain_while_serving(
     )
 
     watch = _scratch_dir("t24_in")
-    stage = _scratch_dir("t24_stage")
     now = time.time()
-    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
-        pfx.isin(*list(_T21_RANGES[1])), 1
-    ).otherwise(2)
-    vecs_q.withColumn("_g", grp).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
-    vecs_q.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(stage, "probe"))
+
+    # The staged integer-grid arrivals are byte-identical to t26's —
+    # one session stage serves both entries.
+    def _write_stage(stage: str) -> None:
+        pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+            pfx.isin(*list(_T21_RANGES[1])), 1
+        ).otherwise(2)
+        vecs_q.withColumn("_g", grp).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+        vecs_q.filter(
+            F.col("vec_id") < _IVF_QUERIES
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "probe")
+        )
+
+    stage = _session_stage(spark, sf_dir, "t24q", _write_stage)
     probe_part = glob.glob(
         os.path.join(stage, "probe", "part-*.parquet")
     )[0]
@@ -4693,7 +4736,7 @@ def t24_stream_retrain_while_serving(
     )
     q.awaitTermination()
     _record_progress("t24_stream_retrain_while_serving", q)
-    for d in (ckpt, watch, stage, store):
+    for d in (ckpt, watch, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "d2"
@@ -4923,18 +4966,23 @@ def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     watch = _scratch_dir("t25_in")
-    stage = _scratch_dir("t25_stage")
     now = time.time()
-    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
-        pfx.isin(*list(_T21_RANGES[1])), 1
-    ).otherwise(2)
-    both.withColumn("_g", grp).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
-    both.filter(F.col("doc_id") < _HYB_QUERIES).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(stage, "probe"))
+
+    def _write_stage(stage: str) -> None:
+        pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+            pfx.isin(*list(_T21_RANGES[1])), 1
+        ).otherwise(2)
+        both.withColumn("_g", grp).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+        both.filter(
+            F.col("doc_id") < _HYB_QUERIES
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "probe")
+        )
+
+    stage = _session_stage(spark, sf_dir, "t25", _write_stage)
     probe_part = glob.glob(
         os.path.join(stage, "probe", "part-*.parquet")
     )[0]
@@ -5035,7 +5083,7 @@ def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_progress("t25_stream_hybrid_serve", q)
-    for d in (ckpt, watch, stage, store):
+    for d in (ckpt, watch, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "r_lex", "r_sem", "rrf", "rk"
@@ -5985,18 +6033,25 @@ def t26_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs_q = _pqc_vecs_q(spark, sf_dir)
     watch = _scratch_dir("t26_in")
-    stage = _scratch_dir("t26_stage")
     now = time.time()
-    pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
-        pfx.isin(*list(_T21_RANGES[1])), 1
-    ).otherwise(2)
-    vecs_q.withColumn("_g", grp).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
-    vecs_q.filter(F.col("vec_id") < _IVF_QUERIES).coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(stage, "probe"))
+
+    # Byte-identical staged content to t24's — share its session
+    # stage (the integer-grid corpus + query workload).
+    def _write_stage(stage: str) -> None:
+        pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        grp = F.when(pfx.isin(*list(_T21_RANGES[0])), 0).when(
+            pfx.isin(*list(_T21_RANGES[1])), 1
+        ).otherwise(2)
+        vecs_q.withColumn("_g", grp).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("_g").parquet(os.path.join(stage, "ingest"))
+        vecs_q.filter(
+            F.col("vec_id") < _IVF_QUERIES
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "probe")
+        )
+
+    stage = _session_stage(spark, sf_dir, "t24q", _write_stage)
     probe_part = glob.glob(
         os.path.join(stage, "probe", "part-*.parquet")
     )[0]
@@ -6043,7 +6098,7 @@ def t26_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_progress("t26_stream_pq_serve", q)
-    for d in (ckpt, watch, stage, store):
+    for d in (ckpt, watch, store):
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "probe_round", "q_id", "n_id", "adc_micro", "rk"
@@ -6605,5 +6660,344 @@ def ivfpq_store_serve_with_deletes(
     )
     return probe_pq_topk(
         vecs_q.filter(F.col("vec_id") < _IVF_QUERIES),
+        store, _IVF_K, nprobe=_KM_NPROBE,
+    )
+
+# --- OPQ serving store: the LEARNED rotation in the manifest ---
+
+_OPQ_RAWX_SCHEMA = "vec_id long, x array<double>, batch_id bigint"
+_OPQ_GEN_RAWX_SCHEMA = "vec_id long, x array<double>, src_batch bigint"
+
+
+def _opq_quantize(df: DataFrame, rot: list, x_col: str = "x") -> DataFrame:
+    """Rotate ``x_col`` by the d×d matrix and quantize onto the store's
+    integer grid — the OPQ store's one pre-encode projection (per-row
+    JVM compute against a broadcast matrix, zero shuffle; FAISS's
+    pre-transform chain).  All other columns ride through; ``x_col``
+    is replaced by ``q array<bigint>``."""
+    from kcidb_spark.operators.opq import rotate
+    from kcidb_spark.queries.advanced import _KM_SCALE
+
+    return (
+        rotate(df, rot, x_col, "_xr")
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(_xr, v -> cast(floor((v + 1.0D)"
+                f" * {_KM_SCALE}.0D) as bigint))"
+            ),
+        )
+        .drop("_xr", x_col)
+    )
+
+
+def init_opq_store(
+    store: str, rot: list, cents: list, books: list,
+    n_subs: int, subdim: int,
+) -> None:
+    """Create the OPQ store's generation-0 model: the LEARNED (or
+    fixed-control) rotation matrix joins the coarse centroids and
+    per-subspace codebooks in ONE manifest publish (VERDICT r14 "Next
+    round" #2 — the codebook precedent: model parameters that must
+    never be seen torn live in the manifest, and the rotation is a
+    model parameter exactly like a codebook).  Born empty but
+    routable, encodable, AND rotatable."""
+    os.makedirs(store, exist_ok=True)
+    publish_visibility(
+        store,
+        pq_rot=[[float(v) for v in row] for row in rot],
+        centroids=[[int(c), [int(x) for x in q]] for c, q in cents],
+        pq_books=[
+            [int(s), int(m), [int(x) for x in bq]] for s, m, bq in books
+        ],
+        pq_subs=int(n_subs),
+        pq_subdim=int(subdim),
+        centroid_gen=0,
+    )
+
+
+def ingest_opq_batch_txn(
+    batch_df: DataFrame,
+    store: str,
+    batch_id: int,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One OPQ ingest transaction: rotate the batch by the MANIFEST's
+    rotation, quantize, encode under the manifest's model (the
+    certified ingest_pq_batch_txn arithmetic), overwrite the hot
+    ``data/batch_id=N`` codes subtree — and keep the UNROTATED floats
+    in the cold ``rawx/batch_id=N`` subtree, because the retrain
+    re-SOLVES the rotation (orthogonal Procrustes needs the original
+    space; a rotated-then-quantized copy cannot recover it), then ONE
+    manifest publish.  ``batch_df``: (vec_id, x array<double>).
+    Crash/replay contract identical to ingest_pq_batch_txn."""
+    man = read_serve_manifest(store)
+    cents, books, n_subs, subdim = _pqc_model(store, man=man)
+    enc = _pqc_encode(
+        _opq_quantize(batch_df.select("vec_id", "x"), man["pq_rot"]),
+        cents, books, n_subs, subdim,
+    )
+    enc.select("vec_id", "codes", "c_id").write.mode(
+        "overwrite"
+    ).partitionBy("c_id").parquet(
+        os.path.join(store, "data", f"batch_id={batch_id}")
+    )
+    batch_df.select("vec_id", "x").write.mode("overwrite").parquet(
+        os.path.join(store, "rawx", f"batch_id={batch_id}")
+    )
+    if fail_before_manifest:
+        return
+    publish_visibility(store, wm=batch_id)
+
+
+def _opq_visible_rawx(spark: SparkSession, store: str) -> DataFrame:
+    """Manifest-visible UNROTATED floats from the OPQ cold tier —
+    the rotation re-solve + re-encode source: {generation rawx ∪ tail
+    rawx}, tombstone-folded, last-write-wins; (vec_id, x, m_batch).
+    Never read at probe time (the probe-plan pin covers ``rawx`` via
+    the same substring)."""
+    man = read_serve_manifest(store)
+    wm, cupto = man["wm"], man.get("compacted_upto", -1)
+    tiers = []
+    if man.get("compacted_dir") and cupto >= 0:
+        tiers.append(
+            spark.read.schema(_OPQ_GEN_RAWX_SCHEMA)
+            .parquet(os.path.join(store, man["compacted_dir"], "rawx"))
+            .select("vec_id", "x", F.col("src_batch").alias("m_batch"))
+        )
+    rawx = os.path.join(store, "rawx")
+    if os.path.isdir(rawx):
+        tiers.append(
+            spark.read.schema(_OPQ_RAWX_SCHEMA)
+            .parquet(rawx)
+            .filter(
+                (F.col("batch_id") > F.lit(cupto))
+                & (F.col("batch_id") <= F.lit(wm))
+            )
+            .select("vec_id", "x", F.col("batch_id").alias("m_batch"))
+        )
+    if not tiers:
+        return spark.createDataFrame(
+            [], "vec_id long, x array<double>, m_batch bigint"
+        )
+    members = tiers[0]
+    for t in tiers[1:]:
+        members = members.unionByName(t)
+    tomb = _visible_tombstones(spark, store, wm)
+    if tomb is not None:
+        tb = F.broadcast(tomb.withColumnRenamed("vec_id", "t_id"))
+        members = members.join(
+            tb,
+            on=[
+                members["vec_id"] == tb["t_id"],
+                members["m_batch"] <= tb["tomb_batch"],
+            ],
+            how="left_anti",
+        )
+    return members.groupBy("vec_id").agg(
+        F.max("m_batch").alias("m_batch"),
+        F.max_by("x", "m_batch").alias("x"),
+    ).select("vec_id", "x", "m_batch")
+
+
+def probe_opq_topk(
+    batch_df: DataFrame,
+    store: str,
+    k: int,
+    nprobe: int = 2,
+    as_of: int = None,
+) -> DataFrame:
+    """OPQ probe: rotate + quantize the queries under the SAME
+    manifest snapshot's rotation the codes were encoded with, then the
+    certified compressed-domain probe (probe_pq_topk) end-to-end —
+    the store never knows it serves a learned space (FAISS
+    pre-transform).  For a pre-fold ``as_of`` the rotation rebinds
+    through the SAME retained history snapshot as the model — codes,
+    codebooks, centroids, and rotation travel together or not at
+    all."""
+    man = read_serve_manifest(store)
+    rot_src = man
+    if as_of is not None and as_of < man.get("compacted_upto", -1):
+        rot_src = _asof_snapshot(man, as_of)
+    rot = rot_src.get("pq_rot")
+    if rot is None:
+        return batch_df.sparkSession.createDataFrame(
+            [], "probe_round long, q_id long, n_id long,"
+                " adc_micro long, rk long"
+        )
+    return probe_pq_topk(
+        _opq_quantize(batch_df.select("vec_id", "x"), rot),
+        store, k, nprobe=nprobe, as_of=as_of,
+    )
+
+
+def retrain_opq_store_txn(
+    spark: SparkSession,
+    store: str,
+    n_centroids: int,
+    n_codes: int,
+    rounds: int,
+    iters: int = 3,
+    fail_before_manifest: bool = False,
+) -> None:
+    """One OPQ RETRAIN transaction — ALL THREE model parameters
+    re-solved under one atomic swap: the rotation (alternating
+    Procrustes/Lloyd on the bounded deterministic sample of unrotated
+    cold floats, keep-best initialized from the CURRENT manifest
+    rotation so the new rotation never quantizes worse than the one
+    it replaces — operators/opq.py's guarantee applied in-store), the
+    coarse centroids, and the per-subspace codebooks (the certified
+    integer trainers on the newly-rotated grid), then re-encode EVERY
+    visible member into ``gen_opq_<wm>`` (codes + rawx) and publish
+    (generation, rotation, centroids, books, fold point, model
+    generation) in ONE manifest swap.  Probes racing the swap serve
+    the old generation with the old rotation AND old model — the
+    retrain_pq_store_txn crash-window argument extended to three
+    quantizer parameters.  Replay/degenerate/empty contracts
+    identical to retrain_pq_store_txn."""
+    from kcidb_spark.operators.clustering import (
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+    )
+    from kcidb_spark.operators.ivf import subvectors
+    from kcidb_spark.operators.opq import opq_train
+
+    man = read_serve_manifest(store)
+    wm = man["wm"]
+    _c0, _b0, n_subs, subdim = _pqc_model(store, man=man)
+    rawx = _opq_visible_rawx(spark, store)
+    sample_x = _retrain_sample(rawx, n_centroids).select(
+        F.col("vec_id").alias("id"), "x"
+    )
+    rot, _books_f, _hist = opq_train(
+        sample_x, n_subs, subdim, n_codes,
+        lloyd_rounds=rounds, iters=iters, r_init=man["pq_rot"],
+    )
+    sample_q = _opq_quantize(
+        sample_x.select(F.col("id").alias("vec_id"), "x"), rot
+    ).select(F.col("vec_id").alias("id"), "q")
+    cents = kmeans_centroids_exact(sample_q, n_centroids, rounds)
+    books = pq_codebooks_exact(
+        subvectors(sample_q, ("id",), "q", n_subs, subdim),
+        n_codes, rounds,
+    )
+    if not cents or not books:
+        if rawx.isEmpty():
+            return
+        raise ValueError(
+            f"retrain sample is degenerate (cents={len(cents)},"
+            f" books={len(books)}): the integer trainers initialize"
+            f" from vec_id < k — ingest ids 0..k-1 or lower"
+            f" n_centroids/n_codes"
+        )
+    gen_dir = f"gen_opq_{wm}"
+    enc = _pqc_encode(
+        _opq_quantize(
+            rawx.select(
+                "vec_id", "x", F.col("m_batch").alias("src_batch")
+            ),
+            rot,
+        ).select("vec_id", "q", "src_batch"),
+        cents, books, n_subs, subdim, carry=("src_batch",),
+    )
+    enc.select(
+        "vec_id", "codes", "src_batch", "c_id"
+    ).write.mode("overwrite").partitionBy("c_id").parquet(
+        os.path.join(store, gen_dir, "codes")
+    )
+    rawx.select(
+        "vec_id", "x", F.col("m_batch").alias("src_batch")
+    ).write.mode("overwrite").parquet(
+        os.path.join(store, gen_dir, "rawx")
+    )
+    if fail_before_manifest:
+        return
+    publish_visibility(
+        store,
+        compacted_upto=wm,
+        compacted_dir=gen_dir,
+        pq_rot=[[float(v) for v in row] for row in rot],
+        centroids=[[c, list(q)] for c, q in cents],
+        pq_books=[[s, m, list(bq)] for s, m, bq in books],
+        centroid_gen=int(man.get("centroid_gen", 0)) + 1,
+    )
+
+
+@register(
+    "opq_store_serve",
+    tags=("similarity", "ivf", "index", "opq", "streaming"),
+    schema=(
+        "probe_round bigint, q_id bigint, n_id bigint,"
+        " adc_micro bigint, rk bigint"
+    ),
+)
+def opq_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ's LEARNED rotation serving in-store (VERDICT r14 "Next
+    round" #2): the rotation trained by operators/opq.py's alternating
+    Procrustes/Lloyd (Givens-initialized keep-best, so distortion ≤
+    the hash-certified fixed rotation's) lives in the MANIFEST next to
+    the codebooks; ingest rotates + quantizes + encodes each batch
+    under it, probes rotate their queries under the same snapshot, and
+    retrain re-solves it atomically with both quantizers
+    (retrain_opq_store_txn).  The serving machinery downstream of the
+    rotation is byte-identical to the certified ivfpq store — pinned
+    by the fixed-rotation control in tests/test_opq_store.py: an OPQ
+    store whose manifest rotation is the fixed Givens matrix probes
+    EQUAL to a plain PQ store fed externally-rotated vectors.
+
+    ROWS-ONLY like every learned-float trainer (opq_adc_topk's
+    argument: ordering-dependent float alternation has no static SQL
+    replay); the property harness pins orthogonality, in-store
+    learned-≤-fixed distortion, the control equality, and
+    retrain-swap invariance.  Training runs once per session on the
+    bounded sample (the FAISS posture); the store build is
+    session-keyed like every serving entry."""
+    from kcidb_spark.operators.ivf import subvectors
+    from kcidb_spark.queries.advanced import (
+        _IVF_CENTROIDS,
+        _IVF_K,
+        _IVF_QUERIES,
+        _KM_NPROBE,
+        _opq_trained,
+        _PQK_CODES,
+        _PQK_SUBDIM,
+        _PQK_SUBS,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("x")
+    )
+    store, built = _session_store_dir(spark, sf_dir, "opqserve")
+    if not built:
+        rot, _books_f, _hist = _opq_trained(
+            spark, sf_dir,
+            vecs.select(F.col("vec_id").alias("id"), "x"),
+        )
+        vq = _opq_quantize(vecs, rot)
+        cents = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in vq.filter(
+                F.col("vec_id") < _IVF_CENTROIDS
+            ).collect()
+        )
+        books = sorted(
+            (int(r["s"]), int(r["id"]), [int(v) for v in r["q"]])
+            for r in subvectors(
+                vq.filter(F.col("vec_id") < _PQK_CODES).select(
+                    F.col("vec_id").alias("id"), "q"
+                ),
+                ("id",), "q", _PQK_SUBS, _PQK_SUBDIM,
+            ).collect()
+        )
+        init_opq_store(store, rot, cents, books, _PQK_SUBS, _PQK_SUBDIM)
+        pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        for i, chars in enumerate(_T21_RANGES):
+            ingest_opq_batch_txn(
+                vecs.filter(pfx.isin(*list(chars))), store, i
+            )
+        _mark_store_built(spark, store)
+    return probe_opq_topk(
+        vecs.filter(F.col("vec_id") < _IVF_QUERIES),
         store, _IVF_K, nprobe=_KM_NPROBE,
     )
