@@ -722,8 +722,31 @@ def main(argv: list[str] | None = None) -> int:
             )
             rich_frames = [as_notifications(mainline_messages(*cbt))]
             if args.stock:
-                # The remaining stock subscription modules
-                # (linux_stable / ltp_maintainers / mark_brown analogs).
+                # The remaining stock subscription modules — with the
+                # stable-tree trio this evaluates analogs of all NINE
+                # reference modules (kcidb/monitor/subscriptions/):
+                # test (default_subscriptions) + mainline +
+                # linux_stable + ltp_maintainers + mark_brown +
+                # linux_stable_rt + linux_omap + nikolai_kondrashov
+                # (disabled in the reference, evaluated empty here).
+                from kcidb_spark.streaming.stable import (
+                    nikolai_messages,
+                    omap_messages,
+                    stable_rt_messages,
+                )
+
+                # mark_brown repo set
+                # (subscriptions/mark_brown.py:10-22).
+                brown_urls = tuple(
+                    "https://git.kernel.org/pub/scm/linux/kernel/git/"
+                    f"{r}.git"
+                    for r in (
+                        "arm64/linux", "soc/soc", "broonie/ci",
+                        "broonie/misc", "broonie/regmap",
+                        "broonie/regulator", "broonie/sound",
+                        "broonie/spi",
+                    )
+                )
                 rich_frames.append(
                     as_notifications(
                         mainline_messages(*cbt, repo_url=STABLE_REPO_URLS),
@@ -733,6 +756,29 @@ def main(argv: list[str] | None = None) -> int:
                 rich_frames.append(
                     as_notifications(
                         ltp_messages(*cbt), subscription="ltp_maintainers"
+                    )
+                )
+                rich_frames.append(
+                    as_notifications(
+                        testing_done_messages(*cbt, repo_url=brown_urls),
+                        subscription="mark_brown",
+                    )
+                )
+                rich_frames.append(
+                    as_notifications(
+                        stable_rt_messages(*cbt),
+                        subscription="linux_stable_rt",
+                    )
+                )
+                rich_frames.append(
+                    as_notifications(
+                        omap_messages(*cbt), subscription="linux_omap"
+                    )
+                )
+                rich_frames.append(
+                    as_notifications(
+                        nikolai_messages(*cbt),
+                        subscription="nikolai_kondrashov",
                     )
                 )
             for rich in rich_frames:

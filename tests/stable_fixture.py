@@ -7,9 +7,8 @@ Constructed so every ordering the reference leaves to load order
 (dict insertion, list position) coincides with the engine's
 deterministic sorts: one failed build per origin, one test per
 (origin, path, architecture) group, URLs/branches/tags in ascending
-order.  ``environment.misc`` carries the platform as the JSON string
-the engine stores (schema/types.py TESTS_SCHEMA) plus a parallel
-``misc_obj`` dict for the reference-side mock.
+order.  ``environment.misc`` is the I/O-schema object; the store
+packs it to the JSON string column get_json_object reads.
 """
 
 STABLE_RT_URL = (
@@ -108,7 +107,7 @@ FIXTURE = {
             "build_id": "broonie:b3",
             "path": "boot",
             "status": "FAIL",
-            "environment": {"misc": "{}", "misc_obj": {}},
+            "environment": {"misc": {}},
         },
         {
             "id": "broonie:t6",
@@ -116,10 +115,7 @@ FIXTURE = {
             "build_id": "broonie:b3",
             "path": "rt-tests.cyclictest",
             "status": "PASS",
-            "environment": {
-                "misc": '{"platform": "beagle-x15"}',
-                "misc_obj": {"platform": "beagle-x15"},
-            },
+            "environment": {"misc": {"platform": "beagle-x15"}},
         },
         {
             "id": "maestro:t1",
@@ -127,10 +123,7 @@ FIXTURE = {
             "build_id": "maestro:b1",
             "path": "boot",
             "status": "PASS",
-            "environment": {
-                "misc": '{"platform": "qemu-x86_64"}',
-                "misc_obj": {"platform": "qemu-x86_64"},
-            },
+            "environment": {"misc": {"platform": "qemu-x86_64"}},
         },
         {
             "id": "maestro:t2",
@@ -138,10 +131,7 @@ FIXTURE = {
             "build_id": "maestro:b2",
             "path": "boot.warm",
             "status": "FAIL",
-            "environment": {
-                "misc": '{"platform": "rpi4"}',
-                "misc_obj": {"platform": "rpi4"},
-            },
+            "environment": {"misc": {"platform": "rpi4"}},
         },
         {
             "id": "maestro:t4",
@@ -149,10 +139,7 @@ FIXTURE = {
             "build_id": "maestro:b2",
             "path": "rt-tests.cyclictest",
             "status": "FAIL",
-            "environment": {
-                "misc": '{"platform": "rpi4"}',
-                "misc_obj": {"platform": "rpi4"},
-            },
+            "environment": {"misc": {"platform": "rpi4"}},
         },
         {
             "id": "maestro:t5",
@@ -160,10 +147,7 @@ FIXTURE = {
             "build_id": "maestro:b1",
             "path": "rt-tests.signaltest",
             "status": "FAIL",
-            "environment": {
-                "misc": '{"platform": "x86-board"}',
-                "misc_obj": {"platform": "x86-board"},
-            },
+            "environment": {"misc": {"platform": "x86-board"}},
         },
         {
             "id": "redhat:t7",
@@ -171,26 +155,12 @@ FIXTURE = {
             "build_id": "redhat:b4",
             "path": "boot",
             "status": "FAIL",
-            "environment": {
-                "misc": '{"platform": "hp-z2"}',
-                "misc_obj": {"platform": "hp-z2"},
-            },
+            "environment": {"misc": {"platform": "hp-z2"}},
         },
     ],
 }
 
 
-def io_fixture():
-    """The fixture as a loadable kcidb I/O report: strips the
-    reference-mock-only ``misc_obj`` key."""
-    import copy
-
-    fx = copy.deepcopy(FIXTURE)
-    for t in fx["tests"]:
-        env = t.get("environment")
-        if env and "misc_obj" in env:
-            env.pop("misc_obj")
-    return fx
 
 
 #: All-pass variant: patches applied (3 files), one passing build and
@@ -235,10 +205,7 @@ FIXTURE_ALLPASS = {
             "build_id": "maestro:b1",
             "path": "boot",
             "status": "PASS",
-            "environment": {
-                "misc": '{"platform": "qemu"}',
-                "misc_obj": {"platform": "qemu"},
-            },
+            "environment": {"misc": {"platform": "qemu"}},
         },
         {
             "id": "maestro:t2",
@@ -246,10 +213,7 @@ FIXTURE_ALLPASS = {
             "build_id": "maestro:b1",
             "path": "rt-tests.cyclictest",
             "status": "PASS",
-            "environment": {
-                "misc": '{"platform": "qemu"}',
-                "misc_obj": {"platform": "qemu"},
-            },
+            "environment": {"misc": {"platform": "qemu"}},
         },
     ],
 }

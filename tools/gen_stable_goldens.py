@@ -73,7 +73,7 @@ def _build_objects(fixture):
                 status=t.get("status"),
                 path=t.get("path"),
                 environment_misc=(t.get("environment") or {}).get(
-                    "misc_obj"
+                    "misc"
                 ),
                 build=blds[t["build_id"]],
             )
