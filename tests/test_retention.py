@@ -327,3 +327,53 @@ def test_history_as_of_probe_stays_partition_pruned(spark, tmp_path):
     assert any("batch_id" in p and "<= 0" in p for p in pruned), pruned
     # Every member scan prunes to the probed clusters.
     assert any("c_id" in p and " IN " in p for p in pruned), pruned
+
+
+def test_postings_as_of_between_two_rebuckets_and_horizon(spark, tmp_path):
+    """VERDICT r14 "Next round" #9 — the sharp corners of rebucket ×
+    retention: an ``as_of`` BETWEEN two rebucket folds replays the
+    FIRST migration's pb + layout (not the original, not the newest);
+    each probe is byte-identical to the live probe at that watermark;
+    and once the horizon passes, the pre-rebucket read REFUSES rather
+    than serving a half-reclaimed layout."""
+    store = str(tmp_path / "store")
+    set_store_retention(store, 3)
+    ingest_postings_batch_txn(
+        _docs(spark, [(1, "apple pie"), (2, "banana split")]), store, 0
+    )
+    ingest_postings_batch_txn(
+        _docs(spark, [(3, "apple banana smoothie")]), store, 1
+    )
+    live_at_1 = _pp(spark, store)
+
+    rebucket_postings_txn(spark, store, 16)   # fold #1 at wm=1
+    ingest_postings_batch_txn(
+        _docs(spark, [(4, "apple banana bread")]), store, 2
+    )
+    live_at_2 = _pp(spark, store)             # pb=16 live layout
+
+    rebucket_postings_txn(spark, store, 32)   # fold #2 at wm=2
+    assert int(read_serve_manifest(store)["pb"]) == 32
+
+    # as_of=1 predates fold #1 → the ORIGINAL pb via its snapshot;
+    # as_of=2 sits between the folds → pb=16 via fold #2's snapshot.
+    assert _pp(spark, store, as_of=1) == live_at_1
+    assert _pp(spark, store, as_of=2) == live_at_2
+    # GC under retention keeps both replays intact.
+    postings_store_gc(store)
+    assert _pp(spark, store, as_of=1) == live_at_1
+    assert _pp(spark, store, as_of=2) == live_at_2
+
+    # Advance the watermark past the horizon (retain=3): the pre-fold
+    # snapshots expire at the NEXT fold's publish, after which the
+    # pre-rebucket read refuses instead of guessing.
+    for bid in (3, 4, 5, 6):
+        ingest_postings_batch_txn(
+            _docs(spark, [(10 + bid, "plain filler text")]), store, bid
+        )
+    compact_postings_txn(spark, store, 6)     # trims expired history
+    postings_store_gc(store)
+    with pytest.raises(ValueError, match="horizon|predates"):
+        _pp(spark, store, as_of=1)
+    # The live probe keeps serving across the expiry.
+    assert _pp(spark, store) == _pp(spark, store)
