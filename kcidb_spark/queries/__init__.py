@@ -37,6 +37,7 @@ _GATE_PRIORITY = (
     # the satisfied head is pruned each round — VERDICT r11 #8.)
     "ivfpq_store_serve_with_deletes",
     "opq_store_serve",
+    "ivfpq_store_compact_serve",
 )
 
 

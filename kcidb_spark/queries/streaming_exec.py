@@ -7001,3 +7001,45 @@ def opq_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") < _IVF_QUERIES),
         store, _IVF_K, nprobe=_KM_NPROBE,
     )
+
+
+@register(
+    "ivfpq_store_compact_serve",
+    oracle=_pqc_deletes_oracle(),
+    tags=("similarity", "ivf", "index", "streaming"),
+)
+def ivfpq_store_compact_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ COMPACTION certified against the hash gate (the pytest pins
+    in tests/test_pq_store.py prove invariance on toy geometry; this
+    entry proves it on the real corpus against the DuckDB oracle):
+    after the standard ~25% tombstone transaction, compact_pq_store_txn
+    folds every batch + the spent tombstones of BOTH tiers into one
+    generation WITHOUT re-encoding, serve_store_gc reclaims the folded
+    subtrees — and the probe of the folded store must equal the SAME
+    oracle as ivfpq_store_serve_with_deletes, because compaction is
+    pure layout maintenance: codes are immutable under the manifest's
+    model, last-write-wins folding picks exactly the copies probes
+    already resolve to, and a fully folded tombstone is spent.
+
+    Every step replays idempotently (overwrite subtrees + monotone
+    manifest), so re-invocation against the session store serves the
+    same bytes."""
+    from kcidb_spark.queries.advanced import _IVF_K, _IVF_QUERIES, _KM_NPROBE
+
+    vecs_q = _pqc_vecs_q(spark, sf_dir)
+    store = _pqc_build_store(spark, sf_dir, "pqcompact", retrain=False)
+    snd = F.substring(F.md5(F.col("vec_id").cast("string")), 2, 1)
+    delete_vec_batch_txn(
+        spark,
+        vecs_q.filter(snd.isin("0", "1", "2", "3")).select("vec_id"),
+        store,
+        len(_T21_RANGES),
+    )
+    compact_pq_store_txn(spark, store, len(_T21_RANGES))
+    serve_store_gc(store)
+    return probe_pq_topk(
+        vecs_q.filter(F.col("vec_id") < _IVF_QUERIES),
+        store, _IVF_K, nprobe=_KM_NPROBE,
+    )
