@@ -48,6 +48,29 @@ def d2_int_expr(a: str, b: str) -> str:
     return _D2_INT_TMPL.format(a=a, b=b)
 
 
+def _int_array_sql(vals) -> str:
+    """SQL text: array<bigint> literal."""
+    return (
+        "array("
+        + ", ".join(f"cast({int(x)} as bigint)" for x in vals)
+        + ")"
+    )
+
+
+def _argmin_centroid_sql(cents, vec_col: str = "q") -> str:
+    """SQL text: nearest-centroid id over driver-held integer
+    centroids as ONE per-row expression — min(struct(d2, c_id)).c_id,
+    exactly the ``min_by(c_id, struct(d2, c_id))`` the grouped form
+    computes, with zero exchanges (the centroid table is
+    control-plane-sized, so the expression is bounded by k·dim)."""
+    entries = [
+        f"struct({d2_int_expr(vec_col, _int_array_sql(cq))} as d,"
+        f" cast({int(c_id)} as bigint) as c)"
+        for c_id, cq in cents
+    ]
+    return f"array_min(array({', '.join(entries)})).c"
+
+
 def kmeans_centroids_exact(
     vecs: DataFrame, k: int, rounds: int
 ) -> list[tuple[int, list[int]]]:
@@ -70,25 +93,26 @@ def kmeans_centroids_exact(
     sanctioned control-plane collect (module docstring).  Clusters
     that lose all members drop out, same as a grouped agg in any
     engine."""
-    spark = vecs.sparkSession
-    schema = "c_id bigint, cq array<bigint>"
     cents = [
         (r["id"], list(r["q"]))
         for r in vecs.filter(F.col("id") < k).collect()
     ]
+    if not cents:
+        # Empty init can only stay empty (the old crossJoin rounds
+        # ran against an empty centroid table and collected nothing);
+        # the in-row expression below needs >= 1 literal entry.
+        return cents
     for _ in range(rounds):
-        cdf = spark.createDataFrame(cents, schema)
-        assign = (
-            vecs.crossJoin(F.broadcast(cdf))
-            .select(
-                "id", "q", "c_id",
-                F.expr(d2_int_expr("q", "cq")).alias("d2"),
-            )
-            .groupBy("id")
-            .agg(
-                F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
-                F.first("q").alias("q"),
-            )
+        # In-row argmin over the driver-held centroids (they are
+        # literals between rounds anyway): one per-row expression
+        # replaces the crossJoin+groupBy(min_by) shape, removing the
+        # id-keyed exchange that carried ``q`` once per round (guide
+        # §2.4) — at scale each Lloyd round now shuffles only the
+        # ≤ k·dim mean partials.  Identical argmin: min(struct(d2,
+        # c_id)) == min_by(c_id, struct(d2, c_id)).
+        assign = vecs.select(
+            "id", "q",
+            F.expr(_argmin_centroid_sql(cents)).alias("c_id"),
         )
         rows = (
             assign.select("c_id", F.posexplode("q").alias("pos", "x"))
@@ -129,26 +153,41 @@ def pq_codebooks_exact(
     join + argmin per (s, id) and one partial-agg integer mean per
     (s, m, dim); every step BIGINT, so an oracle unrolling the same
     rounds per subspace reproduces the books bit-for-bit."""
-    spark = subs.sparkSession
-    schema = "s bigint, m bigint, bq array<bigint>"
     books = sorted(
         (r["s"], r["id"], list(r["q"]))
         for r in subs.filter(F.col("id") < m).collect()
     )
+    if not books:
+        # Same early-out as kmeans_centroids_exact: an empty init
+        # stayed empty under the old join rounds; the in-row CASE
+        # needs >= 1 branch.
+        return books
     for _ in range(rounds):
-        bdf = spark.createDataFrame(books, schema)
-        assign = (
-            subs.join(F.broadcast(bdf), on="s")
-            .select(
-                "s", "id", "q", "m",
-                F.expr(d2_int_expr("q", "bq")).alias("d2"),
+        # In-row per-subspace argmin (same rationale as
+        # kmeans_centroids_exact): a CASE on ``s`` dispatches to that
+        # subspace's literal codewords, replacing the broadcast join +
+        # (s, id)-keyed exchange that carried ``q`` every round.  Rows
+        # whose subspace has no codewords (a fully-dropped book) get
+        # NULL and are filtered — exactly the rows the inner join
+        # dropped.  Identical argmin: min(struct(d2, m)).
+        by_s: dict[int, list] = {}
+        for s_, m_, bq_ in books:
+            by_s.setdefault(int(s_), []).append((int(m_), bq_))
+        branches = []
+        for s_ in sorted(by_s):
+            entries = [
+                f"struct({d2_int_expr('q', _int_array_sql(bq_))} as d,"
+                f" cast({m_} as bigint) as m)"
+                for m_, bq_ in sorted(by_s[s_])
+            ]
+            branches.append(
+                f"WHEN s = {s_} THEN"
+                f" array_min(array({', '.join(entries)})).m"
             )
-            .groupBy("s", "id")
-            .agg(
-                F.min_by("m", F.struct("d2", "m")).alias("m"),
-                F.first("q").alias("q"),
-            )
-        )
+        m_sql = "CASE " + " ".join(branches) + " END"
+        assign = subs.select(
+            "s", "id", "q", F.expr(m_sql).alias("m")
+        ).filter(F.col("m").isNotNull())
         rows = (
             assign.select("s", "m", F.posexplode("q").alias("pos", "x"))
             .groupBy("s", "m", "pos")

@@ -1152,10 +1152,10 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.clustering import pq_codebooks_exact
     from kcidb_spark.operators.ivf import (
         adc_topk,
-        coarse_assign,
         coarse_probes,
         coarse_score,
-        pq_assign_codes,
+        inrow_coarse_sql,
+        inrow_codes_sql,
         pq_score,
         subvectors,
     )
@@ -1174,22 +1174,32 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment + query probes (operators/ivf.py shared stages).
     cents = _coarse_centroids_trained(spark, sf_dir, vecs)
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = coarse_score(vecs, cdf)
-    assign = coarse_assign(scored_c)
-    probes = coarse_probes(scored_c, _IVF_QUERIES, _KM_NPROBE)
+    # Probe routing still scores QUERIES against the broadcast
+    # centroid table (|queries| x k rows); corpus assignment moved
+    # in-row (inrow_coarse_sql below) so no corpus-keyed exchange
+    # remains on the encode side (guide §2.4).
+    probes = coarse_probes(
+        coarse_score(vecs, cdf), _IVF_QUERIES, _KM_NPROBE
+    )
     # PQ: subvectors → trained books → codes + query distance tables.
     subs = scoped_persist(
         subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
     )
     books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
     bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    scored_b = pq_score(subs, bdf)
-    codes = pq_assign_codes(scored_b)
-    dt = scored_b.filter(F.col("id") < _IVF_QUERIES).select(
+    dt = pq_score(subs, bdf).filter(F.col("id") < _IVF_QUERIES).select(
         F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
     )
-    n_codes = codes.join(assign, on="id").select(
-        F.col("id").alias("n_id"), "c_id", "s", "m"
+    # Encode side fully in-row: coarse id + PQ codes are per-row
+    # expressions over the literal model, so the old explode ×S +
+    # (id, s)-keyed code argmin exchange AND the id-keyed
+    # codes⋈assign join disappear — one projection feeds the ADC
+    # semi-join directly (identical rows: same argmins, same
+    # tie-breaks, subspaces absent from the books omitted).
+    n_codes = vecs.select(
+        F.col("id").alias("n_id"),
+        F.expr(inrow_coarse_sql(cents)).alias("c_id"),
+        F.expr(inrow_codes_sql(books, _PQK_SUBS, _PQK_SUBDIM)),
     )
     return adc_topk(n_codes, probes, dt, _IVF_K)
 
@@ -1294,10 +1304,10 @@ def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.clustering import pq_codebooks_exact
     from kcidb_spark.operators.ivf import (
         adc_topk,
-        coarse_assign,
         coarse_probes,
         coarse_score,
-        pq_assign_codes,
+        inrow_coarse_sql,
+        inrow_codes_sql,
         pq_score,
         subvectors,
     )
@@ -1321,21 +1331,31 @@ def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _coarse_centroids_trained(spark, sf_dir, vecs, space="rot")
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = coarse_score(vecs, cdf)
-    assign = coarse_assign(scored_c)
-    probes = coarse_probes(scored_c, _IVF_QUERIES, _KM_NPROBE)
+    # Probe routing still scores QUERIES against the broadcast
+    # centroid table (|queries| x k rows); corpus assignment moved
+    # in-row (inrow_coarse_sql below) so no corpus-keyed exchange
+    # remains on the encode side (guide §2.4).
+    probes = coarse_probes(
+        coarse_score(vecs, cdf), _IVF_QUERIES, _KM_NPROBE
+    )
     subs = scoped_persist(
         subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
     )
     books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
     bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    scored_b = pq_score(subs, bdf)
-    codes = pq_assign_codes(scored_b)
-    dt = scored_b.filter(F.col("id") < _IVF_QUERIES).select(
+    dt = pq_score(subs, bdf).filter(F.col("id") < _IVF_QUERIES).select(
         F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
     )
-    n_codes = codes.join(assign, on="id").select(
-        F.col("id").alias("n_id"), "c_id", "s", "m"
+    # Encode side fully in-row: coarse id + PQ codes are per-row
+    # expressions over the literal model, so the old explode ×S +
+    # (id, s)-keyed code argmin exchange AND the id-keyed
+    # codes⋈assign join disappear — one projection feeds the ADC
+    # semi-join directly (identical rows: same argmins, same
+    # tie-breaks, subspaces absent from the books omitted).
+    n_codes = vecs.select(
+        F.col("id").alias("n_id"),
+        F.expr(inrow_coarse_sql(cents)).alias("c_id"),
+        F.expr(inrow_codes_sql(books, _PQK_SUBS, _PQK_SUBDIM)),
     )
     return adc_topk(n_codes, probes, dt, _IVF_K)
 
@@ -1595,13 +1615,13 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2_int_expr,
         pq_codebooks_exact,
     )
+    from kcidb_spark.operators.clustering import _int_array_sql
     from kcidb_spark.operators.ivf import (
         adc_topk,
-        coarse_assign,
         coarse_probes,
         coarse_score,
-        pq_assign_codes,
-        pq_score,
+        inrow_coarse_sql,
+        inrow_codes_sql,
         subvectors,
     )
 
@@ -1617,23 +1637,35 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _coarse_centroids_trained(spark, sf_dir, vecs)
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = coarse_score(vecs, cdf, carry=("q", "cq"))
-    assign = coarse_assign(scored_c, carry=("q",))
     probes = coarse_probes(
-        scored_c, _IVF_QUERIES, _KM_NPROBE, carry=("q", "cq")
+        coarse_score(vecs, cdf, carry=("q", "cq")),
+        _IVF_QUERIES, _KM_NPROBE, carry=("q", "cq"),
     )
-    # Corpus residuals (map-side: one broadcast-centroid join).
-    res = assign.join(F.broadcast(cdf), on="c_id").select(
+    # Corpus residuals fully MAP-SIDE (guide §2.4): the coarse argmin
+    # is the in-row literal expression and the assigned centroid is a
+    # CASE dispatch on it, so residualization needs neither the
+    # id-keyed assignment exchange nor the broadcast re-join the old
+    # shape paid — one projection from the persisted corpus.
+    cq_case = (
+        "CASE c_id "
+        + " ".join(
+            f"WHEN {int(c_id)} THEN {_int_array_sql(cq)}"
+            for c_id, cq in cents
+        )
+        + " END"
+    )
+    res = vecs.withColumn(
+        "c_id", F.expr(inrow_coarse_sql(cents))
+    ).select(
         "id",
         "c_id",
-        F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("r"),
+        F.expr(f"zip_with(q, {cq_case}, (a, b) -> a - b)").alias("r"),
     )
     subs = scoped_persist(
         subvectors(res, ("id",), "r", _PQK_SUBS, _PQK_SUBDIM)
     )
     books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
     bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    codes = pq_assign_codes(pq_score(subs, bdf))
     # Per-(query, probed-cluster) residual distance tables — the
     # query's residual differs in every probed cluster (IVFADC).
     qres = probes.select(
@@ -1649,8 +1681,14 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "c_id", "s", "m",
         F.expr(d2_int_expr("rqsub", "bq")).alias("d"),
     )
-    n_codes = codes.join(assign.select("id", "c_id"), on="id").select(
-        F.col("id").alias("n_id"), "c_id", "s", "m"
+    # Residual codes in-row over ``r`` — no (id, s)-keyed encode
+    # exchange, no codes⋈assign join (identical rows, same argmins).
+    n_codes = res.select(
+        F.col("id").alias("n_id"),
+        "c_id",
+        F.expr(
+            inrow_codes_sql(books, _PQK_SUBS, _PQK_SUBDIM, vec_col="r")
+        ),
     )
     return adc_topk(
         n_codes,

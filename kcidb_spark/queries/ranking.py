@@ -797,13 +797,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
-    dft = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     tot = dlen.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("len").cast("long").alias("s"),
     )
     qterms = tf.filter(F.col("doc_id") < _BM25_QUERIES).select(
         F.col("doc_id").alias("q_id"), "w"
+    )
+    # Query terms are request-scale by the serve contract — BROADCAST
+    # them (guide §3.1; the probe_postings_bm25 posture), so the
+    # postings side is never shuffled by term for the match join; and
+    # compute df ONLY for the matched terms (a broadcast semi-filter
+    # before the w-keyed aggregation), so the df shuffle carries the
+    # query's terms, not the whole vocabulary (guide §2.3).  Identical
+    # results: downstream only ever joins df of query terms.
+    dft_q = (
+        tf.join(F.broadcast(qterms.select("w").distinct()), on="w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     term_micro = _BM25_TERM_MICRO.format(
         N="n", df="df", tf="tf", S="s", len="len", scale=_BM25_SCALE
@@ -812,9 +823,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score_micro"), F.asc("n_id")
     )
     return (
-        qterms.join(tf.withColumnRenamed("doc_id", "n_id"), on="w")
+        tf.withColumnRenamed("doc_id", "n_id")
+        .join(F.broadcast(qterms), on="w")
         .filter(F.col("n_id") != F.col("q_id"))
-        .join(dft, on="w")
+        .join(F.broadcast(dft_q), on="w")
         .join(dlen.withColumnRenamed("doc_id", "n_id"), on="n_id")
         .crossJoin(F.broadcast(tot))
         .groupBy("q_id", "n_id")
@@ -947,13 +959,23 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
-    dft = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     tot = dlen.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("len").cast("long").alias("s"),
     )
     qterms = tf.filter(F.col("doc_id") < _BM25_QUERIES).select(
         F.col("doc_id").alias("q_id"), "w"
+    )
+    # Same df posture as bm25_topk (guide §2.3/§3.1): qterms are
+    # request-scale, so they broadcast; df aggregates run only over
+    # the term sets a join actually consumes — query terms for the
+    # match pass, the pseudo-relevant docs' terms for the expansion
+    # pass — each restricted by a broadcast semi-filter BEFORE the
+    # w-keyed aggregation, so neither pass shuffles the vocabulary.
+    dft_q = (
+        tf.join(F.broadcast(qterms.select("w").distinct()), on="w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     bm25_micro = _BM25_TERM_MICRO.format(
         N="n", df="df", tf="tf", S="s", len="len", scale=_BM25_SCALE
@@ -962,9 +984,10 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score_micro"), F.asc("n_id")
     )
     prf = (
-        qterms.join(tf.withColumnRenamed("doc_id", "n_id"), on="w")
+        tf.withColumnRenamed("doc_id", "n_id")
+        .join(F.broadcast(qterms), on="w")
         .filter(F.col("n_id") != F.col("q_id"))
-        .join(dft, on="w")
+        .join(F.broadcast(dft_q), on="w")
         .join(dlen.withColumnRenamed("doc_id", "n_id"), on="n_id")
         .crossJoin(F.broadcast(tot))
         .groupBy("q_id", "n_id")
@@ -979,11 +1002,26 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_term = W.partitionBy("q_id").orderBy(
         F.desc("weight_micro"), F.asc("term")
     )
+    # prf is control-plane-sized (queries × PRF_DOCS rows) and its
+    # subtree is the whole BM25 scoring pass — persist it, because the
+    # expansion consumes it TWICE (term-set restriction + candidate
+    # scan) and an unpersisted reuse would replay the scoring subtree
+    # per consumer (guide §5).
+    prf = scoped_persist(prf)
+    prf_tf = F.broadcast(prf).join(
+        tf.withColumnRenamed("doc_id", "n_id"), on="n_id"
+    )
+    dft_c = (
+        tf.join(
+            F.broadcast(prf_tf.select("w").distinct()), on="w"
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
     cand = (
-        F.broadcast(prf)
-        .join(tf.withColumnRenamed("doc_id", "n_id"), on="n_id")
-        .join(qterms, on=["q_id", "w"], how="left_anti")
-        .join(dft, on="w")
+        prf_tf
+        .join(F.broadcast(qterms), on=["q_id", "w"], how="left_anti")
+        .join(F.broadcast(dft_c), on="w")
         .crossJoin(F.broadcast(tot))
     )
     return (

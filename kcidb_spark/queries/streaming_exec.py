@@ -817,37 +817,53 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcidb_spark.operators.bucketing import write_fingerprint_index
     from kcidb_spark.queries.mixing import _fp_split
 
-    new, corpus = _fp_split(spark, sf_dir)
+    batches = ("0", "1", "2", "3")
+
+    # Session-staged fixtures (the t21-t26 staging-split precedent,
+    # VERDICT r14 #4): the base corpus index and the four day-batch
+    # files are identical for every invocation in a session, so the
+    # five coalesce(1) Spark writes run ONCE per (session, sf_dir);
+    # per-invocation cost is hard file copies.  The LIVE index dir is
+    # still per-invocation (the stream appends to it) — only its
+    # immutable batch_id=0 seed is staged.  Harness-only: at 100 TB
+    # day batches come from the real bus and the index already exists.
+    def _write_stage(stage: str) -> None:
+        new, corpus = _fp_split(spark, sf_dir)
+        write_fingerprint_index(
+            corpus, os.path.join(stage, "base_index"), key="th"
+        )
+        for gch in batches:
+            (
+                new.filter(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 1
+                    )
+                    == gch
+                )
+                .select("doc_id", "th")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, f"b{gch}"))
+            )
+
+    stage_dir = _session_stage(spark, sf_dir, "t17", _write_stage)
     idx_dir = _scratch_dir("t17_idx")
     # Transactional layout: base corpus index is batch 0, stream
     # batches own batch_id=N≥1 dirs (see ingest_dedup_batch_txn).
-    write_fingerprint_index(
-        corpus, os.path.join(idx_dir, "batch_id=0"), key="th"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.copytree(
+        os.path.join(stage_dir, "base_index"),
+        os.path.join(idx_dir, "batch_id=0"),
     )
-
-    # Stage the four day batches as single parquet files with ordered
-    # mtimes (the file source schedules by modification time).
     watch_dir = _scratch_dir("t17_in")
-    stage_dir = _scratch_dir("t17_stage")
     now = time.time()
-    batches = ("0", "1", "2", "3")
+    schema_df = spark.range(0).selectExpr(
+        "id as doc_id", "cast(null as string) as th"
+    )
     for i, gch in enumerate(batches):
-        stage = os.path.join(stage_dir, f"b{gch}")
-        (
-            new.filter(
-                F.substring(
-                    F.md5(F.col("doc_id").cast("string")), 1, 1
-                )
-                == gch
-            )
-            .select("doc_id", "th")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        src_part = _staged_file(stage_dir, f"b{gch}", schema_df)
         dst = os.path.join(watch_dir, f"batch_{gch}.parquet")
-        shutil.copyfile(part, dst)
+        shutil.copyfile(src_part, dst)
         os.utime(dst, (now - 400 + 10 * i, now - 400 + 10 * i))
 
     out_dir = _scratch_dir("t17_out")
@@ -870,7 +886,8 @@ def t17_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _record_progress("t17_stream_incremental_dedup", q)
-    for d in (ckpt, idx_dir, watch_dir, stage_dir):
+    # NOT stage_dir: it is the session-owned staged fixture.
+    for d in (ckpt, idx_dir, watch_dir):
         shutil.rmtree(d, ignore_errors=True)
     # out_dir stays: the returned frame reads it lazily (the accepted
     # set is corpus-sized — never driver-collected); one small tmp dir
@@ -1087,7 +1104,7 @@ def t19_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nrm").alias("nn"),
                 )
             )
-            ivf_rank(members, q_probe, _IVF_K).write.mode(
+            ivf_rank(members, q_probe, _IVF_K).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
         finally:
@@ -1242,25 +1259,15 @@ def t20_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(store)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        cdf = sess.createDataFrame(
-            cents, "c_id bigint, cv array<double>, cn double"
-        )
-        c_sim = F.expr(
-            f"round({dot_expr('v', 'cv')} / (nrm * cn), 4)"
-        )
+        # In-row literal-centroid argmin (_nearest_centroid_sql): the
+        # same min_by over the broadcast table, with zero exchanges
+        # (guide §2.4) — assignment happens in the scan task.
         assigned = (
             batch_df.withColumn(
                 "nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")
             )
-            .crossJoin(F.broadcast(cdf))
-            .select("vec_id", "c_id", c_sim.alias("c_sim"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    "c_id", F.struct(F.negate("c_sim"), "c_id")
-                ).alias("c_id")
-            )
+            .withColumn("c_id", F.expr(_nearest_centroid_sql(cents)))
+            .select("vec_id", "c_id")
         )
         assigned.write.mode("overwrite").partitionBy("c_id").parquet(
             os.path.join(store, f"batch_id={epoch_id}")
@@ -1507,6 +1514,38 @@ def _retention_floors(man: dict, up_key: str, dir_key: str):
     return floor, keep_dirs
 
 
+def _nearest_centroid_sql(cents: list) -> str:
+    """SQL text: the serve-store coarse argmin as ONE per-row
+    expression over literal centroids — highest 4-decimal-rounded
+    cosine, c_id tie-break, exactly ``min_by(c_id, struct(-c_sim,
+    c_id))`` over a broadcast centroid table, which is what this
+    replaces (guide §2.3/§2.4): the crossJoin+groupBy shape exploded
+    every ingest row ×|centroids| and then SHUFFLED the collapsed
+    rows (vector payload included) just to pick the argmin; the
+    literal form assigns in the scan task, so ingest shuffles
+    NOTHING.  Centroids are control-plane-sized (k·dim doubles) by
+    the store contract, so the expression tree is bounded by
+    configuration, not data.  Expects columns ``v`` (array<double>)
+    and ``nrm`` (double)."""
+    from kcidb_spark.operators.similarity import dot_expr
+
+    entries = []
+    for c_id, cv, cn in cents:
+        arr = (
+            "array("
+            + ", ".join(f"cast({x!r} as double)" for x in cv)
+            + ")"
+        )
+        sim = (
+            f"round({dot_expr('v', arr)}"
+            f" / (nrm * cast({cn!r} as double)), 4)"
+        )
+        entries.append(
+            f"struct(-{sim} as s, cast({int(c_id)} as bigint) as c)"
+        )
+    return f"array_min(array({', '.join(entries)})).c"
+
+
 def ingest_vec_batch_txn(
     batch_df: DataFrame,
     store: str,
@@ -1526,23 +1565,15 @@ def ingest_vec_batch_txn(
     ``fail_before_manifest`` injects that crash for the tests."""
     from kcidb_spark.operators.similarity import dot_expr
 
-    sess = batch_df.sparkSession
-    cdf = sess.createDataFrame(
-        cents, "c_id bigint, cv array<double>, cn double"
-    )
-    c_sim = F.expr(f"round({dot_expr('v', 'cv')} / (nrm * cn), 4)")
+    # Map-side assignment (guide §2.3/§2.4): the argmin runs as one
+    # per-row expression over literal centroids (_nearest_centroid_sql
+    # — provably the same min_by), so the ingest path has ZERO
+    # exchanges — the old crossJoin+groupBy shape shuffled every
+    # vector payload once per batch just to collapse the ×|centroids|
+    # candidate rows.
     assigned = (
         batch_df.withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
-        .crossJoin(F.broadcast(cdf))
-        .select("vec_id", "v", "nrm", "c_id", c_sim.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("c_id", F.struct(F.negate("c_sim"), "c_id")).alias(
-                "c_id"
-            ),
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
-        )
+        .withColumn("c_id", F.expr(_nearest_centroid_sql(cents)))
         .select("vec_id", "v", "nrm", "c_id")
     )
     assigned.write.mode("overwrite").partitionBy("c_id").parquet(
@@ -2005,7 +2036,9 @@ def t21_stream_serve_during_ingest(
         else:                                      # probe epoch
             probe_visible_topk(
                 batch_df, store, cents, _IVF_K
-            ).write.mode("overwrite").parquet(
+            ).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(out_dir, f"epoch={epoch_id}")
             )
 
@@ -2487,7 +2520,9 @@ def t22_stream_compact_while_serving(
         else:                                      # probe epoch
             probe_tiered_topk(
                 batch_df, store, cents, _IVF_K
-            ).write.mode("overwrite").parquet(
+            ).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(out_dir, f"epoch={epoch_id}")
             )
 
@@ -2920,24 +2955,18 @@ def ingest_q_batch_txn(
     overwrite ``data/batch_id=N`` partitioned by c_id, publish.
     ``batch_df``: (vec_id, q array<bigint>) on the _KM_SCALE grid.
     Same crash/replay contract as ingest_vec_batch_txn."""
-    from kcidb_spark.operators.clustering import d2_int_expr
+    from kcidb_spark.operators.clustering import _argmin_centroid_sql
 
-    sess = batch_df.sparkSession
-    cdf = sess.createDataFrame(
-        _q_store_centroids(store), "c_id bigint, cq array<bigint>"
-    )
-    assigned = (
-        batch_df.crossJoin(F.broadcast(cdf))
-        .select(
-            "vec_id", "q", "c_id",
-            F.expr(d2_int_expr("q", "cq")).alias("d2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
-            F.first("q").alias("q"),
-        )
-        .select("vec_id", "q", "c_id")
+    # In-row integer argmin over the manifest's centroids (guide
+    # §2.4): identical min(struct(d2, c_id)), zero exchanges — the
+    # batch's vector payload no longer shuffles to collapse the
+    # ×|centroids| candidates.
+    assigned = batch_df.select(
+        "vec_id",
+        "q",
+        F.expr(
+            _argmin_centroid_sql(_q_store_centroids(store))
+        ).alias("c_id"),
     )
     assigned.write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, "data", f"batch_id={batch_id}")
@@ -3048,7 +3077,7 @@ def retrain_store_txn(
     the same cost class as a compaction epoch, paid per retrain, not
     per query."""
     from kcidb_spark.operators.clustering import (
-        d2_int_expr,
+        _argmin_centroid_sql,
         kmeans_centroids_exact,
     )
 
@@ -3061,21 +3090,16 @@ def retrain_store_txn(
         F.col("vec_id").alias("id"), "q"
     )
     cents = kmeans_centroids_exact(sample, n_centroids, rounds)
-    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
     gen_dir = f"gen_retrain_{wm}"
-    reencoded = (
-        members.crossJoin(F.broadcast(cdf))
-        .select(
-            "vec_id", "q", "m_batch", "c_id",
-            F.expr(d2_int_expr("q", "cq")).alias("d2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("c_id", F.struct("d2", "c_id")).alias("c_id"),
-            F.first("q").alias("q"),
-            F.first("m_batch").alias("src_batch"),
-        )
-        .select("vec_id", "q", "src_batch", "c_id")
+    # In-row re-encode under the fresh centroids (guide §2.4): the
+    # corpus-sized generation rewrite keeps its one unavoidable pass
+    # (the partitioned write) and loses the vec_id-keyed exchange
+    # that carried every vector payload just to collapse the argmin.
+    reencoded = members.select(
+        "vec_id",
+        "q",
+        F.col("m_batch").alias("src_batch"),
+        F.expr(_argmin_centroid_sql(cents)).alias("c_id"),
     )
     reencoded.write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, gen_dir)
@@ -3359,19 +3383,24 @@ def _tok_tf_len(docs_df: DataFrame) -> DataFrame:
     document length DENORMALIZED onto every posting row (the Lucene
     norm-in-posting layout) — candidate scoring then needs NO
     doc-keyed side join at probe time."""
-    from pyspark.sql import Window as W  # noqa: F811 — batch scope
-
     from kcidb_spark.queries.pipeline import _norm_text
 
+    # ``len`` is Σ_w tf = the token count of the document = size of
+    # the split array, so it is computable MAP-SIDE before the
+    # explode instead of via a doc-partitioned window after the
+    # aggregation (guide §2.4: that window forced a second exchange —
+    # hash(doc_id) — right after the hash(doc_id, w) one, per ingest
+    # write).  One exchange now; identical (doc_id, w, tf, len) rows.
     toks = docs_df.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("t")
+    ).select(
         "doc_id",
-        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+        F.size("t").cast("long").alias("len"),
+        F.explode("t").alias("w"),
     )
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    return tf.withColumn(
-        "len", F.sum("tf").over(W.partitionBy("doc_id")).cast("long")
+    return toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("len").alias("len"),
     )
 
 
@@ -3407,6 +3436,11 @@ def ingest_postings_batch_txn(
     (rebucket_postings_txn) migrates the store, after which new
     batches land under the new count automatically."""
     pb = _store_pb(store)
+    # NOT persisted: measured at sf0.1 the three small writes
+    # recompute the one-exchange tokenize lineage faster than a cache
+    # materializes it (persist cost 2-10× the recompute on micro-batch
+    # volumes); at 100 TB the batch is micro-batch-bounded, not
+    # corpus-bounded, so the same trade holds.
     tf = _tok_tf_len(batch_df).withColumn(
         "wb", F.expr(f"pmod(xxhash64(w), {pb})")
     )
@@ -3857,7 +3891,9 @@ def t23_stream_postings_serve(
         else:                                      # probe epoch
             probe_postings_bm25(
                 batch_df, store, _BM25_K
-            ).write.mode("overwrite").parquet(
+            ).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(out_dir, f"epoch={epoch_id}")
             )
 
@@ -4720,7 +4756,9 @@ def t24_stream_retrain_while_serving(
                 batch_df, store, _IVF_K, nprobe=_KM_NPROBE
             ).withColumn(
                 "probe_round", F.lit(epoch_id // 2).cast("long")
-            ).write.mode("overwrite").parquet(
+            ).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(out_dir, f"epoch={epoch_id}")
             )
 
@@ -5065,7 +5103,9 @@ def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     "q_id", "n_id", "r_lex", "r_sem", "rrf", "rk",
                 )
-            ).write.mode("overwrite").parquet(
+            ).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(out_dir, f"epoch={epoch_id}")
             )
 
@@ -5163,38 +5203,50 @@ def _pqc_encode(
     n_subs rows.  ``carry`` rides extra columns of ``batch_df``
     through (retrain carries src_batch, avoiding a corpus
     self-join)."""
-    from kcidb_spark.operators.ivf import (
-        coarse_assign,
-        coarse_score,
-        pq_assign_codes,
-        pq_score,
-        subvectors,
-    )
+    # In-row encode (guide §2.3/§2.4): both argmins run as per-row
+    # expressions over the LITERAL model (centroids k·dim, books
+    # S·M·D — control-plane-sized by the manifest contract), so the
+    # whole encode is one projection in the scan task.  The previous
+    # shape exploded ×n_subs, broadcast-joined, and paid THREE
+    # exchanges (groupBy(id) coarse argmin carrying the vector
+    # payload, groupBy(id, s) code argmin, groupBy(id) code-pack) plus
+    # an id-keyed join to reassemble — all to compute values each row
+    # already determines alone.  Tie-breaks replicated exactly:
+    # coarse = min(struct(d2, c_id)), code = min(struct(d2, m)).
+    from kcidb_spark.operators.clustering import d2_int_expr
 
-    sess = batch_df.sparkSession
-    cdf = sess.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    bdf = sess.createDataFrame(
-        books, "s bigint, m bigint, bq array<bigint>"
-    )
-    vecs = batch_df.select(F.col("vec_id").alias("id"), "q", *carry)
-    assign = coarse_assign(
-        coarse_score(vecs, cdf, carry=("q", *carry)),
-        carry=("q", *carry),
-    )
-    codes = pq_assign_codes(
-        pq_score(
-            subvectors(vecs.select("id", "q"), ("id",), "q",
-                       n_subs, subdim),
-            bdf,
+    def _iarr(vals) -> str:
+        return (
+            "array("
+            + ", ".join(f"cast({int(x)} as bigint)" for x in vals)
+            + ")"
         )
-    ).groupBy("id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, m))),"
-            " e -> e.m)"
-        ).alias("codes")
-    )
-    return assign.join(codes, on="id").select(
-        F.col("id").alias("vec_id"), "q", "codes", "c_id", *carry
+
+    c_entries = [
+        f"struct({d2_int_expr('q', _iarr(cq))} as d,"
+        f" cast({int(c_id)} as bigint) as c)"
+        for c_id, cq in cents
+    ]
+    c_sql = f"array_min(array({', '.join(c_entries)})).c"
+    by_s: dict[int, list] = {}
+    for s, m, bq in books:
+        by_s.setdefault(int(s), []).append((int(m), bq))
+    code_terms = []
+    for s in sorted(k for k in by_s if k < n_subs):
+        sub = f"slice(q, {s * subdim + 1}, {subdim})"
+        entries = [
+            f"struct({d2_int_expr(sub, _iarr(bq))} as d,"
+            f" cast({m} as bigint) as m)"
+            for m, bq in sorted(by_s[s])
+        ]
+        code_terms.append(f"array_min(array({', '.join(entries)})).m")
+    codes_sql = "array(" + ", ".join(code_terms) + ")"
+    return batch_df.select(
+        "vec_id",
+        "q",
+        F.expr(codes_sql).alias("codes"),
+        F.expr(c_sql).alias("c_id"),
+        *carry,
     )
 
 
@@ -6082,7 +6134,9 @@ def t26_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:                                      # probe epoch
             probe_pq_topk(
                 batch_df, store, _IVF_K, nprobe=_KM_NPROBE
-            ).write.mode("overwrite").parquet(
+            ).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(out_dir, f"epoch={epoch_id}")
             )
 
