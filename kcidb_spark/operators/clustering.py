@@ -57,6 +57,13 @@ def _int_array_sql(vals) -> str:
     )
 
 
+def _tdiv(s: int, n: int) -> int:
+    """Integer division truncating toward ZERO — exactly Spark's
+    ``div`` (and DuckDB's integer ``//``) on a possibly-negative
+    numerator; Python's ``//`` floors, which differs for s < 0."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
 def _argmin_centroid_sql(cents, vec_col: str = "q") -> str:
     """SQL text: nearest-centroid id over driver-held integer
     centroids as ONE per-row expression — min(struct(d2, c_id)).c_id,
@@ -114,15 +121,31 @@ def kmeans_centroids_exact(
             "id", "q",
             F.expr(_argmin_centroid_sql(cents)).alias("c_id"),
         )
+        # Mean update as ONE c_id-keyed partial aggregation of per-dim
+        # sums + a count (guide §2.4): the old posexplode ×dim inflated
+        # the frame dim-fold and paid a second (c_id)-keyed exchange
+        # plus a collect_list/sort reassembly just to regroup what one
+        # agg row already holds.  The truncating division moves to the
+        # driver over exact BIGINTs — `Spark div` truncates toward
+        # zero, replicated below — so the centroids are bit-identical.
+        dim = len(cents[0][1])
         rows = (
-            assign.select("c_id", F.posexplode("q").alias("pos", "x"))
-            .groupBy("c_id", "pos")
-            .agg(F.expr("cast(sum(x) div count(1) as bigint)").alias("m"))
-            .groupBy("c_id")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("c_id", F.expr("transform(pm, s -> s.m)").alias("cq"))
+            assign.groupBy("c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.expr(f"q[{i}]")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
         ).collect()
-        cents = sorted((r["c_id"], list(r["cq"])) for r in rows)
+        cents = sorted(
+            (
+                r["c_id"],
+                [_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)],
+            )
+            for r in rows
+        )
     return cents
 
 
@@ -188,19 +211,32 @@ def pq_codebooks_exact(
         assign = subs.select(
             "s", "id", "q", F.expr(m_sql).alias("m")
         ).filter(F.col("m").isNotNull())
+        # Same one-exchange mean update as kmeans_centroids_exact:
+        # per-dim sums + count keyed (s, m), truncating division on
+        # the driver (toward zero — matches Spark `div` on the SIGNED
+        # residual inputs too).
+        subdim = len(books[0][2])
         rows = (
-            assign.select("s", "m", F.posexplode("q").alias("pos", "x"))
-            .groupBy("s", "m", "pos")
-            .agg(F.expr("cast(sum(x) div count(1) as bigint)").alias("v"))
-            .groupBy("s", "m")
+            assign.groupBy("s", "m")
             .agg(
-                F.sort_array(F.collect_list(F.struct("pos", "v"))).alias(
-                    "pm"
-                )
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.expr(f"q[{i}]")).alias(f"v{i}")
+                    for i in range(subdim)
+                ],
             )
-            .select("s", "m", F.expr("transform(pm, p -> p.v)").alias("bq"))
         ).collect()
-        books = sorted((r["s"], r["m"], list(r["bq"])) for r in rows)
+        books = sorted(
+            (
+                r["s"],
+                r["m"],
+                [
+                    _tdiv(int(r[f"v{i}"]), int(r["n"]))
+                    for i in range(subdim)
+                ],
+            )
+            for r in rows
+        )
     return books
 
 

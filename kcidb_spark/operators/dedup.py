@@ -341,20 +341,33 @@ def simhash_bits_multi(df: DataFrame, id_col: str = "doc_id",
     """
     assert n_bits % 60 == 0 and n_bits <= 120
     n_words = n_bits // 60
+    # Each word's 15-hex-char slice decodes ONCE per token via conv()
+    # into a 60-bit integer whose bit (59 − i) is exactly global bit
+    # g = 60·w + i of the old per-char extraction (char ci = g//4+1 is
+    # the (16-ci)-th most significant digit, bit-in-digit 3 − g%4 ⇒
+    # shift 4·(15−ci) + 3−g%4 = 59 − g): two conv+cast per token
+    # replace 120 substring+instr string ops, and the per-bit votes
+    # become codegen'd shift/mask arithmetic (guide §1.2 "per-task
+    # work" — same exploded partial-agg shape, cheaper row function).
     ex = tokenized(df, id_col, text_col).select(
         F.col(id_col), F.explode("tokens").alias("t")
     ).select(
-        id_col, F.expr(f"substring(md5(t), 1, {n_bits // 4})").alias("h")
+        id_col,
+        *[
+            F.expr(
+                f"cast(conv(substring(md5(t), {60 * w // 4 + 1}, 15),"
+                f" 16, 10) as bigint)"
+            ).alias(f"hw{w}")
+            for w in range(n_words)
+        ],
     )
     sums = []
     for g in range(n_bits):
-        ci = g // 4 + 1  # hex char index (1-based)
-        bit = 3 - (g % 4)  # bit within the hex digit
+        w, i = g // 60, g % 60
         sums.append(
             F.sum(
                 F.expr(
-                    f"CASE WHEN ((instr('0123456789abcdef',"
-                    f" substring(h, {ci}, 1)) - 1) & {1 << bit}) > 0"
+                    f"CASE WHEN (shiftright(hw{w}, {59 - i}) & 1) = 1"
                     f" THEN 1 ELSE -1 END"
                 )
             ).alias(f"c{g}")

@@ -204,6 +204,73 @@ def _model_parts(docs: DataFrame):
     return toks, vocab, ltot
 
 
+def _vocab_map(vocab: DataFrame, ltot: DataFrame) -> DataFrame:
+    """(lang, vmap, n_total, unk_cnt): the per-language closed
+    vocabulary as ONE broadcastable map column.  The <unk> fold and
+    unigram-count lookup become ``try_element_at`` probes, so every
+    mapped corpus scan pays a SINGLE broadcast join regardless of
+    n-gram order — the per-position form paid one broadcast hash join
+    per token position plus one for the totals (guide §2.4).  Rows =
+    |langs|, ≤ V entries each: configuration-bounded exactly like the
+    vocab table it packs."""
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "cw"))
+            ).alias("vmap")
+        )
+        .join(ltot, "lang")
+    )
+
+
+def _fold_unk(col: str):
+    """Folded token: the word itself when it is in the language's
+    vocabulary map, else ``<unk>`` — identical to the left-join-miss
+    test of the per-position form (``try_element_at`` returns NULL
+    for an absent key in both ANSI and legacy modes)."""
+    return F.when(
+        F.try_element_at(F.col("vmap"), F.col(col)).isNull(),
+        F.lit(_UNK),
+    ).otherwise(F.col(col))
+
+
+def _mapped_ngrams(
+    toks: DataFrame, vm: DataFrame, n: int, with_counts: bool
+) -> DataFrame:
+    """(doc_id, lang, w1..wn [, c1..cn, n_total]): the corpus exploded
+    into vocab-folded n-grams — one explode, one broadcast map join;
+    counts resolve as ``coalesce(map[w], unk_cnt)``, byte-identical to
+    the per-position broadcast-join form this replaces."""
+    fields = ", ".join(f"t[i - 1 + {j}] AS w{j + 1}" for j in range(n))
+    rows = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}),"
+                    f" i -> struct({fields}))"
+                )
+            ).alias("g"),
+        )
+        .join(F.broadcast(vm), "lang")
+    )
+    sel = ["doc_id", "lang"] + [
+        _fold_unk(f"g.w{j}").alias(f"w{j}") for j in range(1, n + 1)
+    ]
+    if with_counts:
+        sel += [
+            F.coalesce(
+                F.try_element_at(F.col("vmap"), F.col(f"g.w{j}")),
+                F.col("unk_cnt"),
+            ).alias(f"c{j}")
+            for j in range(1, n + 1)
+        ] + ["n_total"]
+    return rows.select(*sel)
+
+
 def doc_surprisal(docs: DataFrame) -> DataFrame:
     """Per-document mean bigram surprisal under per-language
     interpolated bigram LMs trained on the same corpus.
@@ -225,64 +292,15 @@ def doc_surprisal(docs: DataFrame) -> DataFrame:
     order-independent and the result engine-exact.
     """
     toks, vocab, ltot = _model_parts(docs)
+    vm = _vocab_map(vocab, ltot)
 
     def mapped_pairs() -> DataFrame:
         """(doc_id, lang, w1, w2, c1, c2, n_total) with the <unk> fold
-        and unigram counts resolved by broadcast joins against the
-        bounded vocab — re-built per consumer; each build is one
-        corpus scan plus map-side joins."""
-        pairs = (
-            toks.filter(F.size("t") >= 2)
-            .select(
-                "doc_id",
-                "lang",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1),"
-                        " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
-                    )
-                ).alias("b"),
-            )
-            .select("doc_id", "lang", "b.w1", "b.w2")
-        )
-        return (
-            pairs.join(
-                F.broadcast(
-                    vocab.select(
-                        "lang",
-                        F.col("w").alias("w1"),
-                        F.col("cw").alias("cw1"),
-                    )
-                ),
-                ["lang", "w1"],
-                "left",
-            )
-            .join(
-                F.broadcast(
-                    vocab.select(
-                        "lang",
-                        F.col("w").alias("w2"),
-                        F.col("cw").alias("cw2"),
-                    )
-                ),
-                ["lang", "w2"],
-                "left",
-            )
-            .join(F.broadcast(ltot), "lang")
-            .select(
-                "doc_id",
-                "lang",
-                F.when(F.col("cw1").isNull(), F.lit(_UNK))
-                .otherwise(F.col("w1"))
-                .alias("w1"),
-                F.when(F.col("cw2").isNull(), F.lit(_UNK))
-                .otherwise(F.col("w2"))
-                .alias("w2"),
-                F.coalesce("cw1", "unk_cnt").alias("c1"),
-                F.coalesce("cw2", "unk_cnt").alias("c2"),
-                "n_total",
-            )
-        )
+        and unigram counts resolved by ONE broadcast map join against
+        the bounded vocab (guide §2.4 — was three broadcast joins) —
+        re-built per consumer; each build is one corpus scan plus a
+        map-side join."""
+        return _mapped_ngrams(toks, vm, 2, with_counts=True)
 
     # Corpus scan 2: per-language bigram counts over the MAPPED pairs
     # (vocabulary is closed, so c12 ≤ c1 and every p ≤ 1).
@@ -565,75 +583,63 @@ def doc_trigram_surprisal(docs: DataFrame) -> DataFrame:
     the suffix term's denominator c2 is the unigram count the mapped
     triple already carries from the vocab fold) — so scoring joins
     three configuration-bounded tables and nothing corpus-growing
-    ever broadcasts.  Four corpus scans: unigram fit, pair counts,
-    triple counts, scoring."""
+    ever broadcasts.
+
+    THREE corpus scans (guide §2.3/§2.4 — was four): unigram fit,
+    ONE fused pair+triple count pass, scoring.  The fusion: each pair
+    occurrence (i, i+1) extends to at most one triple (i, i+1, i+2 —
+    NULL for the document's last pair), so one aggregate keyed
+    (lang, w1, w2, w3?) counts BOTH n-gram orders; pair counts are
+    the w3-marginal (an aggregate-of-aggregate, distinct-triple-
+    sized, never a corpus re-scan).  The vocab fold joins ONE
+    broadcast per scan — a per-language map column — instead of one
+    broadcast join per token position."""
     toks, vocab, ltot = _model_parts(docs)
+    vm = _vocab_map(vocab, ltot)
 
     def mapped(n: int, with_counts: bool) -> DataFrame:
-        fields = ", ".join(
-            f"t[i - 1 + {j}] AS w{j + 1}" for j in range(n)
-        )
-        rows = (
-            toks.filter(F.size("t") >= n)
-            .select(
-                "doc_id",
-                "lang",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, size(t) - {n - 1}),"
-                        f" i -> struct({fields}))"
-                    )
-                ).alias("g"),
-            )
-            .select(
-                "doc_id", "lang",
-                *[F.col(f"g.w{j + 1}") for j in range(n)],
-            )
-        )
-        for j in range(1, n + 1):
-            rows = rows.join(
-                F.broadcast(
-                    vocab.select(
-                        "lang",
-                        F.col("w").alias(f"w{j}"),
-                        F.col("cw").alias(f"cw{j}"),
-                    )
-                ),
-                ["lang", f"w{j}"],
-                "left",
-            )
-        rows = rows.join(F.broadcast(ltot), "lang")
-        sel = ["doc_id", "lang"] + [
-            F.when(F.col(f"cw{j}").isNull(), F.lit(_UNK))
-            .otherwise(F.col(f"w{j}"))
-            .alias(f"w{j}")
-            for j in range(1, n + 1)
-        ]
-        if with_counts:
-            sel += [
-                F.coalesce(f"cw{j}", "unk_cnt").alias(f"c{j}")
-                for j in range(1, n + 1)
-            ] + ["n_total"]
-        return rows.select(*sel)
+        return _mapped_ngrams(toks, vm, n, with_counts)
 
-    # Corpus scan 2: mapped-pair counts (distinct-bigram-sized
-    # aggregate; persisted — the bigram prune AND the trigram table's
-    # denominator join both consume it).
-    pc = scoped_persist(
-        mapped(2, with_counts=False)
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+    # Corpus scan 2 (fused): mapped (pair ∪ triple) counts in one
+    # aggregate — w3 is NULL exactly for each document's final pair
+    # (try_element_at past the end), so the pair marginal is total.
+    # Persisted: the pair table feeds the bigram prune AND the
+    # trigram denominator join; the triple slice feeds top-K3.
+    ptc = scoped_persist(
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2,"
+                    " try_element_at(t, i + 2) AS w3))"
+                )
+            ).alias("g"),
+        )
+        .join(F.broadcast(vm), "lang")
+        .select(
+            "lang",
+            _fold_unk("g.w1").alias("w1"),
+            _fold_unk("g.w2").alias("w2"),
+            F.when(
+                F.col("g.w3").isNull(), F.lit(None).cast("string")
+            ).otherwise(_fold_unk("g.w3")).alias("w3"),
+        )
+        .groupBy("lang", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pc = ptc.groupBy("lang", "w1", "w2").agg(
+        F.sum("c").alias("c12")
     )
     bi = _top_per_lang(
         pc, _TOP_K_BIGRAMS, (F.desc("c12"), "w1", "w2"), ("w1", "w2")
     )
-    # Corpus scan 3: mapped-triple counts → top-K3 → attach each
-    # surviving trigram's OWN denominator (prefix pair count) while
-    # still aggregate-sized, before any broadcast.
-    tc = (
-        mapped(3, with_counts=False)
-        .groupBy("lang", "w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c123"))
+    # Triple counts → top-K3 → attach each surviving trigram's OWN
+    # denominator (prefix pair count) while still aggregate-sized,
+    # before any broadcast.
+    tc = ptc.filter(F.col("w3").isNotNull()).select(
+        "lang", "w1", "w2", "w3", F.col("c").alias("c123")
     )
     tri = (
         pc.join(

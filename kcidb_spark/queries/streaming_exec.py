@@ -1546,6 +1546,46 @@ def _nearest_centroid_sql(cents: list) -> str:
     return f"array_min(array({', '.join(entries)})).c"
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run one transaction's INDEPENDENT subtree writes as concurrent
+    jobs (guide §2.6 "overlap independent jobs"): actions are only
+    sequential because driver code calls them sequentially, and these
+    micro-batch-bounded writes each leave most executor slots idle —
+    overlapped, the txn's wall approaches max() of its writes instead
+    of their sum.  All threads JOIN before returning (first exception
+    re-raised), so the crash/replay contract is untouched: nothing is
+    published until every subtree write completed, and a failed write
+    still fails the txn before its manifest advance."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
+def _layout_by(df: DataFrame, col: str) -> DataFrame:
+    """Key a partitioned batch write's TASK layout to its directory
+    column when the input spans multiple partitions.  The in-row
+    encodes made ingest exchange-free, so the write inherits the
+    INPUT's partitioning — fine for a single-file streaming
+    micro-batch (1 task → 1 file per directory), but a wide
+    (table-scan) batch writes one file per (task, dir):
+    input_partitions × |dirs| small files that every later
+    partition-pruned probe pays to list and open (guide §6 — the
+    pq-store probe wall doubled at 32 scan partitions).  One
+    repartition keyed like the layout column moves the batch's bytes
+    ONCE, keyed by where they land (guide §8), and AQE coalescing
+    sizes the task count to the batch, so the file count tracks data
+    volume at any scale.  Single-partition inputs skip it: zero new
+    stages in the streaming hot path."""
+    if df.rdd.getNumPartitions() <= 1:
+        return df
+    return df.repartition(col)
+
+
 def ingest_vec_batch_txn(
     batch_df: DataFrame,
     store: str,
@@ -1576,6 +1616,7 @@ def ingest_vec_batch_txn(
         .withColumn("c_id", F.expr(_nearest_centroid_sql(cents)))
         .select("vec_id", "v", "nrm", "c_id")
     )
+    assigned = _layout_by(assigned, "c_id")
     assigned.write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, "data", f"batch_id={batch_id}")
     )
@@ -2968,6 +3009,7 @@ def ingest_q_batch_txn(
             _argmin_centroid_sql(_q_store_centroids(store))
         ).alias("c_id"),
     )
+    assigned = _layout_by(assigned, "c_id")
     assigned.write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, "data", f"batch_id={batch_id}")
     )
@@ -3101,6 +3143,7 @@ def retrain_store_txn(
         F.col("m_batch").alias("src_batch"),
         F.expr(_argmin_centroid_sql(cents)).alias("c_id"),
     )
+    reencoded = _layout_by(reencoded, "c_id")
     reencoded.write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, gen_dir)
     )
@@ -3444,21 +3487,28 @@ def ingest_postings_batch_txn(
     tf = _tok_tf_len(batch_df).withColumn(
         "wb", F.expr(f"pmod(xxhash64(w), {pb})")
     )
-    tf.select("doc_id", "w", "tf", "len", "wb").write.mode(
-        "overwrite"
-    ).partitionBy("wb").parquet(
-        os.path.join(store, "postings", f"batch_id={batch_id}")
-    )
-    tf.groupBy("wb", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("df_b")
-    ).write.mode("overwrite").partitionBy("wb").parquet(
-        os.path.join(store, "tstats", f"batch_id={batch_id}")
-    )
-    tf.select("doc_id", "len").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_b"),
-        F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("s_b"),
-    ).write.mode("overwrite").parquet(
-        os.path.join(store, "cstats", f"batch_id={batch_id}")
+    # The three subtree writes are independent until the publish —
+    # overlapped (guide §2.6), the epoch pays max() of them, not the
+    # sum; each still recomputes the one-exchange tokenize lineage
+    # (cheaper than a persist at micro-batch volume, see above).
+    _parallel_writes(
+        lambda: tf.select("doc_id", "w", "tf", "len", "wb")
+        .write.mode("overwrite")
+        .partitionBy("wb")
+        .parquet(os.path.join(store, "postings", f"batch_id={batch_id}")),
+        lambda: tf.groupBy("wb", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_b"))
+        .write.mode("overwrite")
+        .partitionBy("wb")
+        .parquet(os.path.join(store, "tstats", f"batch_id={batch_id}")),
+        lambda: tf.select("doc_id", "len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("s_b"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, "cstats", f"batch_id={batch_id}")),
     )
     if fail_before_manifest:
         return
@@ -4115,14 +4165,18 @@ def hybrid_serve_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             # publish so ONE explicit publish covers both subtrees —
             # and carries ``pb``, so readers adapt to the hybrid
             # store's bucket layout too (ADVICE r13 medium: the
-            # vector txn's wm-only publish left pb unrecorded).
-            ingest_postings_batch_txn(
-                docs.filter(dpfx.isin(*list(chars))), store, i,
-                fail_before_manifest=True,
-            )
-            ingest_vec_batch_txn(
-                vecs.filter(vpfx.isin(*list(chars))), store, i, cents,
-                fail_before_manifest=True,
+            # vector txn's wm-only publish left pb unrecorded).  The
+            # two legs touch disjoint subtrees, so they overlap
+            # (guide §2.6) — the publish still waits for both.
+            _parallel_writes(
+                lambda: ingest_postings_batch_txn(
+                    docs.filter(dpfx.isin(*list(chars))), store, i,
+                    fail_before_manifest=True,
+                ),
+                lambda: ingest_vec_batch_txn(
+                    vecs.filter(vpfx.isin(*list(chars))), store, i,
+                    cents, fail_before_manifest=True,
+                ),
             )
             publish_visibility(store, wm=i, pb=_store_pb(store))
         _mark_store_built(spark, store)
@@ -4291,16 +4345,22 @@ def compact_postings_txn(
     gen = spark.read.schema(
         _POSTINGS_SCHEMA.replace("batch_id", "src_batch")
     ).parquet(os.path.join(store, gen_dir, "postings"))
-    gen.groupBy("wb", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("df_b")
-    ).write.mode("overwrite").partitionBy("wb").parquet(
-        os.path.join(store, gen_dir, "tstats")
-    )
-    gen.select("doc_id", "len").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_b"),
-        F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("s_b"),
-    ).write.mode("overwrite").parquet(
-        os.path.join(store, gen_dir, "cstats")
+    # tstats/cstats both derive from the just-written generation —
+    # independent of each other, so they overlap (guide §2.6).
+    _parallel_writes(
+        lambda: gen.groupBy("wb", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_b"))
+        .write.mode("overwrite")
+        .partitionBy("wb")
+        .parquet(os.path.join(store, gen_dir, "tstats")),
+        lambda: gen.select("doc_id", "len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("s_b"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, gen_dir, "cstats")),
     )
     if fail_before_manifest:
         return
@@ -5055,16 +5115,20 @@ def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             bid = epoch_id // 2
             # Both txns defer; ONE publish covers both subtrees AND
             # records pb (ADVICE r13 medium — see hybrid_serve_as_of).
-            ingest_postings_batch_txn(
-                batch_df.select("doc_id", "text"), store, bid,
-                fail_before_manifest=True,
-            )
-            ingest_vec_batch_txn(
-                batch_df.select(
-                    F.col("doc_id").alias("vec_id"), "v"
+            # Disjoint subtrees → overlapped jobs (guide §2.6); the
+            # publish still waits for both legs.
+            _parallel_writes(
+                lambda: ingest_postings_batch_txn(
+                    batch_df.select("doc_id", "text"), store, bid,
+                    fail_before_manifest=True,
                 ),
-                store, bid, cents,
-                fail_before_manifest=True,
+                lambda: ingest_vec_batch_txn(
+                    batch_df.select(
+                        F.col("doc_id").alias("vec_id"), "v"
+                    ),
+                    store, bid, cents,
+                    fail_before_manifest=True,
+                ),
             )
             publish_visibility(store, wm=bid, pb=_store_pb(store))
         else:                                      # probe epoch
@@ -5267,13 +5331,14 @@ def ingest_pq_batch_txn(
     the publish, replay overwrites them."""
     cents, books, n_subs, subdim = _pqc_model(store)
     enc = _pqc_encode(batch_df, cents, books, n_subs, subdim)
-    enc.select("vec_id", "codes", "c_id").write.mode(
-        "overwrite"
-    ).partitionBy("c_id").parquet(
-        os.path.join(store, "data", f"batch_id={batch_id}")
-    )
-    batch_df.select("vec_id", "q").write.mode("overwrite").parquet(
-        os.path.join(store, "raw", f"batch_id={batch_id}")
+    _parallel_writes(
+        lambda: _layout_by(enc.select("vec_id", "codes", "c_id"), "c_id")
+        .write.mode("overwrite")
+        .partitionBy("c_id")
+        .parquet(os.path.join(store, "data", f"batch_id={batch_id}")),
+        lambda: batch_df.select("vec_id", "q")
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, "raw", f"batch_id={batch_id}")),
     )
     if fail_before_manifest:
         return
@@ -5574,8 +5639,13 @@ def retrain_pq_store_txn(
         .select("vec_id", "q", "src_batch"),
         cents, books, n_subs, subdim, carry=("src_batch",),
     )
-    enc.select(
-        "vec_id", "codes", "src_batch", "c_id"
+    # SEQUENTIAL by necessity (not a missed §2.6 overlap): on an
+    # idempotent replay the visible raw tier IS this generation's
+    # ``raw`` subtree, so the codes re-encode must finish READING it
+    # before the raw rewrite overwrites it — overlapping the two
+    # races a reader against a delete (FileNotFound mid-scan).
+    _layout_by(
+        enc.select("vec_id", "codes", "src_batch", "c_id"), "c_id"
     ).write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, gen_dir, "codes")
     )
@@ -6286,13 +6356,13 @@ def delete_hybrid_batch_txn(
     readable at the old watermark with the document visible in BOTH
     legs — never hidden in one and served by the other.  ``ids_df``:
     (doc_id) — the hybrid store keys both modalities by one id."""
-    ids_df.select(
-        F.col("doc_id").alias("vec_id")
-    ).write.mode("overwrite").parquet(
-        os.path.join(store, "tombstones", f"batch_id={batch_id}")
-    )
-    ids_df.select("doc_id").write.mode("overwrite").parquet(
-        os.path.join(store, "ptombstones", f"batch_id={batch_id}")
+    _parallel_writes(
+        lambda: ids_df.select(F.col("doc_id").alias("vec_id"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, "tombstones", f"batch_id={batch_id}")),
+        lambda: ids_df.select("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, "ptombstones", f"batch_id={batch_id}")),
     )
     if fail_before_manifest:
         return
@@ -6487,13 +6557,15 @@ def hybrid_serve_with_deletes(
         dpfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         vpfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
         for i, chars in enumerate(_T21_RANGES):
-            ingest_postings_batch_txn(
-                docs.filter(dpfx.isin(*list(chars))), store, i,
-                fail_before_manifest=True,
-            )
-            ingest_vec_batch_txn(
-                vecs.filter(vpfx.isin(*list(chars))), store, i, cents,
-                fail_before_manifest=True,
+            _parallel_writes(
+                lambda: ingest_postings_batch_txn(
+                    docs.filter(dpfx.isin(*list(chars))), store, i,
+                    fail_before_manifest=True,
+                ),
+                lambda: ingest_vec_batch_txn(
+                    vecs.filter(vpfx.isin(*list(chars))), store, i,
+                    cents, fail_before_manifest=True,
+                ),
             )
             publish_visibility(store, wm=i, pb=_store_pb(store))
         _mark_store_built(spark, store)
@@ -6634,23 +6706,29 @@ def compact_pq_store_txn(
         )
     if not code_tiers:
         return
-    _fold(
-        code_tiers,
-        (
-            F.max_by("codes", "src_batch").alias("codes"),
-            F.max_by("c_id", "src_batch").alias("c_id"),
-        ),
-    ).select(
-        "vec_id", "codes", "src_batch", "c_id"
-    ).write.mode("overwrite").partitionBy("c_id").parquet(
-        os.path.join(store, gen_dir, "codes")
-    )
+    writes = [
+        lambda: _fold(
+            code_tiers,
+            (
+                F.max_by("codes", "src_batch").alias("codes"),
+                F.max_by("c_id", "src_batch").alias("c_id"),
+            ),
+        )
+        .select("vec_id", "codes", "src_batch", "c_id")
+        .write.mode("overwrite")
+        .partitionBy("c_id")
+        .parquet(os.path.join(store, gen_dir, "codes"))
+    ]
     if raw_tiers:
-        _fold(
-            raw_tiers, (F.max_by("q", "src_batch").alias("q"),)
-        ).select("vec_id", "q", "src_batch").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store, gen_dir, "raw"))
+        writes.append(
+            lambda: _fold(
+                raw_tiers, (F.max_by("q", "src_batch").alias("q"),)
+            )
+            .select("vec_id", "q", "src_batch")
+            .write.mode("overwrite")
+            .parquet(os.path.join(store, gen_dir, "raw"))
+        )
+    _parallel_writes(*writes)
     if fail_before_manifest:
         return
     publish_visibility(store, compacted_upto=upto, compacted_dir=gen_dir)
@@ -6791,13 +6869,14 @@ def ingest_opq_batch_txn(
         _opq_quantize(batch_df.select("vec_id", "x"), man["pq_rot"]),
         cents, books, n_subs, subdim,
     )
-    enc.select("vec_id", "codes", "c_id").write.mode(
-        "overwrite"
-    ).partitionBy("c_id").parquet(
-        os.path.join(store, "data", f"batch_id={batch_id}")
-    )
-    batch_df.select("vec_id", "x").write.mode("overwrite").parquet(
-        os.path.join(store, "rawx", f"batch_id={batch_id}")
+    _parallel_writes(
+        lambda: _layout_by(enc.select("vec_id", "codes", "c_id"), "c_id")
+        .write.mode("overwrite")
+        .partitionBy("c_id")
+        .parquet(os.path.join(store, "data", f"batch_id={batch_id}")),
+        lambda: batch_df.select("vec_id", "x")
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, "rawx", f"batch_id={batch_id}")),
     )
     if fail_before_manifest:
         return
@@ -6954,8 +7033,11 @@ def retrain_opq_store_txn(
         ).select("vec_id", "q", "src_batch"),
         cents, books, n_subs, subdim, carry=("src_batch",),
     )
-    enc.select(
-        "vec_id", "codes", "src_batch", "c_id"
+    # SEQUENTIAL by necessity — see retrain_pq_store_txn: on replay
+    # the codes re-encode reads the very ``rawx`` subtree the second
+    # write overwrites.
+    _layout_by(
+        enc.select("vec_id", "codes", "src_batch", "c_id"), "c_id"
     ).write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(store, gen_dir, "codes")
     )
