@@ -75,6 +75,17 @@ def _argmin_centroid_sql(cents, vec_col: str = "q") -> str:
         f" cast({int(c_id)} as bigint) as c)"
         for c_id, cq in cents
     ]
+    if not entries:
+        # Empty model → NULL assignment via a TYPED empty array (a
+        # bare array() is VOID and the .c extraction errors at
+        # analysis).  Reachable only with empty data alongside (init
+        # takes the k lowest ids), where the old crossJoin+groupBy
+        # form also produced zero assignments — the empty-corpus
+        # sweep (tests/test_empty_corpus.py) pins this.
+        return (
+            "array_min(cast(array() as"
+            " array<struct<d: bigint, c: bigint>>)).c"
+        )
     return f"array_min(array({', '.join(entries)})).c"
 
 

@@ -70,6 +70,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("cluster").alias("n_min"))
         )
+        # The convergence flag rides the label update itself (guide
+        # §2.4): the old shape re-joined new labels against old ones —
+        # a second |V|⋈|V| join per round — to learn what this row
+        # already knows (the label moved iff a neighbor's minimum beat
+        # it).  The check is now a filter over the checkpointed frame.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
@@ -77,17 +82,15 @@ def connected_components(
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
                 ).alias("cluster"),
+                (
+                    F.col("n_min").isNotNull()
+                    & (F.col("n_min") < F.col("cluster"))
+                ).alias("_moved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_moved")).limit(1).count()
+        labels = new_labels.drop("_moved")
         if changed == 0:
             converged = True
             break

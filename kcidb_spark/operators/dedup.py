@@ -284,22 +284,28 @@ def simhash_bits(df: DataFrame, id_col: str = "doc_id",
     (use ≤60 to keep the banding arithmetic comfortable).
     """
     assert n_bits % 4 == 0 and n_bits <= 60
+    # Decode each token's hex prefix ONCE into an integer (conv), so
+    # the per-bit vote folds are shift/mask arithmetic instead of
+    # substring+instr string ops per (token, bit) — bit i of the
+    # decoded word sits at shift n_bits−1−i (digit ci = i//4+1 is the
+    # (C−ci)-th most significant of C = n_bits/4, bit-in-digit
+    # 3−i%4 ⇒ 4·(C−ci) + 3−i%4 = n_bits−1−i).  Same zero-shuffle
+    # projection shape, same votes, same hash.
     hx = tokenized(df, id_col, text_col).select(
         F.col(id_col),
         F.expr(
-            f"transform(tokens, t -> substring(md5(t), 1, {n_bits // 4}))"
-        ).alias("hexes"),
+            f"transform(tokens, t -> cast(conv(substring(md5(t), 1,"
+            f" {n_bits // 4}), 16, 10) as bigint))"
+        ).alias("hws"),
     )
     bit_exprs = []
     for i in range(n_bits):
-        ci = i // 4 + 1  # hex char index (1-based)
-        bit = 3 - (i % 4)  # bit within the hex digit
         vote = (
-            f"CASE WHEN ((instr('0123456789abcdef', substring(h, {ci}, 1)) - 1)"
-            f" & {1 << bit}) > 0 THEN 1 ELSE -1 END"
+            f"CASE WHEN (shiftright(h, {n_bits - 1 - i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END"
         )
         bit_exprs.append(
-            f"CASE WHEN aggregate(transform(hexes, h -> {vote}), 0,"
+            f"CASE WHEN aggregate(transform(hws, h -> {vote}), 0,"
             f" (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END"
         )
     total = " + ".join(bit_exprs)

@@ -145,6 +145,12 @@ def inrow_codes_sql(
             f"struct(cast({s} as bigint) as s,"
             f" array_min(array({', '.join(entries)})).m as m)"
         )
+    if not terms:
+        # Empty codebook → zero code rows per input row via a TYPED
+        # empty inline (a bare array() is VOID and fails analysis) —
+        # exactly what the old inner join against an empty book
+        # produced (empty-corpus sweep pins this).
+        return "inline(cast(array() as array<struct<s: bigint, m: bigint>>))"
     return f"inline(array({', '.join(terms)}))"
 
 

@@ -1647,12 +1647,19 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id-keyed assignment exchange nor the broadcast re-join the old
     # shape paid — one projection from the persisted corpus.
     cq_case = (
-        "CASE c_id "
-        + " ".join(
-            f"WHEN {int(c_id)} THEN {_int_array_sql(cq)}"
-            for c_id, cq in cents
+        (
+            "CASE c_id "
+            + " ".join(
+                f"WHEN {int(c_id)} THEN {_int_array_sql(cq)}"
+                for c_id, cq in cents
+            )
+            + " END"
         )
-        + " END"
+        if cents
+        # Empty model (empty corpus alongside): a branchless CASE is a
+        # parse error — a typed NULL keeps the plan analyzable and the
+        # zero input rows produce the same empty result.
+        else "cast(null as array<bigint>)"
     )
     res = vecs.withColumn(
         "c_id", F.expr(inrow_coarse_sql(cents))

@@ -1543,6 +1543,15 @@ def _nearest_centroid_sql(cents: list) -> str:
         entries.append(
             f"struct(-{sim} as s, cast({int(c_id)} as bigint) as c)"
         )
+    if not entries:
+        # Empty model → NULL assignment via a TYPED empty array (bare
+        # array() is VOID; the .c extraction errors at analysis).
+        # Only reachable with empty data alongside — matches the old
+        # crossJoin form's zero assignments (empty-corpus sweep).
+        return (
+            "array_min(cast(array() as"
+            " array<struct<s: double, c: bigint>>)).c"
+        )
     return f"array_min(array({', '.join(entries)})).c"
 
 
@@ -5291,7 +5300,15 @@ def _pqc_encode(
         f" cast({int(c_id)} as bigint) as c)"
         for c_id, cq in cents
     ]
-    c_sql = f"array_min(array({', '.join(c_entries)})).c"
+    # Empty-model guards: TYPED empty forms (bare array() is VOID and
+    # fails analysis) — reachable only alongside empty data, where the
+    # old broadcast-join shape also produced nothing.
+    c_sql = (
+        f"array_min(array({', '.join(c_entries)})).c"
+        if c_entries
+        else "array_min(cast(array() as"
+        " array<struct<d: bigint, c: bigint>>)).c"
+    )
     by_s: dict[int, list] = {}
     for s, m, bq in books:
         by_s.setdefault(int(s), []).append((int(m), bq))
@@ -5304,7 +5321,11 @@ def _pqc_encode(
             for m, bq in sorted(by_s[s])
         ]
         code_terms.append(f"array_min(array({', '.join(entries)})).m")
-    codes_sql = "array(" + ", ".join(code_terms) + ")"
+    codes_sql = (
+        "array(" + ", ".join(code_terms) + ")"
+        if code_terms
+        else "cast(array() as array<bigint>)"
+    )
     return batch_df.select(
         "vec_id",
         "q",
