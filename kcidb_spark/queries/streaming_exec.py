@@ -3181,27 +3181,27 @@ def probe_q_topk(
     from kcidb_spark.operators.clustering import d2_int_expr
 
     sess = batch_df.sparkSession
-    cdf = sess.createDataFrame(
-        _q_store_centroids(store), "c_id bigint, cq array<bigint>"
-    )
-    q = batch_df.select(F.col("vec_id").alias("q_id"), "q")
-    w_probe = W.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
-    q_probe = (
-        q.crossJoin(F.broadcast(cdf))
-        .select(
-            "q_id", F.col("q").alias("qq"), "c_id",
-            F.expr(d2_int_expr("q", "cq")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "c_id", "qq")
-    )
-    # No persist: the only in-function action is the probed-set
-    # collect below; the returned plan executes after the unpersist
-    # would have fired, so the persist bought nothing for the DAG
-    # (judge r13 blemish) — the frame is request-scale anyway.
-    probed = sorted(
-        r["c_id"] for r in q_probe.select("c_id").distinct().collect()
+    # Driver-side routing (guide §2.4/§5): the batch is request-scale
+    # by the serve contract and the centroids are already driver-held
+    # in the manifest — collect the batch once and compute the exact
+    # BIGINT (d2, c_id) routing on the driver (identical to the old
+    # in-plan row_number() ≤ nprobe), so the probe pays ONE tiny
+    # collect instead of a crossJoin+window job plus the broadcast
+    # subtree the action re-executed.
+    cents = _q_store_centroids(store)
+    qrows = [
+        (int(r["vec_id"]), [int(x) for x in r["q"]])
+        for r in batch_df.select("vec_id", "q").collect()
+    ]
+    probe_rows = []
+    for qid, qv in qrows:
+        near = sorted(
+            (_d2_int(qv, cq), int(c_id)) for c_id, cq in cents
+        )[:nprobe]
+        probe_rows.extend((qid, c, qv) for _, c in near)
+    probed = sorted({c for _, c, _qv in probe_rows})
+    q_probe = sess.createDataFrame(
+        probe_rows, "q_id long, c_id bigint, qq array<bigint>"
     )
     members = _q_visible_members(sess, store, clusters=probed).select(
         F.col("vec_id").alias("n_id"),
@@ -5500,6 +5500,43 @@ def _pqc_visible_raw(spark: SparkSession, store: str) -> DataFrame:
     ).select("vec_id", "q", "m_batch")
 
 
+def _d2_int(a: list, b: list) -> int:
+    """Exact BIGINT squared L2 — the driver-side twin of
+    ``clustering.d2_int_expr`` (Python ints are arbitrary-precision,
+    so the value is identical to Spark's BIGINT arithmetic on every
+    in-range input)."""
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _pq_route_driver(
+    qrows: list, cents: list, books: list, n_subs: int, subdim: int,
+    nprobe: int,
+) -> tuple[list, list]:
+    """Driver-side coarse routing + ADC distance tables over the
+    driver-held model: for each collected query, its ``nprobe``
+    nearest centroids by (d2, c_id) — exactly the in-plan
+    ``row_number() over (order by d2, c_id) <= nprobe`` — and its
+    (s, m) → d2 table over the literal codebooks.  All exact integer
+    arithmetic; control-plane-sized output (|queries|·nprobe pairs,
+    |queries|·S·M table rows)."""
+    probe_pairs: list[tuple[int, int]] = []
+    dtrows: list[tuple[int, int, int, int]] = []
+    for qid, q in qrows:
+        near = sorted(
+            (_d2_int(q, cq), int(c_id)) for c_id, cq in cents
+        )[:nprobe]
+        probe_pairs.extend((qid, c) for _, c in near)
+        for s, m, bq in books:
+            s = int(s)
+            if not (0 <= s < n_subs):
+                # subvectors() only generated s in [0, n_subs); the
+                # pq_score join dropped book rows outside that range.
+                continue
+            sub = q[s * subdim:(s + 1) * subdim]
+            dtrows.append((qid, s, int(m), _d2_int(sub, bq)))
+    return probe_pairs, dtrows
+
+
 def probe_pq_topk(
     batch_df: DataFrame,
     store: str,
@@ -5526,9 +5563,6 @@ def probe_pq_topk(
     the horizon it raises."""
     from pyspark.sql import Window as W  # noqa: F811 — batch scope
 
-    from kcidb_spark.operators.clustering import d2_int_expr
-    from kcidb_spark.operators.ivf import pq_score, subvectors
-
     sess = batch_df.sparkSession
     man = read_serve_manifest(store)
     wm = man["wm"]
@@ -5548,26 +5582,30 @@ def probe_pq_topk(
                 " adc_micro long, rk long"
         )
     cents, books, n_subs, subdim = _pqc_model(store, man=hist)
-    cdf = sess.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    bdf = sess.createDataFrame(
-        books, "s bigint, m bigint, bq array<bigint>"
+    # Driver-side routing + ADC tables (guide §2.4/§5): the query
+    # batch is request-scale by the serve contract and the model is
+    # ALREADY driver-held in the manifest, so collect the batch once
+    # and compute the coarse routing (exact BIGINT d2, c_id tie —
+    # identical to the old row_number() over orderBy(d2, c_id)) and
+    # the per-(query, subspace, codeword) distance table in exact
+    # integer arithmetic on the driver.  This replaces a
+    # crossJoin+window collect job AND the two broadcast subtrees the
+    # action re-executed (q_probe, dt) with two literal local
+    # relations — per probe the only corpus-side work left is the
+    # pruned codes scan.
+    qrows = [
+        (int(r["vec_id"]), [int(x) for x in r["q"]])
+        for r in batch_df.select("vec_id", "q").collect()
+    ]
+    probe_pairs, dtrows = _pq_route_driver(
+        qrows, cents, books, n_subs, subdim, nprobe
     )
-    q = batch_df.select(F.col("vec_id").alias("id"), "q")
-    dt = pq_score(
-        subvectors(q, ("id",), "q", n_subs, subdim), bdf
-    ).select(F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d"))
-    w_probe = W.partitionBy("id").orderBy("d2", "c_id")
-    q_probe = (
-        q.crossJoin(F.broadcast(cdf))
-        .select("id", "c_id", F.expr(d2_int_expr("q", "cq")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("id").alias("q_id"), "c_id")
+    probed = sorted({c for _, c in probe_pairs})
+    q_probe = sess.createDataFrame(
+        probe_pairs, "q_id long, c_id bigint"
     )
-    # No persist: one driver-side collect; the returned plan recomputes
-    # the request-scale frame at action time (judge r13 blemish).
-    probed = sorted(
-        r["c_id"] for r in q_probe.select("c_id").distinct().collect()
+    dt = sess.createDataFrame(
+        dtrows, "q_id long, s bigint, m bigint, d bigint"
     )
     members = _pqc_visible_codes(sess, store, wm, clusters=probed, man=hist)
     n_codes = members.select(
