@@ -1682,20 +1682,24 @@ def probe_visible_topk(
     )
     c_sim = F.expr(f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)")
     w_probe = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
-    q_probe = (
+    # ONE routing job, reused twice (guide §2.4): collect the
+    # request-scale q_probe rows (Spark computes the float cosine —
+    # doubles round-trip the driver bit-exactly) and hand the plan a
+    # LITERAL local relation, so the action no longer re-executes the
+    # crossJoin+window routing subtree as a broadcast, and the probed
+    # set falls out of the same collect instead of a second job.
+    q_probe_rows = (
         q.crossJoin(F.broadcast(cdf))
         .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "c_id", "qv", "qn")
+    ).collect()
+    q_probe = sess.createDataFrame(
+        q_probe_rows,
+        "q_id long, c_id bigint, qv array<double>, qn double",
     )
-    # No persist: the only in-function action is the probed-set
-    # collect below; the returned plan executes after the unpersist
-    # would have fired, so the persist bought nothing for the DAG
-    # (judge r13 blemish) — the frame is request-scale anyway.
-    probed = sorted(
-        r["c_id"] for r in q_probe.select("c_id").distinct().collect()
-    )
+    probed = sorted({r["c_id"] for r in q_probe_rows})
     members = (
         sess.read.schema(_T21_SCHEMA)
         .parquet(os.path.join(store, "data"))
@@ -2409,20 +2413,19 @@ def probe_tiered_topk(
     )
     c_sim = F.expr(f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)")
     w_probe = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
-    q_probe = (
+    # ONE routing job, reused twice — see probe_visible_topk.
+    q_probe_rows = (
         q.crossJoin(F.broadcast(cdf))
         .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "c_id", "qv", "qn")
+    ).collect()
+    q_probe = sess.createDataFrame(
+        q_probe_rows,
+        "q_id long, c_id bigint, qv array<double>, qn double",
     )
-    # No persist: the only in-function action is the probed-set
-    # collect below; the returned plan executes after the unpersist
-    # would have fired, so the persist bought nothing for the DAG
-    # (judge r13 blemish) — the frame is request-scale anyway.
-    probed = sorted(
-        r["c_id"] for r in q_probe.select("c_id").distinct().collect()
-    )
+    probed = sorted({r["c_id"] for r in q_probe_rows})
     tiers = []
     if man.get("compacted_dir") and cupto >= 0:
         tiers.append(
@@ -3615,7 +3618,12 @@ def probe_postings_bm25(
             [], "probe_round long, q_id long, n_id long,"
                 " score_micro long, rk long"
         )
-    qterms = (
+    # ONE tokenize job, reused thrice (guide §2.4): collect the
+    # request-scale (q_id, w, wb) term set and hand the plan a LITERAL
+    # local relation — the old shape ran the tokenize+explode subtree
+    # once for the bucket collect and re-executed it as a broadcast in
+    # BOTH consuming joins (df restriction and the match join).
+    qterm_rows = (
         batch_df.select(
             F.col("doc_id").alias("q_id"),
             F.explode(
@@ -3624,14 +3632,11 @@ def probe_postings_bm25(
         )
         .distinct()
         .withColumn("wb", F.expr(f"pmod(xxhash64(w), {pb})"))
+    ).collect()
+    qterms = sess.createDataFrame(
+        qterm_rows, "q_id long, w string, wb bigint"
     )
-    # No persist: the only in-function action is the probed-set
-    # collect below; the returned plan executes after the unpersist
-    # would have fired, so the persist bought nothing for the DAG
-    # (judge r13 blemish) — the frame is request-scale anyway.
-    qbuckets = sorted(
-        r["wb"] for r in qterms.select("wb").distinct().collect()
-    )
+    qbuckets = sorted({r["wb"] for r in qterm_rows})
     # Statistics and postings each read {generation ∪ tail}: the
     # generation's stats were RECOMPUTED at fold time (exact —
     # tombstones applied); tail partials stack on top.  Tail =
@@ -4190,16 +4195,26 @@ def hybrid_serve_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             publish_visibility(store, wm=i, pb=_store_pb(store))
         _mark_store_built(spark, store)
 
-    lex = probe_postings_bm25(
-        docs.filter(F.col("doc_id") < _HYB_QUERIES),
-        store, _HYB_LEG_K, as_of=1,
-    ).select("q_id", "n_id", F.col("rk").alias("r_lex"))
-    w_sem = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    sem = (
-        probe_visible_topk(
+    # Overlap the two legs' construction jobs (guide §2.6) — each runs
+    # one request-scale routing job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex = pool.submit(
+            probe_postings_bm25,
+            docs.filter(F.col("doc_id") < _HYB_QUERIES),
+            store, _HYB_LEG_K, as_of=1,
+        )
+        f_sem = pool.submit(
+            probe_visible_topk,
             vecs.filter(F.col("vec_id") < _HYB_QUERIES),
             store, cents, _HYB_LEG_K, as_of=1,
         )
+        lex_raw, sem_raw = f_lex.result(), f_sem.result()
+    lex = lex_raw.select("q_id", "n_id", F.col("rk").alias("r_lex"))
+    w_sem = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    sem = (
+        sem_raw
         .select("q_id", "n_id", "sim")
         .withColumn("r_sem", F.row_number().over(w_sem).cast("long"))
         .select("q_id", "n_id", "r_sem")
@@ -5141,19 +5156,33 @@ def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             publish_visibility(store, wm=bid, pb=_store_pb(store))
         else:                                      # probe epoch
-            lex = probe_postings_bm25(
-                batch_df.select("doc_id", "text"), store, _HYB_LEG_K
-            ).select("q_id", "n_id", F.col("rk").alias("r_lex"))
-            w_sem = W.partitionBy("q_id").orderBy(
-                F.desc("sim"), F.asc("n_id")
-            )
-            sem = (
-                probe_visible_topk(
+            # The two legs' construction each runs one request-scale
+            # routing job (term buckets / probed clusters) — overlap
+            # them (guide §2.6), same idiom as _parallel_writes.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_lex = pool.submit(
+                    probe_postings_bm25,
+                    batch_df.select("doc_id", "text"),
+                    store, _HYB_LEG_K,
+                )
+                f_sem = pool.submit(
+                    probe_visible_topk,
                     batch_df.select(
                         F.col("doc_id").alias("vec_id"), "v"
                     ),
                     store, cents, _HYB_LEG_K,
                 )
+                lex_raw, sem_raw = f_lex.result(), f_sem.result()
+            lex = lex_raw.select(
+                "q_id", "n_id", F.col("rk").alias("r_lex")
+            )
+            w_sem = W.partitionBy("q_id").orderBy(
+                F.desc("sim"), F.asc("n_id")
+            )
+            sem = (
+                sem_raw
                 .select("q_id", "n_id", "sim")
                 .withColumn(
                     "r_sem", F.row_number().over(w_sem).cast("long")
@@ -6636,15 +6665,25 @@ def hybrid_serve_with_deletes(
         len(_T21_RANGES),
     )
 
-    lex = probe_postings_bm25(
-        docs.filter(F.col("doc_id") < _HYB_QUERIES), store, _HYB_LEG_K
-    ).select("q_id", "n_id", F.col("rk").alias("r_lex"))
-    w_sem = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    sem = (
-        probe_visible_topk(
+    # Overlap the two legs' construction jobs (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex = pool.submit(
+            probe_postings_bm25,
+            docs.filter(F.col("doc_id") < _HYB_QUERIES),
+            store, _HYB_LEG_K,
+        )
+        f_sem = pool.submit(
+            probe_visible_topk,
             vecs.filter(F.col("vec_id") < _HYB_QUERIES),
             store, cents, _HYB_LEG_K,
         )
+        lex_raw, sem_raw = f_lex.result(), f_sem.result()
+    lex = lex_raw.select("q_id", "n_id", F.col("rk").alias("r_lex"))
+    w_sem = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    sem = (
+        sem_raw
         .select("q_id", "n_id", "sim")
         .withColumn("r_sem", F.row_number().over(w_sem).cast("long"))
         .select("q_id", "n_id", "r_sem")
