@@ -274,11 +274,7 @@ def ivf_kmeans_topk(
     deterministic integer Lloyd, so precomputed == retrained."""
     from pyspark.sql import Window as W
 
-    from kcidb_spark.operators.ivf import (
-        coarse_assign,
-        coarse_probes,
-        coarse_score,
-    )
+    from kcidb_spark.operators.ivf import coarse_probes, coarse_score
 
     spark = vecs.sparkSession
     cents = (
@@ -287,13 +283,19 @@ def ivf_kmeans_topk(
         else kmeans_centroids_exact(vecs, n_centroids, rounds)
     )
     cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    scored_c = coarse_score(vecs, cdf, carry=("q",))
-    assign = coarse_assign(scored_c, carry=("q",))
     probes = coarse_probes(
-        scored_c, n_queries, nprobe, carry=("q",)
+        coarse_score(vecs, cdf, carry=("q",)), n_queries, nprobe,
+        carry=("q",),
     ).withColumnRenamed("q", "qq")
-    m = assign.select(
-        F.col("id").alias("n_id"), "c_id", F.col("q").alias("nq")
+    # Corpus assignment IN-ROW over the driver-held centroids (guide
+    # §2.4) — identical argmin/tie-break to coarse_assign's
+    # min_by(c_id, struct(d2, c_id)), without the id-keyed exchange
+    # that shuffled every vector payload just to collapse the ×k
+    # candidate rows (the one corpus-keyed exchange this search had).
+    m = vecs.select(
+        F.col("id").alias("n_id"),
+        F.expr(_argmin_centroid_sql(cents)).alias("c_id"),
+        F.col("q").alias("nq"),
     )
     w_rank = W.partitionBy("q_id").orderBy("d2", "n_id")
     return (

@@ -100,6 +100,48 @@ def subvectors(
     )
 
 
+def d2_int(a, b) -> int:
+    """Exact BIGINT squared L2 on the driver — the Python twin of
+    :func:`clustering.d2_int_expr` (Python ints are
+    arbitrary-precision, so the value is identical to Spark's BIGINT
+    arithmetic on every in-range input)."""
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def route_int_driver(qrows, cents, nprobe: int):
+    """[(q_id, c_id)] in per-query (d2, c_id) order, ``nprobe`` per
+    query — the driver-side twin of :func:`coarse_probes` over
+    driver-held integer centroids (identical argmin and tie-break:
+    ``row_number() over (order by d2, c_id) <= nprobe``).  ``qrows``:
+    [(q_id, q list)].  Control-plane-sized output by contract
+    (queries are request-scale; centroids k·dim)."""
+    pairs = []
+    for qid, q in qrows:
+        near = sorted(
+            (d2_int(q, cq), int(c_id)) for c_id, cq in cents
+        )[:nprobe]
+        pairs.extend((qid, c) for _, c in near)
+    return pairs
+
+
+def pq_dt_driver(qrows, books, n_subs: int, subdim: int):
+    """[(q_id, s, m, d)] — the driver-side twin of
+    ``pq_score(subvectors(...), bdf)`` over driver-held codebooks:
+    per query and book entry, the exact BIGINT d2 of the query's s-th
+    subvector against codeword (s, m); book rows with s outside
+    [0, n_subs) are omitted exactly like the subvectors join dropped
+    them.  |queries|·S·M rows — control-plane-sized."""
+    rows = []
+    for qid, q in qrows:
+        for s, m, bq in books:
+            s = int(s)
+            if not (0 <= s < n_subs):
+                continue
+            sub = q[s * subdim:(s + 1) * subdim]
+            rows.append((qid, s, int(m), d2_int(sub, bq)))
+    return rows
+
+
 def inrow_coarse_sql(cents, vec_col: str = "q") -> str:
     """SQL text: nearest-centroid id as ONE per-row expression over
     the driver-held centroid list — ``array_min(array(struct(d2,

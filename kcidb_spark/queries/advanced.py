@@ -1034,6 +1034,55 @@ _PQK_SUBDIM = 8
 _PQK_CODES = 8
 _PQK_ROUNDS = 2
 
+#: Train-once session cache for the per-subspace codebooks — the
+#: _KM_CENTROIDS_CACHE rationale one level down: each trained-PQ entry
+#: Lloyds the SAME books over the SAME corpus every run; the cached
+#: object is S·M·D BIGINTs (control-plane) and grouped integer Lloyd
+#: is deterministic, so reuse cannot change any oracle-certified
+#: result.  Keyed by applicationId: a fresh session pays — and shows —
+#: the training cost exactly once.
+_PQK_BOOKS_CACHE: dict = {}
+
+
+def _pqk_model_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs_plan: DataFrame,
+    subs_of,
+    c_space: str = "raw",
+    b_space: str = "raw",
+) -> tuple[list, list]:
+    """(cents, books) for the trained IVF-PQ family, train-once per
+    session (guide §1.2: the training jobs are the entries' dominant
+    repeated cost; both models are deterministic integer Lloyd, so a
+    cache hit is bit-identical to retraining).  On a cold cache the
+    corpus and subvector frames scope-persist for the trainers' round
+    scans; on a warm one the entry builds NEITHER frame — the corpus
+    is consumed once, by the in-row encode projection.
+
+    ``subs_of(vecs, cents)`` builds the codebook-training subvector
+    frame (the residual form needs the trained centroids)."""
+    import os as _os
+
+    from kcidb_spark.operators.clustering import pq_codebooks_exact
+
+    app = spark.sparkContext.applicationId
+    sfp = _os.path.realpath(sf_dir)
+    ckey = (app, sfp, _IVF_CENTROIDS, _KM_ROUNDS, c_space)
+    bkey = (app, sfp, _PQK_SUBS, _PQK_SUBDIM, _PQK_CODES, _PQK_ROUNDS,
+            b_space)
+    if ckey in _KM_CENTROIDS_CACHE and bkey in _PQK_BOOKS_CACHE:
+        return _KM_CENTROIDS_CACHE[ckey], _PQK_BOOKS_CACHE[bkey]
+    vecs = scoped_persist(vecs_plan)
+    cents = _coarse_centroids_trained(spark, sf_dir, vecs, space=c_space)
+    if bkey not in _PQK_BOOKS_CACHE:
+        subs = scoped_persist(subs_of(vecs, cents))
+        _trainer_cache_put(
+            _PQK_BOOKS_CACHE, app, bkey,
+            pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS),
+        )
+    return cents, _PQK_BOOKS_CACHE[bkey]
+
 
 def _ivf_pq_kmeans_oracle(v_cte: str | None = None) -> str:
     """The full trained IVF-PQ pipeline in one replay: the shared
@@ -1149,46 +1198,49 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast books; the only corpus-keyed exchanges are the encode
     partial-agg and the (q,n)-keyed ADC sum after the probed-cluster
     semi-join."""
-    from kcidb_spark.operators.clustering import pq_codebooks_exact
     from kcidb_spark.operators.ivf import (
         adc_topk,
-        coarse_probes,
-        coarse_score,
         inrow_coarse_sql,
         inrow_codes_sql,
-        pq_score,
+        pq_dt_driver,
+        route_int_driver,
         subvectors,
     )
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    vecs = scoped_persist(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            F.expr(
-                "transform(cast(embedding as array<double>),"
-                f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
-            ).alias("q"),
-        )
+    quant = (
+        "transform(cast(embedding as array<double>),"
+        f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
     )
-    # Coarse: trained centroids (train-once session cache) → corpus
-    # assignment + query probes (operators/ivf.py shared stages).
-    cents = _coarse_centroids_trained(spark, sf_dir, vecs)
-    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    # Probe routing still scores QUERIES against the broadcast
-    # centroid table (|queries| x k rows); corpus assignment moved
-    # in-row (inrow_coarse_sql below) so no corpus-keyed exchange
-    # remains on the encode side (guide §2.4).
-    probes = coarse_probes(
-        coarse_score(vecs, cdf), _IVF_QUERIES, _KM_NPROBE
+    vecs_plan = emb.select(
+        F.col("vec_id").alias("id"), F.expr(quant).alias("q")
     )
-    # PQ: subvectors → trained books → codes + query distance tables.
-    subs = scoped_persist(
-        subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
+    # Both quantizers train-once per session (_pqk_model_trained).
+    cents, books = _pqk_model_trained(
+        spark, sf_dir, vecs_plan,
+        lambda vecs, _c: subvectors(
+            vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM
+        ),
     )
-    books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
-    bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    dt = pq_score(subs, bdf).filter(F.col("id") < _IVF_QUERIES).select(
-        F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
+    # Probe routing + per-query ADC tables DRIVER-SIDE (guide §2.4/§5):
+    # the model is driver-held and the queries are request-scale, so
+    # one pruned collect (vec_id pushdown) plus exact integer math
+    # replaces the corpus-persisted crossJoin+window probes subtree
+    # and the subvector-explode distance-table subtree — per run the
+    # corpus is consumed ONCE, by the in-row encode projection below.
+    qrows = [
+        (int(r["id"]), [int(x) for x in r["q"]])
+        for r in vecs_plan.filter(
+            F.col("id") < _IVF_QUERIES
+        ).collect()
+    ]
+    probes = spark.createDataFrame(
+        route_int_driver(qrows, cents, _KM_NPROBE),
+        "q_id long, c_id bigint",
+    )
+    dt = spark.createDataFrame(
+        pq_dt_driver(qrows, books, _PQK_SUBS, _PQK_SUBDIM),
+        "q_id long, s bigint, m bigint, d bigint",
     )
     # Encode side fully in-row: coarse id + PQ codes are per-row
     # expressions over the literal model, so the old explode ×S +
@@ -1196,7 +1248,7 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codes⋈assign join disappear — one projection feeds the ADC
     # semi-join directly (identical rows: same argmins, same
     # tie-breaks, subspaces absent from the books omitted).
-    n_codes = vecs.select(
+    n_codes = vecs_plan.select(
         F.col("id").alias("n_id"),
         F.expr(inrow_coarse_sql(cents)).alias("c_id"),
         F.expr(inrow_codes_sql(books, _PQK_SUBS, _PQK_SUBDIM)),
@@ -1301,50 +1353,65 @@ def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical cross-engine.  Scale shape identical to
     ivf_pq_kmeans_adc_topk: the rotation is a per-row projection
     (zero shuffle), everything downstream reuses the shared stages."""
-    from kcidb_spark.operators.clustering import pq_codebooks_exact
     from kcidb_spark.operators.ivf import (
         adc_topk,
-        coarse_probes,
-        coarse_score,
         inrow_coarse_sql,
         inrow_codes_sql,
-        pq_score,
+        pq_dt_driver,
+        route_int_driver,
         subvectors,
     )
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
     layer2, layer1 = _rot_expr("_e0")
-    vecs = scoped_persist(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            F.expr("cast(embedding as array<double>)").alias("_e0"),
+
+    def _rot_quant(src):
+        return (
+            src.select(
+                F.col("vec_id").alias("id"),
+                F.expr("cast(embedding as array<double>)").alias("_e0"),
+            )
+            .withColumn("_e1", F.expr(layer1))
+            .withColumn("_e2", F.expr(layer2))
+            .select(
+                "id",
+                F.expr(
+                    "transform(_e2, x -> cast(floor((x + 1.0D)"
+                    f" * {_KM_SCALE}.0D) as bigint))"
+                ).alias("q"),
+            )
         )
-        .withColumn("_e1", F.expr(layer1))
-        .withColumn("_e2", F.expr(layer2))
-        .select(
-            "id",
-            F.expr(
-                "transform(_e2, x -> cast(floor((x + 1.0D)"
-                f" * {_KM_SCALE}.0D) as bigint))"
-            ).alias("q"),
-        )
+
+    # The rotated corpus PERSISTS unconditionally (unlike the raw
+    # entries): without the cache boundary Catalyst collapses the
+    # 3-layer rotation projection INTO every one of the ~k + S·M
+    # literal d2 expressions of the in-row encode — a measured
+    # ~100× blowup, not a win.
+    vecs_plan = scoped_persist(_rot_quant(emb))
+    # Train-once models; driver-side probes + ADC tables from one
+    # pruned collect — see ivf_pq_kmeans_adc_topk.  The query rows
+    # collect from a SEPARATE pruned plan (filter below the rotation,
+    # vec_id pushdown) so it does not materialize the corpus cache.
+    cents, books = _pqk_model_trained(
+        spark, sf_dir, vecs_plan,
+        lambda vecs, _c: subvectors(
+            vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM
+        ),
+        c_space="rot", b_space="rot",
     )
-    cents = _coarse_centroids_trained(spark, sf_dir, vecs, space="rot")
-    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    # Probe routing still scores QUERIES against the broadcast
-    # centroid table (|queries| x k rows); corpus assignment moved
-    # in-row (inrow_coarse_sql below) so no corpus-keyed exchange
-    # remains on the encode side (guide §2.4).
-    probes = coarse_probes(
-        coarse_score(vecs, cdf), _IVF_QUERIES, _KM_NPROBE
+    qrows = [
+        (int(r["id"]), [int(x) for x in r["q"]])
+        for r in _rot_quant(
+            emb.filter(F.col("vec_id") < _IVF_QUERIES)
+        ).collect()
+    ]
+    probes = spark.createDataFrame(
+        route_int_driver(qrows, cents, _KM_NPROBE),
+        "q_id long, c_id bigint",
     )
-    subs = scoped_persist(
-        subvectors(vecs, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
-    )
-    books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
-    bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    dt = pq_score(subs, bdf).filter(F.col("id") < _IVF_QUERIES).select(
-        F.col("id").alias("q_id"), "s", "m", F.col("d2").alias("d")
+    dt = spark.createDataFrame(
+        pq_dt_driver(qrows, books, _PQK_SUBS, _PQK_SUBDIM),
+        "q_id long, s bigint, m bigint, d bigint",
     )
     # Encode side fully in-row: coarse id + PQ codes are per-row
     # expressions over the literal model, so the old explode ×S +
@@ -1352,7 +1419,7 @@ def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codes⋈assign join disappear — one projection feeds the ADC
     # semi-join directly (identical rows: same argmins, same
     # tie-breaks, subspaces absent from the books omitted).
-    n_codes = vecs.select(
+    n_codes = vecs_plan.select(
         F.col("id").alias("n_id"),
         F.expr(inrow_coarse_sql(cents)).alias("c_id"),
         F.expr(inrow_codes_sql(books, _PQK_SUBS, _PQK_SUBDIM)),
@@ -1611,41 +1678,80 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals map-side; training/encode/search shapes match the
     non-residual entry (driver-held books, probed-cluster semi-join,
     (q,n)-keyed integer ADC sum)."""
-    from kcidb_spark.operators.clustering import (
-        d2_int_expr,
-        pq_codebooks_exact,
-    )
     from kcidb_spark.operators.clustering import _int_array_sql
     from kcidb_spark.operators.ivf import (
         adc_topk,
-        coarse_probes,
-        coarse_score,
+        d2_int,
         inrow_coarse_sql,
         inrow_codes_sql,
+        route_int_driver,
         subvectors,
     )
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    vecs = scoped_persist(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            F.expr(
-                "transform(cast(embedding as array<double>),"
-                f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
-            ).alias("q"),
-        )
+    quant = (
+        "transform(cast(embedding as array<double>),"
+        f" x -> cast(floor((x + 1.0D) * {_KM_SCALE}.0D) as bigint))"
     )
-    cents = _coarse_centroids_trained(spark, sf_dir, vecs)
-    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
-    probes = coarse_probes(
-        coarse_score(vecs, cdf, carry=("q", "cq")),
-        _IVF_QUERIES, _KM_NPROBE, carry=("q", "cq"),
+    vecs_plan = emb.select(
+        F.col("vec_id").alias("id"), F.expr(quant).alias("q")
+    )
+
+    def _res_subs(vecs, cents_t):
+        # Codebooks train on RESIDUAL subvectors: in-row coarse argmin
+        # + CASE centroid dispatch, one projection (guide §2.4).
+        case = (
+            "CASE c_id "
+            + " ".join(
+                f"WHEN {int(c_id)} THEN {_int_array_sql(cq)}"
+                for c_id, cq in cents_t
+            )
+            + " END"
+        ) if cents_t else "cast(null as array<bigint>)"
+        res_t = vecs.withColumn(
+            "c_id", F.expr(inrow_coarse_sql(cents_t))
+        ).select(
+            "id", "c_id",
+            F.expr(f"zip_with(q, {case}, (a, b) -> a - b)").alias("r"),
+        )
+        return subvectors(res_t, ("id",), "r", _PQK_SUBS, _PQK_SUBDIM)
+
+    # Coarse model shared with the non-residual entry (space "raw");
+    # books are residual-space.  Train-once per session.
+    cents, books = _pqk_model_trained(
+        spark, sf_dir, vecs_plan, _res_subs, b_space="res",
+    )
+    # Driver-side routing + the per-(query, probed-cluster) RESIDUAL
+    # distance tables (IVFADC — the query's residual differs in every
+    # probed cluster): one pruned collect, exact integer math; still
+    # queries × nprobe × S × M rows, control-plane-sized.
+    qrows = [
+        (int(r["id"]), [int(x) for x in r["q"]])
+        for r in vecs_plan.filter(
+            F.col("id") < _IVF_QUERIES
+        ).collect()
+    ]
+    probe_pairs = route_int_driver(qrows, cents, _KM_NPROBE)
+    cmap = {int(c): list(cq) for c, cq in cents}
+    qmap = dict(qrows)
+    dtrows = []
+    for qid, c in probe_pairs:
+        rq = [a - b for a, b in zip(qmap[qid], cmap[c])]
+        for s, m, bq in books:
+            s = int(s)
+            if not (0 <= s < _PQK_SUBS):
+                continue
+            sub = rq[s * _PQK_SUBDIM:(s + 1) * _PQK_SUBDIM]
+            dtrows.append((qid, c, s, int(m), d2_int(sub, bq)))
+    probes = spark.createDataFrame(
+        probe_pairs, "q_id long, c_id bigint"
+    )
+    dt = spark.createDataFrame(
+        dtrows, "q_id long, c_id bigint, s bigint, m bigint, d bigint"
     )
     # Corpus residuals fully MAP-SIDE (guide §2.4): the coarse argmin
     # is the in-row literal expression and the assigned centroid is a
-    # CASE dispatch on it, so residualization needs neither the
-    # id-keyed assignment exchange nor the broadcast re-join the old
-    # shape paid — one projection from the persisted corpus.
+    # CASE dispatch on it — one projection, no assignment exchange.
     cq_case = (
         (
             "CASE c_id "
@@ -1661,32 +1767,12 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero input rows produce the same empty result.
         else "cast(null as array<bigint>)"
     )
-    res = vecs.withColumn(
+    res = vecs_plan.withColumn(
         "c_id", F.expr(inrow_coarse_sql(cents))
     ).select(
         "id",
         "c_id",
         F.expr(f"zip_with(q, {cq_case}, (a, b) -> a - b)").alias("r"),
-    )
-    subs = scoped_persist(
-        subvectors(res, ("id",), "r", _PQK_SUBS, _PQK_SUBDIM)
-    )
-    books = pq_codebooks_exact(subs, _PQK_CODES, _PQK_ROUNDS)
-    bdf = spark.createDataFrame(books, "s bigint, m bigint, bq array<bigint>")
-    # Per-(query, probed-cluster) residual distance tables — the
-    # query's residual differs in every probed cluster (IVFADC).
-    qres = probes.select(
-        "q_id",
-        "c_id",
-        F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("rq"),
-    )
-    qsubs = subvectors(
-        qres, ("q_id", "c_id"), "rq", _PQK_SUBS, _PQK_SUBDIM,
-        out_col="rqsub",
-    )
-    dt = qsubs.join(F.broadcast(bdf), on="s").select(
-        "q_id", "c_id", "s", "m",
-        F.expr(d2_int_expr("rqsub", "bq")).alias("d"),
     )
     # Residual codes in-row over ``r`` — no (id, s)-keyed encode
     # exchange, no codes⋈assign join (identical rows, same argmins).
@@ -1699,7 +1785,7 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return adc_topk(
         n_codes,
-        probes.select("q_id", "c_id"),
+        probes,
         dt,
         _IVF_K,
         dt_keys=("q_id", "c_id", "s", "m"),

@@ -3196,10 +3196,12 @@ def probe_q_topk(
         (int(r["vec_id"]), [int(x) for x in r["q"]])
         for r in batch_df.select("vec_id", "q").collect()
     ]
+    from kcidb_spark.operators.ivf import d2_int
+
     probe_rows = []
     for qid, qv in qrows:
         near = sorted(
-            (_d2_int(qv, cq), int(c_id)) for c_id, cq in cents
+            (d2_int(qv, cq), int(c_id)) for c_id, cq in cents
         )[:nprobe]
         probe_rows.extend((qid, c, qv) for _, c in near)
     probed = sorted({c for _, c, _qv in probe_rows})
@@ -5529,41 +5531,20 @@ def _pqc_visible_raw(spark: SparkSession, store: str) -> DataFrame:
     ).select("vec_id", "q", "m_batch")
 
 
-def _d2_int(a: list, b: list) -> int:
-    """Exact BIGINT squared L2 — the driver-side twin of
-    ``clustering.d2_int_expr`` (Python ints are arbitrary-precision,
-    so the value is identical to Spark's BIGINT arithmetic on every
-    in-range input)."""
-    return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-
 def _pq_route_driver(
     qrows: list, cents: list, books: list, n_subs: int, subdim: int,
     nprobe: int,
 ) -> tuple[list, list]:
     """Driver-side coarse routing + ADC distance tables over the
-    driver-held model: for each collected query, its ``nprobe``
-    nearest centroids by (d2, c_id) — exactly the in-plan
-    ``row_number() over (order by d2, c_id) <= nprobe`` — and its
-    (s, m) → d2 table over the literal codebooks.  All exact integer
-    arithmetic; control-plane-sized output (|queries|·nprobe pairs,
-    |queries|·S·M table rows)."""
-    probe_pairs: list[tuple[int, int]] = []
-    dtrows: list[tuple[int, int, int, int]] = []
-    for qid, q in qrows:
-        near = sorted(
-            (_d2_int(q, cq), int(c_id)) for c_id, cq in cents
-        )[:nprobe]
-        probe_pairs.extend((qid, c) for _, c in near)
-        for s, m, bq in books:
-            s = int(s)
-            if not (0 <= s < n_subs):
-                # subvectors() only generated s in [0, n_subs); the
-                # pq_score join dropped book rows outside that range.
-                continue
-            sub = q[s * subdim:(s + 1) * subdim]
-            dtrows.append((qid, s, int(m), _d2_int(sub, bq)))
-    return probe_pairs, dtrows
+    driver-held model (operators/ivf.py route_int_driver /
+    pq_dt_driver) — exact integer arithmetic, control-plane-sized
+    output (|queries|·nprobe pairs, |queries|·S·M table rows)."""
+    from kcidb_spark.operators.ivf import pq_dt_driver, route_int_driver
+
+    return (
+        route_int_driver(qrows, cents, nprobe),
+        pq_dt_driver(qrows, books, n_subs, subdim),
+    )
 
 
 def probe_pq_topk(
