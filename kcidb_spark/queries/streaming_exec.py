@@ -3135,13 +3135,23 @@ def retrain_store_txn(
         kmeans_centroids_exact,
     )
 
+    from kcidb_spark.cache import scoped_persist
+
     man = read_serve_manifest(store)
     wm = man["wm"]
     members = _q_visible_members(spark, store).select(
         "vec_id", "q", "m_batch"
     )
-    sample = _retrain_sample(members, n_centroids).select(
-        F.col("vec_id").alias("id"), "q"
+    # The sample PERSISTS for the trainer (guide §5): every Lloyd
+    # round (plus the init collect) re-executed the whole visible-
+    # store plan — store scan, tier union, version-resolve — just to
+    # re-filter the same bounded sample; one materialization feeds
+    # all rounds, and the re-encode below stays the only other full
+    # scan.
+    sample = scoped_persist(
+        _retrain_sample(members, n_centroids).select(
+            F.col("vec_id").alias("id"), "q"
+        )
     )
     cents = kmeans_centroids_exact(sample, n_centroids, rounds)
     gen_dir = f"gen_retrain_{wm}"
@@ -5672,12 +5682,17 @@ def retrain_pq_store_txn(
     )
     from kcidb_spark.operators.ivf import subvectors
 
+    from kcidb_spark.cache import scoped_persist
+
     man = read_serve_manifest(store)
     wm = man["wm"]
     _cents0, _books0, n_subs, subdim = _pqc_model(store)
     raw = _pqc_visible_raw(spark, store)
-    sample = _retrain_sample(raw, n_centroids).select(
-        F.col("vec_id").alias("id"), "q"
+    # Persisted for BOTH trainers' round scans (see retrain_store_txn).
+    sample = scoped_persist(
+        _retrain_sample(raw, n_centroids).select(
+            F.col("vec_id").alias("id"), "q"
+        )
     )
     cents = kmeans_centroids_exact(sample, n_centroids, rounds)
     books = pq_codebooks_exact(
@@ -7074,20 +7089,29 @@ def retrain_opq_store_txn(
     from kcidb_spark.operators.ivf import subvectors
     from kcidb_spark.operators.opq import opq_train
 
+    from kcidb_spark.cache import scoped_persist
+
     man = read_serve_manifest(store)
     wm = man["wm"]
     _c0, _b0, n_subs, subdim = _pqc_model(store, man=man)
     rawx = _opq_visible_rawx(spark, store)
-    sample_x = _retrain_sample(rawx, n_centroids).select(
-        F.col("vec_id").alias("id"), "x"
+    # Persisted: the OPQ alternation re-scans the sample iters×rounds
+    # times, then both integer trainers re-scan the rotated grid per
+    # round (see retrain_store_txn).
+    sample_x = scoped_persist(
+        _retrain_sample(rawx, n_centroids).select(
+            F.col("vec_id").alias("id"), "x"
+        )
     )
     rot, _books_f, _hist = opq_train(
         sample_x, n_subs, subdim, n_codes,
         lloyd_rounds=rounds, iters=iters, r_init=man["pq_rot"],
     )
-    sample_q = _opq_quantize(
-        sample_x.select(F.col("id").alias("vec_id"), "x"), rot
-    ).select(F.col("vec_id").alias("id"), "q")
+    sample_q = scoped_persist(
+        _opq_quantize(
+            sample_x.select(F.col("id").alias("vec_id"), "x"), rot
+        ).select(F.col("vec_id").alias("id"), "q")
+    )
     cents = kmeans_centroids_exact(sample_q, n_centroids, rounds)
     books = pq_codebooks_exact(
         subvectors(sample_q, ("id",), "q", n_subs, subdim),
