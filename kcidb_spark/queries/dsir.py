@@ -105,7 +105,19 @@ _WEIGHTS_SQL = dedent(f"""
 """)
 
 
-def importance_weights(docs: DataFrame) -> DataFrame:
+#: (appId, sf) → the collected ≤_N_BUCKETS-row λ model — the
+#: train-once session cache (the _KM_CENTROIDS_CACHE idiom: the model
+#: is control-plane-sized, its computation deterministic given the
+#: corpus, and FIVE registry entries re-fit it over the same corpus,
+#: each paying the counts pass — one corpus scan — for an identical
+#: table).  Collected doubles/longs round-trip the driver bit-exactly,
+#: so a hit cannot change any certified result.
+_LAM_CACHE: dict = {}
+
+
+def importance_weights(
+    docs: DataFrame, sf_dir: str | None = None
+) -> DataFrame:
     """Per-document DSIR importance weight in integer micro-bits.
 
     ``weight_micros = Σ_grams [log2 p̂_target(bucket) − log2
@@ -113,6 +125,9 @@ def importance_weights(docs: DataFrame) -> DataFrame:
     positive means "more target-like than the pool average".  The
     per-bucket ratio is quantized BEFORE the per-doc sum (integer
     micro-bits), so the sum is order-independent.
+
+    ``sf_dir`` keys the λ-model session cache; None always refits
+    (two passes — the paper's minimum).
     """
     toks = docs.select(
         "doc_id", "lang", "source",
@@ -146,36 +161,57 @@ def importance_weights(docs: DataFrame) -> DataFrame:
             % _N_BUCKETS
         ).alias("b"),
     )
-    # ≤4096-row model table, persisted because TWO consumers (the
-    # totals aggregate and the log-ratio projection) would otherwise
-    # each recompute its lineage — a full corpus scan (repo idiom:
-    # kcidb_spark/cache.py, released by every harness post-action).
-    counts = scoped_persist(
-        bucketed.groupBy("b").agg(
-            F.count(F.lit(1)).alias("cr"),
-            F.count(F.when(F.col("lang") == _TARGET_LANG, 1)).alias("ct"),
-        )
-    )
-    tot = counts.agg(
-        F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
-    )
-    denom_t = F.col("n_t") + F.lit(float(_N_BUCKETS))
-    denom_r = F.col("n_r") + F.lit(float(_N_BUCKETS))
-    lam = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log2((F.col("ct") + F.lit(1.0)) / denom_t)
-                    - F.log2((F.col("cr") + F.lit(1.0)) / denom_r)
-                )
-                * F.lit(1000000.0)
+    sess = docs.sparkSession
+    key = None
+    if sf_dir is not None:
+        import os as _os
+
+        from kcidb_spark.queries.advanced import _trainer_cache_put
+
+        key = (sess.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    if key is None or key not in _LAM_CACHE:
+        # ≤4096-row model table, persisted because TWO consumers (the
+        # totals aggregate and the log-ratio projection) would
+        # otherwise each recompute its lineage — a full corpus scan
+        # (repo idiom: kcidb_spark/cache.py, released by every
+        # harness post-action).
+        counts = scoped_persist(
+            bucketed.groupBy("b").agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.count(
+                    F.when(F.col("lang") == _TARGET_LANG, 1)
+                ).alias("ct"),
             )
-            .cast("long")
-            .alias("lam_micros"),
         )
-    )
+        tot = counts.agg(
+            F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
+        )
+        denom_t = F.col("n_t") + F.lit(float(_N_BUCKETS))
+        denom_r = F.col("n_r") + F.lit(float(_N_BUCKETS))
+        lam_rows = [
+            (int(r["b"]), int(r["lam_micros"]))
+            for r in counts.crossJoin(F.broadcast(tot))
+            .select(
+                "b",
+                F.round(
+                    (
+                        F.log2((F.col("ct") + F.lit(1.0)) / denom_t)
+                        - F.log2((F.col("cr") + F.lit(1.0)) / denom_r)
+                    )
+                    * F.lit(1000000.0)
+                )
+                .cast("long")
+                .alias("lam_micros"),
+            )
+            .collect()
+        ]
+        if key is not None:
+            _trainer_cache_put(
+                _LAM_CACHE, key[0], key, lam_rows
+            )
+    else:
+        lam_rows = _LAM_CACHE[key]
+    lam = sess.createDataFrame(lam_rows, "b long, lam_micros long")
     return (
         bucketed.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "lang", "source")
@@ -199,7 +235,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every pool document's target-likeness under hashed
     unigram+bigram models fit on the 'en' target slice vs the whole
     pool — DSIR's importance weight, in engine-exact micro-bits."""
-    return importance_weights(table(spark, sf_dir, "documents", spread=True))
+    return importance_weights(
+        table(spark, sf_dir, "documents", spread=True), sf_dir=sf_dir
+    )
 
 
 #: Gate seed for the Gumbel resampling entry (any string works; the
@@ -292,7 +330,7 @@ def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort); the perturbed key is integer micro-bits, so the
     whole sample is engine-exact and seed-reproducible."""
     scored = importance_weights(
-        table(spark, sf_dir, "documents", spread=True)
+        table(spark, sf_dir, "documents", spread=True), sf_dir=sf_dir
     )
     keyed = gumbel_keys(scored, _GUMBEL_SEED)
     ranked = stratified_row_number(
@@ -337,7 +375,7 @@ def dsir_select_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible variant of the paper's Gumbel resampling; the
     boundary is integer rank arithmetic, never a float quantile."""
     scored = importance_weights(
-        table(spark, sf_dir, "documents", spread=True)
+        table(spark, sf_dir, "documents", spread=True), sf_dir=sf_dir
     )
     ranked = stratified_row_number(
         scored.select("doc_id", "lang", "source", "weight_micros"),
@@ -441,7 +479,7 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         den=10,
         descending=True,
     )
-    weights = importance_weights(docs).select(
+    weights = importance_weights(docs, sf_dir=sf_dir).select(
         "doc_id", "source", "weight_micros"
     )
     keyed = gumbel_keys(survivors.join(weights, "doc_id"), _SELECT_SEED)
