@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kcidb_spark.localrel import local_df
 from kcidb_spark.operators.similarity import dot_expr
 
 _D2_INT_TMPL = (
@@ -282,7 +283,7 @@ def ivf_kmeans_topk(
         if centroids is not None
         else kmeans_centroids_exact(vecs, n_centroids, rounds)
     )
-    cdf = spark.createDataFrame(cents, "c_id bigint, cq array<bigint>")
+    cdf = local_df(spark, cents, "c_id bigint, cq array<bigint>")
     probes = coarse_probes(
         coarse_score(vecs, cdf, carry=("q",)), n_queries, nprobe,
         carry=("q",),

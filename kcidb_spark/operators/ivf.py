@@ -104,7 +104,19 @@ def d2_int(a, b) -> int:
     """Exact BIGINT squared L2 on the driver — the Python twin of
     :func:`clustering.d2_int_expr` (Python ints are
     arbitrary-precision, so the value is identical to Spark's BIGINT
-    arithmetic on every in-range input)."""
+    arithmetic on every in-range input).
+
+    Length-match precondition ASSERTED (ADVICE r15): the in-plan form
+    null-pads via zip_with (a mismatched pair aggregates to NULL and
+    fails loudly downstream), while Python's zip would silently
+    truncate — the driver-side routing would then quietly diverge
+    from the in-plan form instead of failing the same way."""
+    if len(a) != len(b):
+        raise ValueError(
+            f"d2_int: length mismatch {len(a)} vs {len(b)} — malformed "
+            f"vector (the in-plan zip_with form fails loudly on these; "
+            f"the driver-side twin must too)"
+        )
     return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 

@@ -40,6 +40,7 @@ from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from kcidb_spark.localrel import local_df
 
 #: Float squared-L2 over two array<double> columns.
 _D2F_TMPL = (
@@ -80,7 +81,8 @@ def rotate(
     array transform — per-row compute, zero shuffle, codegen-friendly
     (no Python boundary)."""
     spark = df.sparkSession
-    rdf = spark.createDataFrame(
+    rdf = local_df(
+        spark,
         [([list(map(float, row)) for row in r_rows],)],
         "_rrows array<array<double>>",
     )
@@ -114,7 +116,7 @@ def pq_codebooks_float(
         for r in subs.filter(F.col("id") < m).collect()
     )
     for _ in range(rounds):
-        bdf = spark.createDataFrame(books, schema)
+        bdf = local_df(spark, books, schema)
         assign = (
             subs.join(F.broadcast(bdf), on="s")
             .select(
@@ -151,8 +153,8 @@ def _reconstructions(subs: DataFrame, books: list) -> DataFrame:
     codeword — the E-step output both the distortion measurement and
     the Procrustes Y are read from."""
     spark = subs.sparkSession
-    bdf = spark.createDataFrame(
-        books, "s bigint, m bigint, bq array<double>"
+    bdf = local_df(
+        spark, books, "s bigint, m bigint, bq array<double>"
     )
     assign = (
         subs.join(F.broadcast(bdf), on="s")

@@ -83,6 +83,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from kcidb_spark.localrel import local_df
 
 #: Temp columns injected into the caller's frame (asserted disjoint).
 _TEMP_COLS = ("_k", "_pb", "_sub", "_bkt", "_off", "_kstar", "_straddle")
@@ -404,7 +405,7 @@ def _mapping_df(spark, df, stratum_col, mapping, extra):
     )
     for name, typ in extra:
         schema = schema.add(name, typ)
-    return spark.createDataFrame(mapping, schema)
+    return local_df(spark, mapping, schema)
 
 
 def stratified_row_number(

@@ -36,6 +36,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from kcidb_spark.localrel import local_df
 
 
 def hash_features(
@@ -87,8 +88,8 @@ def logreg_train(
         if n_docs == 0:
             history.append({"epoch": ep, "n_docs": 0, "loss": 0.0})
             continue
-        wdf = spark.createDataFrame(
-            list(w.items()) or [(0, 0.0)], "f bigint, wt double"
+        wdf = local_df(
+            spark, list(w.items()) or [(0, 0.0)], "f bigint, wt double"
         )
         scored = (
             feats.join(F.broadcast(wdf), on="f", how="left")
@@ -150,7 +151,8 @@ def logreg_score(
     """(doc_id, score, pred): broadcast map-side scoring — the 100 TB
     gate pass.  score = sigmoid input (the logit); pred = score > 0."""
     spark = feats.sparkSession
-    wdf = spark.createDataFrame(
+    wdf = local_df(
+        spark,
         [(i, wt) for i, wt in enumerate(weights) if wt != 0.0]
         or [(0, 0.0)],
         "f bigint, wt double",

@@ -23,6 +23,7 @@ from textwrap import dedent
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kcidb_spark.localrel import local_df
 from kcidb_spark.cache import scoped_persist
 from kcidb_spark.queries._exact import oracle_int_sum
 from kcidb_spark.queries.registry import register
@@ -1234,11 +1235,13 @@ def ivf_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id") < _IVF_QUERIES
         ).collect()
     ]
-    probes = spark.createDataFrame(
+    probes = local_df(
+        spark,
         route_int_driver(qrows, cents, _KM_NPROBE),
         "q_id long, c_id bigint",
     )
-    dt = spark.createDataFrame(
+    dt = local_df(
+        spark,
         pq_dt_driver(qrows, books, _PQK_SUBS, _PQK_SUBDIM),
         "q_id long, s bigint, m bigint, d bigint",
     )
@@ -1405,11 +1408,13 @@ def ivf_pq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") < _IVF_QUERIES)
         ).collect()
     ]
-    probes = spark.createDataFrame(
+    probes = local_df(
+        spark,
         route_int_driver(qrows, cents, _KM_NPROBE),
         "q_id long, c_id bigint",
     )
-    dt = spark.createDataFrame(
+    dt = local_df(
+        spark,
         pq_dt_driver(qrows, books, _PQK_SUBS, _PQK_SUBDIM),
         "q_id long, s bigint, m bigint, d bigint",
     )
@@ -1522,8 +1527,8 @@ def opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_learned, books, _hist = _opq_trained(spark, sf_dir, vecs)
     xr = rotate(vecs, r_learned, "x", "q").select("id", "q")
     subs = subvectors(xr, ("id",), "q", _PQK_SUBS, _PQK_SUBDIM)
-    bdf = spark.createDataFrame(
-        books, "s bigint, m bigint, bq array<double>"
+    bdf = local_df(
+        spark, books, "s bigint, m bigint, bq array<double>"
     )
     scored = scoped_persist(
         subs.join(F.broadcast(bdf), on="s").select(
@@ -1743,11 +1748,10 @@ def ivf_pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             sub = rq[s * _PQK_SUBDIM:(s + 1) * _PQK_SUBDIM]
             dtrows.append((qid, c, s, int(m), d2_int(sub, bq)))
-    probes = spark.createDataFrame(
-        probe_pairs, "q_id long, c_id bigint"
-    )
-    dt = spark.createDataFrame(
-        dtrows, "q_id long, c_id bigint, s bigint, m bigint, d bigint"
+    probes = local_df(spark, probe_pairs, "q_id long, c_id bigint")
+    dt = local_df(
+        spark, dtrows,
+        "q_id long, c_id bigint, s bigint, m bigint, d bigint",
     )
     # Corpus residuals fully MAP-SIDE (guide §2.4): the coarse argmin
     # is the in-row literal expression and the assigned centroid is a

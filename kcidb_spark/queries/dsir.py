@@ -40,6 +40,7 @@ from textwrap import dedent
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kcidb_spark.localrel import local_df
 from kcidb_spark.cache import scoped_persist
 from kcidb_spark.operators.rank import (
     stratified_drop_leading,
@@ -128,6 +129,14 @@ def importance_weights(
 
     ``sf_dir`` keys the λ-model session cache; None always refits
     (two passes — the paper's minimum).
+
+    CACHE-KEY CONTRACT (ADVICE r15): pass ``sf_dir`` ONLY with the
+    unfiltered ``documents`` table of that sf_dir — the cache key is
+    (appId, realpath(sf_dir)) and ignores ``docs``, so a filtered or
+    derived frame passed with sf_dir set would read (or poison) the
+    full-corpus model shared by the other consumers.  All five
+    registry callers pass the full table; a new caller with a derived
+    frame must pass ``sf_dir=None`` (always refits).
     """
     toks = docs.select(
         "doc_id", "lang", "source",
@@ -211,7 +220,7 @@ def importance_weights(
             )
     else:
         lam_rows = _LAM_CACHE[key]
-    lam = sess.createDataFrame(lam_rows, "b long, lam_micros long")
+    lam = local_df(sess, lam_rows, "b long, lam_micros long")
     return (
         bucketed.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "lang", "source")

@@ -177,8 +177,21 @@ def _model_parts(docs: DataFrame):
     (unigram counts) + the salted top-V prune + the totals/OOV-mass
     aggregate.  vocab and the persisted ucnt behind it are released
     by the harness post-action like every scoped persist."""
-    toks = docs.select(
-        "doc_id", "lang", F.split(_norm_text(F.col("text")), " ").alias("t")
+    # The tokenized corpus feeds EVERY model scan (unigram fit, the
+    # n-gram count pass, scoring) and each re-derivation re-pays the
+    # parquet read + the regexp normalizer — the single most expensive
+    # expression in the text family (guide §5: reused AND expensive to
+    # recompute).  One scoped persist makes the regex pass run once;
+    # followers read the materialized (doc_id, lang, tokens) rows.
+    # Harness releases it post-action like every scoped persist; at
+    # corpus scale the MEMORY_AND_DISK default spills instead of
+    # evicting mid-fit.
+    toks = scoped_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.split(_norm_text(F.col("text")), " ").alias("t"),
+        )
     )
     words = toks.select("lang", F.explode("t").alias("w"))
     ucnt = scoped_persist(

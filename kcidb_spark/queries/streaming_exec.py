@@ -21,6 +21,7 @@ from textwrap import dedent
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kcidb_spark.localrel import local_df
 from kcidb_spark.queries._exact import as_money, int_sum, oracle_int_sum
 from kcidb_spark.queries.registry import register
 from kcidb_spark.queries.relational import _utc
@@ -1062,53 +1063,25 @@ def t19_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir)
 
     def serve(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import Window as W  # noqa: F811 — batch scope
-
         sess = batch_df.sparkSession
-        cdf = sess.createDataFrame(
-            cents, "c_id bigint, cv array<double>, cn double"
-        )
-        q = batch_df.withColumn(
-            "qn", F.expr(f"sqrt({dot_expr('v', 'v')})")
-        ).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            "qn",
-        )
-        c_sim = F.expr(
-            f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)"
-        )
-        w_probe = W.partitionBy("q_id").orderBy(
-            F.desc("c_sim"), F.asc("c_id")
-        )
-        q_probe = (
-            q.crossJoin(F.broadcast(cdf))
-            .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
-            .withColumn("rn", F.row_number().over(w_probe))
-            .filter(F.col("rn") <= 2)
-            .select("q_id", "c_id", "qv", "qn")
-        ).persist()
-        try:
-            probed = sorted(
-                r["c_id"]
-                for r in q_probe.select("c_id").distinct().collect()
+        # ONE single-stage routing job — see _route_float_probe (the
+        # old crossJoin+window ran as a persisted frame plus a second
+        # distinct-collect job per epoch).
+        q_probe, probed = _route_float_probe(batch_df, cents, nprobe=2)
+        members = (
+            sess.read.schema(store_schema)
+            .parquet(store)
+            .filter(F.col("c_id").isin(probed))
+            .select(
+                F.col("vec_id").alias("n_id"),
+                "c_id",
+                F.col("v").alias("nv"),
+                F.col("nrm").alias("nn"),
             )
-            members = (
-                sess.read.schema(store_schema)
-                .parquet(store)
-                .filter(F.col("c_id").isin(probed))
-                .select(
-                    F.col("vec_id").alias("n_id"),
-                    "c_id",
-                    F.col("v").alias("nv"),
-                    F.col("nrm").alias("nn"),
-                )
-            )
-            ivf_rank(members, q_probe, _IVF_K).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
-        finally:
-            q_probe.unpersist()
+        )
+        ivf_rank(members, q_probe, _IVF_K).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
 
     ckpt = _scratch_dir("t19_ckpt")
     q_stream = (
@@ -1589,10 +1562,21 @@ def _layout_by(df: DataFrame, col: str) -> DataFrame:
     ONCE, keyed by where they land (guide §8), and AQE coalescing
     sizes the task count to the batch, so the file count tracks data
     volume at any scale.  Single-partition inputs skip it: zero new
-    stages in the streaming hot path."""
+    stages in the streaming hot path.
+
+    REBALANCE, not ``repartition(col)`` (VERDICT r15 #4, guide §2.5):
+    a hash repartition on the low-cardinality directory key lands a
+    hot cluster in ONE task — AQE coalesces small hash partitions but
+    never splits one — so at 100 TB a skewed c_id becomes the whole
+    write's straggler.  The rebalance hint keeps the same
+    keyed-like-the-layout clustering while letting AQE both coalesce
+    small partitions AND split an oversized one at the advisory size
+    (a hot dir then gets a few data-sized files instead of one
+    unbounded task); at bench scale every partition is small, so the
+    layout stays ~1 file per directory, byte-identical rows."""
     if df.rdd.getNumPartitions() <= 1:
         return df
-    return df.repartition(col)
+    return df.hint("rebalance", col)
 
 
 def ingest_vec_batch_txn(
@@ -1634,6 +1618,100 @@ def ingest_vec_batch_txn(
     publish_visibility(store, wm=batch_id)
 
 
+
+#: Serve-contract guard (ADVICE r15): probe batches are request-scale
+#: BY CONTRACT — the driver-side routing collects them, and a caller
+#: violating the contract should fail with THIS error (and before it,
+#: spark.driver.maxResultSize) rather than an opaque driver OOM.
+_PROBE_COLLECT_CAP = 1 << 20
+
+
+def _check_request_scale(rows: list, what: str) -> list:
+    if len(rows) > _PROBE_COLLECT_CAP:
+        raise ValueError(
+            f"{what}: collected {len(rows)} rows — the probe verbs "
+            f"route request-scale batches on the driver by the serve "
+            f"contract (cap {_PROBE_COLLECT_CAP}); corpus-scale "
+            f"scoring belongs in the distributed batch entries"
+        )
+    return rows
+
+def _route_float_probe(
+    batch_df: DataFrame, cents: list, nprobe: int
+) -> tuple[DataFrame, list]:
+    """(q_probe, probed) for the float probe verbs in ONE single-stage
+    job (guide §2.4): the per-query nprobe-nearest-centroid routing is
+    computed IN-ROW over the literal centroid model —
+    ``slice(array_sort(...), 1, nprobe)`` over one struct per centroid
+    — so the old crossJoin(broadcast centroids) + q_id-keyed
+    row_number window (a shuffle plus a broadcast build, re-run every
+    probe epoch) collapses into a pure projection over the
+    request-scale batch, collected once.
+
+    Bit-exact by construction: every c_sim is the SAME Spark
+    expression as before (round(dot/(qn·cn), 4) — the literal cn/cv
+    round-trip via repr, which Double.parseDouble maps back to the
+    identical double), and ascending array_sort on
+    struct(-c_sim, c_id) is exactly the old ORDER BY c_sim DESC,
+    c_id ASC: negation of a double is sign-flip-exact, round() never
+    returns -0.0 (its BigDecimal path drops the zero sign), and NaN
+    sims cannot arise (zero-norm vectors are absent by the embedding
+    contract — and the certified assignment path already orders by
+    negate(c_sim), so the tie semantics match the engine's own).
+    Returns q_probe as (q_id, c_id, qv, qn) rows — qv/qn are
+    Spark-computed in the same collect, so the downstream rank sees
+    byte-identical inputs."""
+    from kcidb_spark.operators.similarity import dot_expr
+
+    sess = batch_df.sparkSession
+    q = batch_df.withColumn(
+        "qn", F.expr(f"sqrt({dot_expr('v', 'v')})")
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "qn"
+    )
+    if cents:
+        structs = []
+        for c_id, cv, cn in cents:
+            arr = "array(" + ",".join(
+                f"cast({repr(float(x))!r} as double)" for x in cv
+            ) + ")"
+            structs.append(
+                f"named_struct("
+                f"'ns', -round({dot_expr('qv', arr)}"
+                f" / (qn * cast({repr(float(cn))!r} as double)), 4),"
+                f"'c', cast({int(c_id)} as bigint))"
+            )
+        probes_sql = (
+            f"slice(array_sort(array({','.join(structs)})),"
+            f" 1, {int(nprobe)})"
+        )
+    else:
+        # Typed empty model (the batch-3 precedent): no centroids →
+        # no probes, same zero rows the crossJoin produced.
+        probes_sql = (
+            "slice(cast(array() as array<struct<ns: double,"
+            f" c: bigint>>), 1, {int(nprobe)})"
+        )
+    rows = _check_request_scale(
+        q.select(
+            "q_id", "qv", "qn", F.expr(probes_sql).alias("_pr")
+        ).collect(),
+        "_route_float_probe",
+    )
+    q_probe_rows = [
+        (r["q_id"], p["c"], r["qv"], r["qn"])
+        for r in rows
+        for p in r["_pr"]
+    ]
+    q_probe = local_df(
+        sess,
+        q_probe_rows,
+        "q_id long, c_id bigint, qv array<double>, qn double",
+    )
+    probed = sorted({c for _, c, _qv, _qn in q_probe_rows})
+    return q_probe, probed
+
+
 def probe_visible_topk(
     batch_df: DataFrame,
     store: str,
@@ -1659,9 +1737,7 @@ def probe_visible_topk(
     as-is; tombstones re-apply at their own batch positions, so a
     historical read replays historical visibility).  Must not exceed
     the committed watermark: the future is not readable."""
-    from pyspark.sql import Window as W  # noqa: F811 — batch scope
-
-    from kcidb_spark.operators.similarity import dot_expr, ivf_rank
+    from kcidb_spark.operators.similarity import ivf_rank
 
     sess = batch_df.sparkSession
     wm = read_serve_watermark(store)
@@ -1672,34 +1748,11 @@ def probe_visible_topk(
                 f"uncommitted batches are not readable"
             )
         wm = as_of
-    cdf = sess.createDataFrame(
-        cents, "c_id bigint, cv array<double>, cn double"
-    )
-    q = batch_df.withColumn(
-        "qn", F.expr(f"sqrt({dot_expr('v', 'v')})")
-    ).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "qn"
-    )
-    c_sim = F.expr(f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)")
-    w_probe = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
-    # ONE routing job, reused twice (guide §2.4): collect the
-    # request-scale q_probe rows (Spark computes the float cosine —
-    # doubles round-trip the driver bit-exactly) and hand the plan a
-    # LITERAL local relation, so the action no longer re-executes the
-    # crossJoin+window routing subtree as a broadcast, and the probed
-    # set falls out of the same collect instead of a second job.
-    q_probe_rows = (
-        q.crossJoin(F.broadcast(cdf))
-        .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "c_id", "qv", "qn")
-    ).collect()
-    q_probe = sess.createDataFrame(
-        q_probe_rows,
-        "q_id long, c_id bigint, qv array<double>, qn double",
-    )
-    probed = sorted({r["c_id"] for r in q_probe_rows})
+    # ONE single-stage routing job (guide §2.4): the nprobe-nearest
+    # routing is an in-row expression over the literal centroid model
+    # (see _route_float_probe — bit-exact to the old crossJoin+window
+    # form), and the plan gets q_probe as a literal local relation.
+    q_probe, probed = _route_float_probe(batch_df, cents, nprobe)
     members = (
         sess.read.schema(_T21_SCHEMA)
         .parquet(os.path.join(store, "data"))
@@ -2382,9 +2435,7 @@ def probe_tiered_topk(
     current at ``as_of`` — same tier assembly, historical layout —
     and raises only past the horizon, where superseded copies may
     already be GC'd."""
-    from pyspark.sql import Window as W  # noqa: F811 — batch scope
-
-    from kcidb_spark.operators.similarity import dot_expr, ivf_rank
+    from kcidb_spark.operators.similarity import ivf_rank
 
     sess = batch_df.sparkSession
     man = read_serve_manifest(store)
@@ -2403,29 +2454,8 @@ def probe_tiered_topk(
             cupto = -1 if cupto is None else int(cupto)
             man = {**man, "compacted_dir": hist.get("compacted_dir")}
         wm = as_of
-    cdf = sess.createDataFrame(
-        cents, "c_id bigint, cv array<double>, cn double"
-    )
-    q = batch_df.withColumn(
-        "qn", F.expr(f"sqrt({dot_expr('v', 'v')})")
-    ).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "qn"
-    )
-    c_sim = F.expr(f"round({dot_expr('qv', 'cv')} / (qn * cn), 4)")
-    w_probe = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
-    # ONE routing job, reused twice — see probe_visible_topk.
-    q_probe_rows = (
-        q.crossJoin(F.broadcast(cdf))
-        .select("q_id", "qv", "qn", "c_id", c_sim.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "c_id", "qv", "qn")
-    ).collect()
-    q_probe = sess.createDataFrame(
-        q_probe_rows,
-        "q_id long, c_id bigint, qv array<double>, qn double",
-    )
-    probed = sorted({r["c_id"] for r in q_probe_rows})
+    # ONE single-stage routing job — see _route_float_probe.
+    q_probe, probed = _route_float_probe(batch_df, cents, nprobe)
     tiers = []
     if man.get("compacted_dir") and cupto >= 0:
         tiers.append(
@@ -3204,7 +3234,9 @@ def probe_q_topk(
     cents = _q_store_centroids(store)
     qrows = [
         (int(r["vec_id"]), [int(x) for x in r["q"]])
-        for r in batch_df.select("vec_id", "q").collect()
+        for r in _check_request_scale(
+            batch_df.select("vec_id", "q").collect(), "probe_q_topk"
+        )
     ]
     from kcidb_spark.operators.ivf import d2_int
 
@@ -3215,8 +3247,8 @@ def probe_q_topk(
         )[:nprobe]
         probe_rows.extend((qid, c, qv) for _, c in near)
     probed = sorted({c for _, c, _qv in probe_rows})
-    q_probe = sess.createDataFrame(
-        probe_rows, "q_id long, c_id bigint, qq array<bigint>"
+    q_probe = local_df(
+        sess, probe_rows, "q_id long, c_id bigint, qq array<bigint>"
     )
     members = _q_visible_members(sess, store, clusters=probed).select(
         F.col("vec_id").alias("n_id"),
@@ -3630,25 +3662,43 @@ def probe_postings_bm25(
             [], "probe_round long, q_id long, n_id long,"
                 " score_micro long, rk long"
         )
-    # ONE tokenize job, reused thrice (guide §2.4): collect the
-    # request-scale (q_id, w, wb) term set and hand the plan a LITERAL
-    # local relation — the old shape ran the tokenize+explode subtree
-    # once for the bucket collect and re-executed it as a broadcast in
-    # BOTH consuming joins (df restriction and the match join).
-    qterm_rows = (
+    # ONE SINGLE-STAGE tokenize job, reused thrice (guide §2.4): the
+    # per-query distinct term set folds IN-ROW (array_distinct over
+    # the split — one row per doc_id, so per-row dedup covers the old
+    # cross-row ``.distinct()``, whose residual cross-row case — a
+    # repeated doc_id in one batch — the driver-side set() below
+    # reproduces exactly) and the term buckets ride the same
+    # projection (xxhash64 stays IN SPARK — its seed/UTF-8 semantics
+    # are the engine's own).  The old shape paid an explode + a
+    # distinct exchange per probe; the plan gets the (q_id, w, wb)
+    # term set as a literal local relation, exactly as before.
+    tok_rows = (
         batch_df.select(
             F.col("doc_id").alias("q_id"),
-            F.explode(
+            F.array_distinct(
                 F.split(_norm_text(F.col("text")), " ")
-            ).alias("w"),
+            ).alias("_ws"),
         )
-        .distinct()
-        .withColumn("wb", F.expr(f"pmod(xxhash64(w), {pb})"))
+        .select(
+            "q_id",
+            F.expr(
+                "transform(_ws, w -> named_struct('w', w,"
+                f" 'wb', pmod(xxhash64(w), {pb})))"
+            ).alias("_tw"),
+        )
     ).collect()
-    qterms = sess.createDataFrame(
-        qterm_rows, "q_id long, w string, wb bigint"
+    _check_request_scale(tok_rows, "probe_postings_bm25")
+    qterm_rows = sorted(
+        {
+            (r["q_id"], t["w"], t["wb"])
+            for r in tok_rows
+            for t in r["_tw"]
+        }
     )
-    qbuckets = sorted({r["wb"] for r in qterm_rows})
+    qterms = local_df(
+        sess, qterm_rows, "q_id long, w string, wb bigint"
+    )
+    qbuckets = sorted({wb for _, _, wb in qterm_rows})
     # Statistics and postings each read {generation ∪ tail}: the
     # generation's stats were RECOMPUTED at fold time (exact —
     # tombstones applied); tail partials stack on top.  Tail =
@@ -5171,6 +5221,10 @@ def t25_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The two legs' construction each runs one request-scale
             # routing job (term buckets / probed clusters) — overlap
             # them (guide §2.6), same idiom as _parallel_writes.
+            # CONSTRAINT (ADVICE r15): pooled legs are read-only —
+            # they must stay free of the module's shared mutable
+            # state (scoped_persist's cache._PERSISTED,
+            # _trainer_cache_put) or the overlap races.
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:
@@ -5615,17 +5669,17 @@ def probe_pq_topk(
     # pruned codes scan.
     qrows = [
         (int(r["vec_id"]), [int(x) for x in r["q"]])
-        for r in batch_df.select("vec_id", "q").collect()
+        for r in _check_request_scale(
+            batch_df.select("vec_id", "q").collect(), "probe_pq_topk"
+        )
     ]
     probe_pairs, dtrows = _pq_route_driver(
         qrows, cents, books, n_subs, subdim, nprobe
     )
     probed = sorted({c for _, c in probe_pairs})
-    q_probe = sess.createDataFrame(
-        probe_pairs, "q_id long, c_id bigint"
-    )
-    dt = sess.createDataFrame(
-        dtrows, "q_id long, s bigint, m bigint, d bigint"
+    q_probe = local_df(sess, probe_pairs, "q_id long, c_id bigint")
+    dt = local_df(
+        sess, dtrows, "q_id long, s bigint, m bigint, d bigint"
     )
     members = _pqc_visible_codes(sess, store, wm, clusters=probed, man=hist)
     n_codes = members.select(

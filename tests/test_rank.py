@@ -140,9 +140,27 @@ def test_gate_plans_never_sort_a_stratum(spark, name):
         assert not _bad_pattern(stratum, score).search(plan), (
             f"{name}: row_number sorts the whole {stratum} stratum"
         )
-        assert _good_pattern(stratum, score).search(plan), (
+        # The distributed form: either the bucket-extended window is
+        # present, or the optimizer removed the straddle leg WHOLESALE
+        # — since r16 the broadcast mapping is a true LocalRelation
+        # (kcidb_spark/localrel.py), so when no segment straddles the
+        # k* boundary Catalyst folds filter(_straddle) to an empty
+        # relation and prunes the dead join+window subtree (strictly
+        # fewer stages, row-identical — pinned by
+        # test_drop_leading_matches_rank_filter).  A plan with NO
+        # window on the score at all is that pruned case; a
+        # whole-stratum window would have tripped the assert above.
+        any_score_window = re.search(
+            rf"windowspecdefinition\([^)]*{score}#\d+L?\s+(ASC|DESC)",
+            plan,
+        )
+        assert (
+            _good_pattern(stratum, score).search(plan)
+            or not any_score_window
+        ), (
             f"{name}: expected bucket-extended rank window on "
-            f"({stratum}, _bkt, {score})"
+            f"({stratum}, _bkt, {score}) (or a wholly pruned "
+            f"straddle leg)"
         )
 
 
