@@ -185,6 +185,16 @@ def main() -> None:
     # itself a best-ever minimum, so min-of-2 measures the same thing
     # one tier more stably.
     timings: dict[str, float] = {}
+    # Cold-path visibility (VERDICT r15 "Next round" #8): min-of-2
+    # discards each query's FIRST run, which is where every
+    # session-cached family's one-time cost lands (λ model fit, PQ
+    # books, coarse centroids, fixture staging, the lm score cache) —
+    # so a training-cost regression could hide behind amortization.
+    # Record every query's first-run wall verbatim (additions-only;
+    # zero extra bench time): each cached family's fit cost is the
+    # cold number of its FIRST consumer in registry order, and the
+    # cold−min delta bounds what amortization absorbed.
+    cold_first_run: dict[str, float] = {}
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
@@ -199,6 +209,7 @@ def main() -> None:
             # cached RDDs, and run 2 must not reuse run 1's cache.
             release_persisted()
         timings[name] = round(min(runs), 3)
+        cold_first_run[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     regressions, calibration, n_with_baseline = _regressions(timings, sf)
@@ -239,6 +250,9 @@ def main() -> None:
         "retried": retried,
         "host_speed_vs_best": calibration,
         "n_queries_with_baseline": n_with_baseline,
+        # First-run walls from the MAIN loop (retries excluded): the
+        # cold-path record for the session-cached families.
+        "cold_first_run": cold_first_run,
         "sf": sf,
     }
     # Full per-query detail goes to a side file; stdout gets ONE short

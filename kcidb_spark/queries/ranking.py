@@ -710,6 +710,58 @@ _BM25_TERM_MICRO = (
 )
 
 
+def _bm25_base(spark: SparkSession, sf_dir: str):
+    """(tf, tot, qterms, qws) — the shared BM25 model base of
+    bm25_topk / bm25_prf_expansion, restructured for fewer exchanges
+    (guide §2.4; r16):
+
+    * ``tf`` carries ``len`` THROUGH the (doc, term) aggregation —
+      ``len = size(split(text)) = Σ_w tf`` is computable BEFORE the
+      explode (the r15 _tok_tf_len precedent, value-identical to the
+      old ``dlen`` sum by construction), and len is functionally
+      dependent on doc_id so adding it to the grouping key changes no
+      group.  This deletes the doc-length join (one exchange + one
+      broadcast per run) from the match chain entirely.
+    * ``tot`` aggregates the per-doc (max len) rows — same (n, s) as
+      the old dlen aggregate: every doc has ≥1 token (split('') is
+      ['']), so the doc set is identical.
+    * ``qterms``: the request-scale distinct (q_id, w) set, COLLECTED
+      once from the persisted tf and re-fed as an Arrow literal
+      (LocalRelation) — its two broadcast consumers no longer run a
+      build job, and the distinct-exchange is gone.  ``qws`` is the
+      sorted distinct term list for InSet restrictions.
+    """
+    from kcidb_spark.cache import scoped_persist
+    from kcidb_spark.localrel import local_df
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    arr = F.split(_norm_text(F.col("text")), " ")
+    toks = docs.select(
+        "doc_id", F.size(arr).alias("len"), F.explode(arr).alias("w")
+    )
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "len", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    dl = tf.groupBy("doc_id").agg(F.max("len").alias("len"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("s"),
+    )
+    qterm_rows = sorted(
+        {
+            (int(r["doc_id"]), r["w"])
+            for r in tf.filter(F.col("doc_id") < _BM25_QUERIES)
+            .select("doc_id", "w")
+            .collect()
+        }
+    )
+    qterms = local_df(spark, qterm_rows, "q_id long, w string")
+    qws = sorted({w for _, w in qterm_rows})
+    return tf, tot, qterms, qws
+
+
 @register(
     "bm25_topk",
     oracle=dedent(f"""
@@ -784,35 +836,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed.  BIGINT headroom: 22·tf·S needs tf·S < 4·10^17 — at
     planet scale rescale S to mega-tokens (same doctrine note as the
     sketch entries)."""
-    from kcidb_spark.cache import scoped_persist
-
-    docs = table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
-    )
-    tf = scoped_persist(
-        toks.groupBy("doc_id", "w").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
-        )
-    )
-    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
-    tot = dlen.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("len").cast("long").alias("s"),
-    )
-    qterms = tf.filter(F.col("doc_id") < _BM25_QUERIES).select(
-        F.col("doc_id").alias("q_id"), "w"
-    )
-    # Query terms are request-scale by the serve contract — BROADCAST
-    # them (guide §3.1; the probe_postings_bm25 posture), so the
-    # postings side is never shuffled by term for the match join; and
-    # compute df ONLY for the matched terms (a broadcast semi-filter
-    # before the w-keyed aggregation), so the df shuffle carries the
-    # query's terms, not the whole vocabulary (guide §2.3).  Identical
-    # results: downstream only ever joins df of query terms.
+    tf, tot, qterms, qws = _bm25_base(spark, sf_dir)
+    # df only for consumed terms (guide §2.3 — unchanged since r15);
+    # the restriction is now an InSet on the collected query terms
+    # instead of a broadcast semi-join, dropping that broadcast's
+    # build job from every run.  Identical df values for every term
+    # downstream consumes (string equality either way).
     dft_q = (
-        tf.join(F.broadcast(qterms.select("w").distinct()), on="w")
+        tf.filter(F.col("w").isin(qws))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
@@ -823,11 +854,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score_micro"), F.asc("n_id")
     )
     return (
-        tf.withColumnRenamed("doc_id", "n_id")
+        tf.filter(F.col("w").isin(qws))
+        .withColumnRenamed("doc_id", "n_id")
         .join(F.broadcast(qterms), on="w")
         .filter(F.col("n_id") != F.col("q_id"))
         .join(F.broadcast(dft_q), on="w")
-        .join(dlen.withColumnRenamed("doc_id", "n_id"), on="n_id")
         .crossJoin(F.broadcast(tot))
         .groupBy("q_id", "n_id")
         .agg(F.sum(F.expr(term_micro)).cast("long").alias("score_micro"))
@@ -948,32 +979,15 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_PRF_TERMS}."""
     from kcidb_spark.cache import scoped_persist
 
-    docs = table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
-    )
-    tf = scoped_persist(
-        toks.groupBy("doc_id", "w").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
-        )
-    )
-    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
-    tot = dlen.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("len").cast("long").alias("s"),
-    )
-    qterms = tf.filter(F.col("doc_id") < _BM25_QUERIES).select(
-        F.col("doc_id").alias("q_id"), "w"
-    )
+    tf, tot, qterms, qws = _bm25_base(spark, sf_dir)
     # Same df posture as bm25_topk (guide §2.3/§3.1): qterms are
-    # request-scale, so they broadcast; df aggregates run only over
-    # the term sets a join actually consumes — query terms for the
-    # match pass, the pseudo-relevant docs' terms for the expansion
-    # pass — each restricted by a broadcast semi-filter BEFORE the
-    # w-keyed aggregation, so neither pass shuffles the vocabulary.
+    # request-scale, so they ride a literal broadcast; df aggregates
+    # run only over the term sets a join actually consumes — query
+    # terms (an InSet restriction) for the match pass, the
+    # pseudo-relevant docs' terms (broadcast semi-filter) for the
+    # expansion pass — so neither pass shuffles the vocabulary.
     dft_q = (
-        tf.join(F.broadcast(qterms.select("w").distinct()), on="w")
+        tf.filter(F.col("w").isin(qws))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
@@ -984,11 +998,11 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score_micro"), F.asc("n_id")
     )
     prf = (
-        tf.withColumnRenamed("doc_id", "n_id")
+        tf.filter(F.col("w").isin(qws))
+        .withColumnRenamed("doc_id", "n_id")
         .join(F.broadcast(qterms), on="w")
         .filter(F.col("n_id") != F.col("q_id"))
         .join(F.broadcast(dft_q), on="w")
-        .join(dlen.withColumnRenamed("doc_id", "n_id"), on="n_id")
         .crossJoin(F.broadcast(tot))
         .groupBy("q_id", "n_id")
         .agg(F.sum(F.expr(bm25_micro)).cast("long").alias("score_micro"))

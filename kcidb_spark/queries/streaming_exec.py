@@ -7297,6 +7297,61 @@ def opq_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "opq_store_serve_fixed_rotation",
+    oracle=_pqc_rotated_oracle(),
+    tags=("similarity", "ivf", "index", "opq", "streaming"),
+)
+def opq_store_serve_fixed_rotation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OPQ SERVING MACHINERY under the driver's hash gate
+    (VERDICT r15 "Next round" #6): opq_store_serve itself is
+    oracle-less by design (its LEARNED rotation is a float
+    alternation with no static SQL replay), which left the
+    manifest-rotation seam — init_opq_store, ingest_opq_batch_txn's
+    rotate-at-ingest, probe_opq_topk's rotate-at-probe under the same
+    manifest snapshot — certified only by pytest.  This twin runs the
+    EXACT same OPQ verbs with the manifest rotation pinned to the
+    certified fixed two-layer 3-4-5 Givens matrix, where the oracle
+    exists: the rotated grid is bit-identical to the certified
+    _pqc_vecs_rot_q form (verified on every SF), so the expected
+    results are ivfpq_store_rotated_serve's oracle — and
+    tests/test_opq_store.py's control theorem (OPQ store with
+    rotation R ≡ PQ store fed R-rotated vectors, byte-equal) is what
+    extends this certification to the learned-rotation entry, whose
+    machinery is the same code path."""
+    from kcidb_spark.operators.opq import givens_rotation
+    from kcidb_spark.queries.advanced import (
+        _IVF_K,
+        _IVF_QUERIES,
+        _KM_NPROBE,
+        _PQK_SUBDIM,
+        _PQK_SUBS,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("x")
+    )
+    store, built = _session_store_dir(spark, sf_dir, "opqfixed")
+    if not built:
+        rot = givens_rotation(_PQK_SUBS * _PQK_SUBDIM)
+        vq = _opq_quantize(vecs, rot)
+        cents, books = _pqc_static_model(spark, vq)
+        init_opq_store(store, rot, cents, books, _PQK_SUBS, _PQK_SUBDIM)
+        pfx = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        for i, chars in enumerate(_T21_RANGES):
+            ingest_opq_batch_txn(
+                vecs.filter(pfx.isin(*list(chars))), store, i
+            )
+        _mark_store_built(spark, store)
+    return probe_opq_topk(
+        vecs.filter(F.col("vec_id") < _IVF_QUERIES),
+        store, _IVF_K, nprobe=_KM_NPROBE,
+    )
+
+
+@register(
     "ivfpq_store_compact_serve",
     oracle=_pqc_deletes_oracle(),
     tags=("similarity", "ivf", "index", "streaming"),
